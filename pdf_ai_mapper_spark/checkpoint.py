@@ -1,0 +1,65 @@
+"""Checkpoint / lineage table: resumable, idempotent extraction runs.
+
+The reference batches JSON index writes behind a pending-save flag
+(``document_storage.py:59-74``); at cluster scale that becomes
+snapshot-style commits with per-bucket lineage (SURVEY.md §4.3):
+
+- Output is laid out in ``output_buckets`` url-hash buckets
+  (``bucket = pmod(xxhash64(url), B)``), written with dynamic
+  partition overwrite — each bucket commit is atomic at the
+  directory level (Iceberg snapshot commit on real clusters; the
+  parquet layout here is Iceberg-shaped).
+- ``_checkpoints`` parquet records, per committed bucket:
+  run id, rows in/out, error-row count, commit timestamp.
+- A resumed run reads the committed bucket set and processes only the
+  remaining buckets — re-running a finished job writes 0 rows
+  (idempotence test in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = ('run_id string, bucket int, rows_in long, rows_out long, '
+                     'error_rows long, committed_at timestamp')
+
+
+def checkpoint_path(output_path: str) -> str:
+    return os.path.join(output_path, '_checkpoints')
+
+
+def data_path(output_path: str) -> str:
+    return os.path.join(output_path, 'data')
+
+
+def committed_buckets(spark: SparkSession, output_path: str) -> set[int]:
+    cp = checkpoint_path(output_path)
+    try:
+        rows = spark.read.parquet(cp).select('bucket').distinct().collect()
+    except Exception:  # first run: no checkpoint table yet
+        return set()
+    return {r['bucket'] for r in rows}
+
+
+def append_checkpoints(spark: SparkSession, output_path: str,
+                       entries: list[dict]) -> None:
+    if not entries:
+        return
+    df = spark.createDataFrame(
+        [(e['run_id'], e['bucket'], e['rows_in'], e['rows_out'], e['error_rows'])
+         for e in entries],
+        'run_id string, bucket int, rows_in long, rows_out long, error_rows long',
+    ).withColumn('committed_at', F.current_timestamp())
+    df.write.mode('append').parquet(checkpoint_path(output_path))
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def read_output(spark: SparkSession, output_path: str) -> DataFrame:
+    return spark.read.parquet(data_path(output_path))

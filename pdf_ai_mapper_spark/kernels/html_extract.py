@@ -1,0 +1,213 @@
+"""HTML main-content extraction: DOM tokenizer + boilerplate classifier.
+
+This is the new capability the north rule mandates (the reference only
+handles PDF/images; its extraction stage is
+``app/core/text_extraction/*``).  Design follows the published
+readability / boilerplate-detection literature (Kohlschütter et al.,
+"Boilerplate Detection using Shallow Text Features", WSDM 2010; the
+arc90 Readability heuristic): parse the element tree, compute per-block
+text length / link density, score candidate containers by the text mass
+of their low-link-density paragraph blocks, emit the winning
+container's paragraphs.
+
+Deterministic and pure: same bytes in → same text out, independent of
+partitioning.  Implemented on stdlib ``html.parser`` only (lxml/bs4
+absent in the runtime).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Elements whose entire subtree is dropped before analysis.
+_STRIP_TAGS = frozenset({'script', 'style', 'noscript', 'template', 'svg', 'iframe', 'form', 'button'})
+# Void elements (never pushed on the open-element stack).
+_VOID_TAGS = frozenset({'br', 'img', 'hr', 'meta', 'link', 'input', 'area', 'base', 'col', 'embed', 'source', 'track', 'wbr'})
+# Paragraph-level text blocks that can contribute content.
+_BLOCK_TAGS = frozenset({'p', 'h1', 'h2', 'h3', 'h4', 'h5', 'h6', 'li', 'pre', 'blockquote', 'td', 'dd', 'dt', 'figcaption'})
+# Containers that can be elected as the main-content root.
+_CANDIDATE_TAGS = frozenset({'div', 'article', 'section', 'main', 'td', 'body', 'html'})
+# Semantic boost/penalty (readability-style class/tag weighting).
+_POSITIVE_TAGS = frozenset({'article', 'main'})
+_NEGATIVE_TAGS = frozenset({'nav', 'aside', 'header', 'footer', 'menu'})
+
+_MIN_BLOCK_CHARS = 25       # blocks shorter than this score nothing
+_MAX_LINK_DENSITY = 0.33    # blocks more linky than this are boilerplate
+
+
+class _Node:
+    __slots__ = ('tag', 'parent', 'children', 'order')
+
+    def __init__(self, tag: str, parent: '_Node | None', order: int):
+        self.tag = tag
+        self.parent = parent
+        self.children: list = []  # _Node | str
+        self.order = order
+
+
+class _TreeBuilder(HTMLParser):
+    """Tokenize HTML into a lightweight element tree, dropping
+    _STRIP_TAGS subtrees and comments."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node('#root', None, 0)
+        self._stack = [self.root]
+        self._skip_depth = 0
+        self._order = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._skip_depth:
+            if tag in _STRIP_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in _STRIP_TAGS:
+            self._skip_depth = 1
+            return
+        if tag in _VOID_TAGS:
+            return
+        self._order += 1
+        node = _Node(tag, self._stack[-1], self._order)
+        self._stack[-1].children.append(node)
+        self._stack.append(node)
+
+    def handle_endtag(self, tag):
+        if self._skip_depth:
+            if tag in _STRIP_TAGS:
+                self._skip_depth -= 1
+            return
+        if tag in _VOID_TAGS or tag in _STRIP_TAGS:
+            return
+        # close the nearest matching open element (tolerates misnesting)
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self._stack[-1].children.append(data)
+
+
+def _collect_text(node: _Node, out: list[str], link_out: list[str], in_link: bool) -> None:
+    for child in node.children:
+        if isinstance(child, str):
+            out.append(child)
+            if in_link:
+                link_out.append(child)
+        else:
+            _collect_text(child, out, link_out, in_link or child.tag == 'a')
+
+
+def _block_stats(node: _Node) -> tuple[str, int, float]:
+    """(normalized text, text_len, link_density) for one block element."""
+    parts: list[str] = []
+    link_parts: list[str] = []
+    _collect_text(node, parts, link_parts, False)
+    text = ' '.join(''.join(parts).split())
+    link_text = ' '.join(''.join(link_parts).split())
+    n = len(text)
+    return text, n, (len(link_text) / n if n else 0.0)
+
+
+def _iter_blocks(node: _Node, blocks: list) -> None:
+    """Document-order traversal collecting paragraph-level block nodes.
+    A block element's subtree is not descended further (its inline
+    content belongs to it)."""
+    for child in node.children:
+        if isinstance(child, str):
+            continue
+        if child.tag in _BLOCK_TAGS:
+            blocks.append(child)
+        else:
+            _iter_blocks(child, blocks)
+
+
+def _candidate_of(block: _Node) -> '_Node | None':
+    """Nearest enclosing candidate container (grandparent fallback,
+    readability-style: score the parent; divs directly holding text
+    score themselves)."""
+    anc = block.parent
+    while anc is not None:
+        if anc.tag in _CANDIDATE_TAGS or anc.tag in _POSITIVE_TAGS:
+            return anc
+        if anc.tag in _NEGATIVE_TAGS:
+            return anc  # keeps boilerplate mass out of real candidates
+        anc = anc.parent
+    return None
+
+
+def _block_score(text: str, n: int, link_density: float) -> float:
+    if n < _MIN_BLOCK_CHARS or link_density > _MAX_LINK_DENSITY:
+        return 0.0
+    # readability-style: base + commas + capped length bonus
+    return (1.0 + text.count(',') + min(n / 100.0, 3.0)) * (1.0 - link_density)
+
+
+def extract_main_text(html: str) -> str:
+    """Extract main-content text from an HTML document.
+
+    Returns block texts (whitespace-normalized) of the best-scoring
+    container, joined with ``"\\n\\n"``; empty string when no content
+    block survives the classifier.
+    """
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # html.parser is tolerant; a hard failure means garbage input
+        return ""
+
+    blocks: list[_Node] = []
+    _iter_blocks(builder.root, blocks)
+    if not blocks:
+        return ""
+
+    stats = {id(b): _block_stats(b) for b in blocks}
+
+    # Score candidate containers by the mass of their good blocks.
+    scores: dict[int, float] = {}
+    cand_nodes: dict[int, _Node] = {}
+    for b in blocks:
+        text, n, ld = stats[id(b)]
+        s = _block_score(text, n, ld)
+        if s <= 0.0:
+            continue
+        cand = _candidate_of(b)
+        if cand is None:
+            continue
+        key = id(cand)
+        cand_nodes[key] = cand
+        bonus = 1.0
+        if cand.tag in _POSITIVE_TAGS:
+            bonus = 1.5
+        elif cand.tag in _NEGATIVE_TAGS:
+            bonus = 0.0
+        scores[key] = scores.get(key, 0.0) + s * bonus
+
+    best = None
+    best_score = 0.0
+    for key, sc in scores.items():
+        node = cand_nodes[key]
+        if sc > best_score or (sc == best_score and best is not None and node.order < best.order):
+            best, best_score = node, sc
+    if best is None or best_score <= 0.0:
+        return ""
+
+    # Emit the winner's own good blocks in document order.
+    out: list[str] = []
+    for b in blocks:
+        cand = _candidate_of(b)
+        if cand is not best:
+            continue
+        text, n, ld = stats[id(b)]
+        if n == 0:
+            continue
+        if ld > _MAX_LINK_DENSITY:
+            continue
+        if n < _MIN_BLOCK_CHARS and b.tag not in ('h1', 'h2', 'h3', 'h4', 'h5', 'h6'):
+            continue
+        out.append(text)
+    return '\n\n'.join(out)

@@ -1,0 +1,102 @@
+"""Text preprocessing kernel — the T1-T10 chain of SURVEY.md §2.3.
+
+Re-expresses, byte-for-byte, the deterministic (NLTK-absent) path of the
+reference's ``TextPreprocessor.preprocess_text``
+(``app/core/text_processing/text_preprocessor.py:95-177``):
+
+T1  error passthrough            (:98-99)
+T2  lowercase                    (:106)
+T3  strip non-Latin scripts      (:109-112)
+T4  strip specials, keep hyphens; strip digits (:115-116)
+T5  collapse whitespace          (:119)
+T6  tokenize — fallback ``text.split()``, every token tagged NN (:125-129)
+T7  token filter: len>=3, not stopword, not isdigit (:132-139; the POS
+    test is vacuous on the fallback path since every tag is 'NN')
+T8  frozen stopword set          (:22-93 → kernels/stopwords.py)
+T9  key-phrase extraction: sliding bigrams/trigrams, Counter
+    most_common(20) kept at count>=2, Counter tie-break = first
+    occurrence order (:155-177)
+T10 reassembly ``' '.join(tokens + phrases)`` (:145-147)
+
+Pure functions: one string in, one string out. The Spark operator wraps
+``preprocess_text`` in an Arrow pandas UDF; tests call it directly.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from .stopwords import STOP_WORDS
+
+# Precompiled — these run per document in the hot path.
+_RE_GREEK = re.compile(r'[Ͱ-Ͽἀ-῿]')
+_RE_CYRILLIC = re.compile(r'[Ѐ-ӿ]')
+_RE_CJK = re.compile(r'[一-鿿]')
+_RE_ARABIC = re.compile(r'[؀-ۿ]')
+_RE_SPECIALS = re.compile(r'[^\w\s-]')
+_RE_DIGITS = re.compile(r'\d+')
+_RE_WS = re.compile(r'\s+')
+
+
+def normalize_text(text: str) -> str:
+    """T2-T5: lowercase, strip non-Latin scripts / specials / digits,
+    collapse whitespace. (reference text_preprocessor.py:106-119)"""
+    text = text.lower()
+    text = _RE_GREEK.sub(' ', text)
+    text = _RE_CYRILLIC.sub(' ', text)
+    text = _RE_CJK.sub(' ', text)
+    text = _RE_ARABIC.sub(' ', text)
+    text = _RE_SPECIALS.sub(' ', text)
+    text = _RE_DIGITS.sub(' ', text)
+    return _RE_WS.sub(' ', text).strip()
+
+
+def meaningful_tokens(normalized: str) -> list[str]:
+    """T6-T8 on the deterministic fallback path: whitespace split, keep
+    tokens with len>=3, not in the frozen stopword set, not all digits.
+    (reference text_preprocessor.py:125-139)"""
+    return [
+        tok for tok in normalized.split()
+        if len(tok) >= 3 and tok not in STOP_WORDS and not tok.isdigit()
+    ]
+
+
+def extract_key_phrases(tokens: list[str]) -> list[str]:
+    """T9: sliding-window bigrams (both words len>=3) and trigrams (all
+    len>=3); Counter.most_common(20) filtered to count>=2.  Counter
+    preserves first-insertion order among equal counts — that tie-break
+    is part of the byte-identity contract.
+    (reference text_preprocessor.py:155-177)"""
+    phrases: list[str] = []
+    for i in range(len(tokens) - 1):
+        a, b = tokens[i], tokens[i + 1]
+        if len(a) >= 3 and len(b) >= 3:
+            phrases.append(a + ' ' + b)
+    for i in range(len(tokens) - 2):
+        a, b, c = tokens[i], tokens[i + 1], tokens[i + 2]
+        if len(a) >= 3 and len(b) >= 3 and len(c) >= 3:
+            phrases.append(a + ' ' + b + ' ' + c)
+    counts = Counter(phrases)
+    return [p for p, n in counts.most_common(20) if n >= 2]
+
+
+def preprocess_text(text: str) -> str:
+    """Full T1-T10 chain. Byte-identical to the reference's
+    deterministic path for any input string."""
+    if text.startswith("Error:"):  # T1, reference :98-99
+        return text
+    tokens = meaningful_tokens(normalize_text(text))
+    return ' '.join(tokens + extract_key_phrases(tokens))  # T10, :145-147
+
+
+def simple_categories(preprocessed: str, top_n: int = 3, min_len: int = 4) -> list[str]:
+    """Cold-start per-doc category (A1): top-3 words of len>=4 by
+    frequency → ``"Topic: w1, w2, w3"``.  Counter tie-break = first
+    occurrence, as in the reference.
+    (reference category_manager.py:90-103)"""
+    words = [w for w in preprocessed.split() if len(w) >= min_len]
+    if not words:
+        return ["Uncategorized"]
+    top = [w for w, _ in Counter(words).most_common(top_n)]
+    return [f"Topic: {', '.join(top)}"]

@@ -1,0 +1,196 @@
+"""Topic categorization (A3-A6): CountVectorizer / HashingTF+IDF
+features, LDA topic model, KMeans variant, topic naming.
+
+Re-expresses the reference's sklearn pipeline
+(``category_manager.py:36-41,138-139``: CountVectorizer(max_features=
+1000, ngram_range=(1,3)) + LDA(n_components=8, random_state=42,
+max_iter=100)) with ``pyspark.ml``:
+
+- features: tokens are the space-split ``preprocessed_text`` (which
+  already contains the reference's 1-3-gram phrases as tokens joined
+  by spaces — T9/T10 — so vocabSize=1000 over those tokens covers the
+  same n-gram range when phrases are added as single features).
+- ``pyspark.ml.clustering.LDA(k=8, seed=42)`` — distributed EM/online;
+  topic *labels* are not byte-stable across cluster sizes (SURVEY.md
+  §7.4), which is why categories are excluded from the byte-identity
+  invariant. Everything is seeded for run-to-run stability at fixed
+  parallelism.
+- per-doc categories: topics with P > 0.1, sorted desc, top 3,
+  named via the topic-type keyword table
+  (reference ``_categorize_with_lda`` :153-185, ``_get_lda_topic_name``
+  :222-260, ``_determine_topic_type`` :266-296).
+- north_star mode: HashingTF + IDF features (no vocabulary fit — one
+  pass less at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import LDA, KMeans
+from pyspark.ml.feature import (IDF, CountVectorizer, CountVectorizerModel,
+                                HashingTF)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..kernels.stopwords import MEANINGLESS_WORDS, STOP_WORDS, TOPIC_KEYWORDS
+
+
+def with_tokens(df: DataFrame, text_col: str = 'preprocessed_text',
+                out_col: str = 'tokens') -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.filter(F.split(F.col(text_col), ' '), lambda t: F.length(t) > 0))
+
+
+def tfidf_features(df: DataFrame, tokens_col: str = 'tokens',
+                   out_col: str = 'features',
+                   num_features: int = 1 << 18) -> DataFrame:
+    """North-star featurization: HashingTF + IDF. No vocab fit —
+    scales to any corpus without a driver-side dictionary."""
+    tf = HashingTF(inputCol=tokens_col, outputCol='__tf',
+                   numFeatures=num_features)
+    tfd = tf.transform(df)
+    idf = IDF(inputCol='__tf', outputCol=out_col).fit(tfd)
+    return idf.transform(tfd).drop('__tf')
+
+
+def count_vector_features(df: DataFrame, tokens_col: str = 'tokens',
+                          out_col: str = 'features',
+                          cfg: EngineConfig = DEFAULT_CONFIG):
+    """Reference-semantics featurization: CountVectorizer(vocabSize=
+    1000) (category_manager.py:36-40). Returns (df, model) — the model
+    carries the vocabulary for topic naming."""
+    cv = CountVectorizer(inputCol=tokens_col, outputCol=out_col,
+                         vocabSize=cfg.vocab_size)
+    model = cv.fit(df)
+    return model.transform(df), model
+
+
+def topic_name(top_terms: list[str], topic_id: int) -> str:
+    """reference _get_lda_topic_name (category_manager.py:222-260):
+    filter top-10 terms by len>=3 / not stopword / not meaningless /
+    not digit; take 8; name '<Type>: t1, …, t5'."""
+    meaningful = [t for t in top_terms
+                  if len(t) >= 3 and t.lower() not in STOP_WORDS
+                  and t.lower() not in MEANINGLESS_WORDS and not t.isdigit()]
+    selected = meaningful[:8]
+    if not selected:
+        return f"Topic {topic_id + 1}"
+    ttype = determine_topic_type(selected)
+    head = selected[:5] if len(selected) >= 3 else selected
+    return f"{ttype}: {', '.join(head)}"
+
+
+def determine_topic_type(terms: list[str]) -> str:
+    """reference _determine_topic_type (category_manager.py:266-296):
+    count terms containing any domain keyword; argmax (dict order —
+    first-inserted wins ties via max()), else 'Document'."""
+    terms_lower = [t.lower() for t in terms]
+    scores = {
+        ttype: sum(1 for term in terms_lower
+                   if any(kw in term for kw in kws))
+        for ttype, kws in TOPIC_KEYWORDS.items()
+    }
+    best = max(scores, key=scores.get)
+    return best if scores[best] > 0 else "Document"
+
+
+def fit_lda_categories(df: DataFrame,
+                       text_col: str = 'preprocessed_text',
+                       cfg: EngineConfig = DEFAULT_CONFIG,
+                       max_iter: int | None = None,
+                       doc_count: int | None = None) -> DataFrame:
+    """Full categorization stage. Cold start (<5 docs,
+    category_manager.py:64-75): per-doc simple 'Topic: w1, w2, w3'
+    categories (A1). Otherwise CountVectorizer + LDA(k=8, seed=42) →
+    per-doc top-3 topics over the 0.1 threshold."""
+    doc_count = doc_count if doc_count is not None else df.count()
+    if doc_count < cfg.min_docs_for_model:
+        return with_simple_categories(df, text_col)
+
+    toks = with_tokens(df, text_col)
+    feats, cv_model = count_vector_features(toks)
+    lda = LDA(k=cfg.lda_topics, seed=cfg.lda_seed,
+              maxIter=max_iter if max_iter is not None else cfg.lda_max_iter,
+              featuresCol='features')
+    model = lda.fit(feats)
+
+    # topic names from describeTopics (driver-side — k×10 terms, tiny)
+    vocab = cv_model.vocabulary
+    topics = model.describeTopics(10).collect()  # argsort top-10, :231
+    names = {int(r['topic']): topic_name([vocab[i] for i in r['termIndices']],
+                                         int(r['topic']))
+             for r in topics}
+    names_arr = F.array(*[F.lit(names[i]) for i in range(cfg.lda_topics)])
+
+    scored = model.transform(feats)
+    # vector → array for native top-3-over-threshold selection
+    from pyspark.ml.functions import vector_to_array
+    dist = vector_to_array(F.col('topicDistribution'))
+    pairs = F.filter(
+        F.zip_with(dist, F.sequence(F.lit(0), F.lit(cfg.lda_topics - 1)),
+                   lambda p, i: F.struct(p.alias('p'), i.alias('i'))),
+        lambda s: s['p'] > cfg.topic_prob_threshold)
+    # sort (prob desc, topic-id asc) — matches the reference's stable
+    # descending sort (:168, Python sort stability)
+    sorted_pairs = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a['p'] > b['p'], F.lit(-1))
+                      .when(a['p'] < b['p'], F.lit(1))
+                      .when(a['i'] < b['i'], F.lit(-1))
+                      .when(a['i'] > b['i'], F.lit(1))
+                      .otherwise(F.lit(0)))
+    top3 = F.slice(sorted_pairs, 1, cfg.max_categories_per_doc)
+    cats = F.transform(top3, lambda s: F.element_at(names_arr, s['i'].cast('int') + 1))
+    out = scored.withColumn(
+        'categories',
+        F.when(F.size(cats) > 0, cats).otherwise(F.array(F.lit('Uncategorized'))))
+    return out.drop('features', 'topicDistribution', 'tokens', '__tf')
+
+
+def with_simple_categories(df: DataFrame,
+                           text_col: str = 'preprocessed_text') -> DataFrame:
+    """A1 cold-start path, fully native: top-3 words of len>=4 by
+    count, ties by first occurrence (Counter semantics) — expressed as
+    (-count, first_pos) sort over per-doc word aggregates."""
+    words = F.filter(F.split(F.col(text_col), ' '), lambda w: F.length(w) >= 4)
+    # struct sort: (-count, first_index) ascending == most_common order
+    counted = F.transform(
+        F.array_distinct(words),
+        lambda w: F.struct(
+            (-F.size(F.filter(words, lambda x: x == w))).alias('negc'),
+            F.array_position(words, w).alias('pos'),
+            w.alias('w')))
+    top = F.slice(F.array_sort(counted), 1, 3)
+    name = F.concat(F.lit('Topic: '),
+                    F.concat_ws(', ', F.transform(top, lambda s: s['w'])))
+    return df.withColumn(
+        'categories',
+        F.when(F.size(words) > 0, F.array(name))
+        .otherwise(F.array(F.lit('Uncategorized'))))
+
+
+def fit_kmeans_categories(df: DataFrame, k: int,
+                          text_col: str = 'preprocessed_text',
+                          cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The *intended* semantics of POST /recategorize-with-clusters
+    (the reference endpoint is dead code — AttributeErrors,
+    categories.py:129-145; SURVEY.md §3.3): KMeans(k, seed=42) over the
+    same term matrix, one cluster per doc."""
+    k = max(2, min(20, k))
+    toks = with_tokens(df, text_col)
+    feats, cv_model = count_vector_features(toks)
+    km = KMeans(k=k, seed=cfg.lda_seed, featuresCol='features')
+    model = km.fit(feats)
+    pred = model.transform(feats)
+    # name clusters from their center's top terms
+    vocab = cv_model.vocabulary
+    names = {}
+    for cid, center in enumerate(model.clusterCenters()):
+        top_idx = center.argsort()[-10:][::-1]
+        names[cid] = topic_name([vocab[i] for i in top_idx if i < len(vocab)], cid)
+    names_arr = F.array(*[F.lit(names[i]) for i in range(k)])
+    return (pred.withColumn(
+        'categories',
+        F.array(F.element_at(names_arr, F.col('prediction') + 1)))
+        .drop('features', 'tokens', 'prediction'))

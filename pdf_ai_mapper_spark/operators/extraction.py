@@ -1,0 +1,109 @@
+"""Extraction + preprocessing Spark operators (S2-S6, T1-T10).
+
+Plan shape, chosen deliberately (SURVEY.md §4.3):
+
+1. ``with_doctype`` is native Catalyst (magic-byte ``substring`` on the
+   binary column) → stays inside whole-stage codegen, usable for
+   partition routing and pruning *without* touching Python.
+2. ``extract_text_udf`` / ``preprocess_udf`` are Arrow-batched
+   iterator pandas UDFs: one Python worker round-trip per batch, not
+   per row; the iterator form amortizes per-task setup (the reference
+   kernel imports) across all batches of a partition.
+3. ``extracted`` drops the payload column immediately after extraction
+   so downstream stages never shuffle multi-KB binaries.
+
+The per-file timeout of the reference (pdf 120 s, image 30 s —
+``pdf_extractor.py:62-73``) becomes a cooperative per-row budget inside
+the batch loop; rows over budget yield the reference's timeout error
+string instead of killing the task.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..config import DEFAULT_CONFIG
+from ..kernels.extract import extract_text
+from ..kernels.preprocess import preprocess_text
+
+_PDF_MAGIC = b'%PDF-'
+_PNG_MAGIC = b'\x89PNG\r\n\x1a\n'
+
+
+def doctype_col(html: Column) -> Column:
+    """Magic-byte doctype sniff as a native Catalyst expression
+    (replaces the extension dispatch of extractor_factory.py:25-32)."""
+    return (
+        F.when(F.substring(html, 1, 5) == F.lit(_PDF_MAGIC), F.lit('pdf'))
+        .when(F.substring(html, 1, 8) == F.lit(_PNG_MAGIC), F.lit('image'))
+        .otherwise(F.lit('html'))
+    )
+
+
+def with_doctype(df: DataFrame, payload_col: str = 'html') -> DataFrame:
+    return df.withColumn('doctype', doctype_col(F.col(payload_col)))
+
+
+@pandas_udf(StringType())
+def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """payload bytes → extracted text (S2-S6 unified kernel), with a
+    cooperative per-row time budget standing in for the reference's
+    timeout threads."""
+    cfg = DEFAULT_CONFIG
+    budget = cfg.pdf_timeout_s
+    for payloads in batches:
+        out = []
+        for data in payloads:
+            t0 = time.monotonic()
+            text = extract_text(data, cfg)
+            if time.monotonic() - t0 > budget:
+                # reference pdf_extractor.py:68-73: partial text if any,
+                # else the timeout error string
+                if not text or text.startswith('Error'):
+                    text = (f"Error: PDF extraction timed out after "
+                            f"{int(budget)} seconds. The file may be too "
+                            f"large or complex.")
+            out.append(text)
+        yield pd.Series(out, dtype='object')
+
+
+@pandas_udf(StringType())
+def preprocess_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """T1-T10 preprocess chain, byte-identical to the reference's
+    deterministic path (text_preprocessor.py:95-177)."""
+    for texts in batches:
+        yield pd.Series([preprocess_text(t) if t is not None else None
+                         for t in texts], dtype='object')
+
+
+def extracted(df: DataFrame,
+              payload_col: str = 'html',
+              keep_payload: bool = False,
+              partitions: int | None = None) -> DataFrame:
+    """Input table → + doctype, extracted_text, preprocessed_text,
+    content_hash. Repartitions by url hash before the UDF stages so
+    work spreads uniformly regardless of input file layout (hot hosts
+    are naturally split: the key is the full url, not the host —
+    SURVEY.md §4.3)."""
+    out = with_doctype(df, payload_col)
+    if partitions:
+        out = out.repartition(partitions, F.pmod(F.xxhash64('url'), F.lit(partitions)))
+    out = (
+        out
+        .withColumn('content_hash', F.md5(F.col(payload_col)))  # D1: F.md5 == hashlib.md5 hex
+        .withColumn('extracted_text', extract_text_udf(F.col(payload_col)))
+        .withColumn('preprocessed_text', preprocess_udf(F.col('extracted_text')))
+        .withColumn('is_error',
+                    F.col('extracted_text').startswith('Error'))  # F3
+        .withColumn('processed_at', F.current_timestamp())
+    )
+    if not keep_payload:
+        out = out.drop(payload_col)  # prune the binary before any shuffle
+    return out

@@ -1,0 +1,122 @@
+"""Search operators (F4-F8, W1-W3, J2-J3) — the reference's query path
+(``search_engine.py:39-145``) as one lazy DataFrame program.
+
+Stage order is hand-pinned (Catalyst cannot reorder around opaque
+UDFs — SURVEY.md §4.1): category filter → dedup rank → relevance UDF →
+score>0 filter → snippet UDF (only on surviving rows) → top-k.
+``orderBy(desc).limit(k)`` plans as TakeOrderedAndProject — true
+distributed top-k, no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType
+
+from ..config import DEFAULT_CONFIG
+from ..kernels.query import is_valid_query, preprocess_query
+from ..kernels.relevance import generate_snippet, relevance_score
+from .dedup import with_dup_rank
+
+
+def _relevance_udf(tokens: list[str]):
+    """Relevance (W1) as an Arrow pandas UDF; tokens are captured in the
+    closure (tiny — a handful of strings), shipped once per task."""
+    toks = list(tokens)
+
+    @pandas_udf(LongType())
+    def rel(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series([relevance_score(toks, t or '') for t in texts],
+                            dtype='int64')
+    return rel
+
+
+def _snippet_udf(tokens: list[str], length: int, stride: int):
+    toks = list(tokens)
+
+    @pandas_udf(StringType())
+    def snip(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series([generate_snippet(toks, t or '', length, stride)
+                             for t in texts], dtype='object')
+    return snip
+
+
+def category_filter(df: DataFrame, categories: list[str] | None,
+                    cat_col: str = 'categories') -> DataFrame:
+    """F4: keep rows whose category array overlaps the wanted list —
+    native arrays_overlap, no explode, no shuffle
+    (reference filter_manager.py:25-34)."""
+    if not categories:
+        return df
+    return df.filter(F.arrays_overlap(F.col(cat_col),
+                                      F.lit([c for c in categories])))
+
+
+def structured_category_filter(df: DataFrame, cats_dim: DataFrame,
+                               category_types: list[str] | None = None,
+                               keywords: list[str] | None = None,
+                               cat_col: str = 'categories') -> DataFrame:
+    """F5/J3: resolve type/keyword filters against the (tiny) structured
+    category dimension, then semi-join — the dimension side is
+    broadcast (reference filter_manager.py:52-68)."""
+    dim = cats_dim
+    conds = []
+    if category_types:
+        conds.append(F.col('type').isin(category_types))
+    if keywords:
+        conds.append(F.arrays_overlap(F.col('keywords'),
+                                      F.lit([k for k in keywords])))
+    if not conds:
+        return df
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    wanted = dim.filter(cond).select(F.col('display_name').alias('__cat'))
+    exploded = df.withColumn('__cat', F.explode(F.col(cat_col)))
+    hit = (exploded.join(F.broadcast(wanted), on='__cat', how='left_semi')
+           .drop('__cat').dropDuplicates(['url']) if 'url' in df.columns else
+           exploded.join(F.broadcast(wanted), on='__cat', how='left_semi').drop('__cat').distinct())
+    return hit
+
+
+def search(df: DataFrame, query: str,
+           categories: list[str] | None = None,
+           text_col: str = 'extracted_text',
+           k: int | None = None,
+           dedup: bool = True,
+           cfg=DEFAULT_CONFIG) -> DataFrame:
+    """Full search pipeline (reference search_engine.py:39-84):
+    driver-side query stem → filters → dedup → score → snippet → top-k.
+    Returns (url, categories?, score, snippet) ordered by score desc."""
+    k = k or cfg.max_results
+    tokens = preprocess_query(query)
+    if not is_valid_query(tokens):  # F7 early exit (driver-side)
+        return df.sparkSession.createDataFrame(
+            [], 'url string, score long, snippet string')
+
+    out = df
+    if categories and 'categories' in df.columns:
+        out = category_filter(out, categories)
+    if dedup and 'content_hash' in df.columns:
+        out = (with_dup_rank(out)
+               .filter(F.col('content_hash').isNull() | (F.col('dup_rank') == 1))
+               .drop('dup_rank'))
+
+    rel = _relevance_udf(tokens)
+    out = out.withColumn('score', rel(F.col(text_col)))
+    out = out.filter(F.col('score') > 0)  # F6 — before the snippet UDF
+
+    snip = _snippet_udf(tokens, cfg.snippet_length, cfg.snippet_stride)
+    out = out.withColumn('snippet', snip(F.col(text_col)))
+
+    keep = [c for c in ('url', 'categories') if c in out.columns]
+    return (out.select(*keep, 'score', 'snippet')
+            .orderBy(F.desc('score'), *( [F.asc('url')] if 'url' in keep else [] ))
+            .limit(k))  # W3 → TakeOrderedAndProject

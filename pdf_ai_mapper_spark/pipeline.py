@@ -1,0 +1,106 @@
+"""End-to-end extraction pipeline with checkpoint/resume (SURVEY.md §3.1).
+
+Stages (one batch job — the Spark re-expression of the reference's
+upload→extract→preprocess→dedup loop):
+
+    scan input → bucket = pmod(xxhash64(url), B)
+               → drop already-committed buckets (resume)
+               → repartition by url hash (uniform work distribution;
+                 hot hosts split naturally because the key is the url)
+               → extract_text UDF → preprocess UDF → md5 → dedup rank
+               → write parquet partitioned by bucket
+                 (dynamic partition overwrite → atomic per-bucket
+                  commits, crash-safe resume)
+               → append per-bucket lineage counters to _checkpoints
+
+Cited reference behavior: anti-join dedup replaces
+``document_storage.py:86-103``; batched commit replaces the
+pending-save flag ``document_storage.py:59-74``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import checkpoint as cp
+from .config import DEFAULT_CONFIG, EngineConfig
+from .operators.dedup import anti_join_committed, with_dup_rank
+from .operators.extraction import extracted
+
+OUTPUT_COLUMNS = ['url', 'warc_ts', 'lang', 'doctype', 'content_hash',
+                  'extracted_text', 'preprocessed_text', 'is_error',
+                  'is_duplicate', 'run_id', 'processed_at', 'bucket']
+
+
+def transform(input_df: DataFrame, run_id: str,
+              cfg: EngineConfig = DEFAULT_CONFIG,
+              partitions: int | None = None) -> DataFrame:
+    """The pure (no-IO) pipeline body: input web_pages → output rows."""
+    out = input_df.withColumn(
+        'bucket', F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int'))
+    out = extracted(out, payload_col='html',
+                    partitions=partitions or cfg.shuffle_partitions)
+    out = with_dup_rank(out)
+    out = out.withColumn('is_duplicate', F.col('dup_rank') > 1).drop('dup_rank')
+    out = out.withColumn('run_id', F.lit(run_id))
+    if 'text' in input_df.columns:  # fixture ground truth rides along in tests
+        return out.select(*OUTPUT_COLUMNS, 'text')
+    return out.select(*OUTPUT_COLUMNS)
+
+
+def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
+                   cfg: EngineConfig = DEFAULT_CONFIG,
+                   run_id: str | None = None,
+                   dedup_against_output: bool = False) -> dict:
+    """Execute (or resume) an extraction run. Returns run stats."""
+    run_id = run_id or cp.new_run_id()
+    bucket = F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int')
+
+    done = cp.committed_buckets(spark, output_path)
+    todo_df = input_df
+    if done:
+        todo_df = todo_df.filter(~bucket.isin(sorted(done)))
+
+    if dedup_against_output and done:
+        committed = cp.read_output(spark, output_path)
+        todo_df = anti_join_committed(todo_df, committed)
+
+    # cheap native pass for per-bucket input counters (url column only —
+    # the parquet scan prunes the payload)
+    rows_in = {r['bucket']: r['n'] for r in
+               todo_df.select(bucket.alias('bucket'))
+               .groupBy('bucket').agg(F.count('*').alias('n')).collect()}
+    if not rows_in:
+        return {'run_id': run_id, 'buckets': 0, 'rows_in': 0, 'rows_out': 0,
+                'error_rows': 0, 'resumed_skipped_buckets': len(done)}
+
+    result = transform(todo_df, run_id, cfg)
+    (result.write
+     .partitionBy('bucket')
+     .option('partitionOverwriteMode', 'dynamic')
+     .mode('overwrite')
+     .parquet(cp.data_path(output_path)))
+
+    # lineage counters from the written files (cheap columnar re-scan,
+    # no UDF re-execution)
+    written = (spark.read.parquet(cp.data_path(output_path))
+               .filter(F.col('run_id') == run_id)
+               .groupBy('bucket')
+               .agg(F.count('*').alias('rows_out'),
+                    F.sum(F.col('is_error').cast('long')).alias('error_rows'))
+               .collect())
+    entries = [{'run_id': run_id, 'bucket': int(r['bucket']),
+                'rows_in': int(rows_in.get(r['bucket'], 0)),
+                'rows_out': int(r['rows_out']),
+                'error_rows': int(r['error_rows'])} for r in written]
+    cp.append_checkpoints(spark, output_path, entries)
+
+    return {
+        'run_id': run_id,
+        'buckets': len(entries),
+        'rows_in': sum(e['rows_in'] for e in entries),
+        'rows_out': sum(e['rows_out'] for e in entries),
+        'error_rows': sum(e['error_rows'] for e in entries),
+        'resumed_skipped_buckets': len(done),
+    }
