@@ -59,10 +59,22 @@ def count_vector_features(df: DataFrame, tokens_col: str = 'tokens',
                           cfg: EngineConfig = DEFAULT_CONFIG):
     """Reference-semantics featurization: CountVectorizer(vocabSize=
     1000) (category_manager.py:36-40). Returns (df, model) — the model
-    carries the vocabulary for topic naming."""
-    cv = CountVectorizer(inputCol=tokens_col, outputCol=out_col,
-                         vocabSize=cfg.vocab_size)
-    model = cv.fit(df)
+    carries the vocabulary for topic naming.
+
+    The vocabulary is built explicitly with a pinned total order
+    (document frequency desc, term asc) instead of ``CountVectorizer
+    .fit``, whose frequency ties break nondeterministically across
+    refits — that tie-break leaks into topic assignments and violates
+    the determinism contract (SURVEY.md §7.4). The top-k job plans as
+    TakeOrdered (no full sort) and scales like any word-count."""
+    vocab_rows = (df.select(F.explode(F.array_distinct(F.col(tokens_col))).alias('t'))
+                  .groupBy('t').agg(F.count('*').alias('df_'))
+                  .orderBy(F.desc('df_'), F.asc('t'))
+                  .limit(cfg.vocab_size)
+                  .collect())
+    vocab = [r['t'] for r in vocab_rows]
+    model = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol=tokens_col, outputCol=out_col)
     return model.transform(df), model
 
 

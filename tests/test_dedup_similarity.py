@@ -1,0 +1,115 @@
+"""Dedup family + similarity operators on Spark, checked against
+driver-side brute force on small corpora."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark.operators.dedup import (dedup_exact,
+                                                 minhash_lsh_pairs,
+                                                 ngram_jaccard_pairs,
+                                                 simhash_near_pairs,
+                                                 with_shingles)
+from pdf_ai_mapper_spark.operators.similarity import (brute_force_topk,
+                                                      cosine_sim,
+                                                      pairwise_cosine_dups)
+
+
+def _corpus(spark):
+    rows = [
+        (0, 'the quick brown fox jumps over the lazy dog near the river bank'),
+        (1, 'the quick brown fox jumps over the lazy dog near the river bend'),  # near-dup of 0
+        (2, 'completely different text about spark dataframes and shuffles'),
+        (3, 'the quick brown fox jumps over the lazy dog near the river bank'),  # exact dup of 0
+        (4, 'spark dataframes and shuffles are completely different topics'),    # shares words w/ 2
+        (5, 'unrelated short doc'),
+    ]
+    return spark.createDataFrame(rows, 'id long, body string')
+
+
+def test_exact_dedup_first_seen(spark):
+    df = (_corpus(spark)
+          .withColumn('content_hash', F.md5(F.encode('body', 'UTF-8')))
+          .withColumn('warc_ts', F.to_timestamp(F.lit('2025-01-01')))
+          .withColumn('url', F.concat(F.lit('u'), F.col('id'))))
+    kept = sorted(r['id'] for r in dedup_exact(df).select('id').collect())
+    assert kept == [0, 1, 2, 4, 5]  # 3 dropped (same hash as 0, later url)
+
+
+def _py_shingles(text, k=3):
+    toks = text.lower().split()
+    return {' '.join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_shingles_match_python(spark):
+    df = with_shingles(_corpus(spark), 'body', k=3)
+    for r in df.collect():
+        body = _corpus(spark).filter(F.col('id') == r['id']).collect()[0]['body']
+        assert set(r['shingles']) == _py_shingles(body)
+
+
+def test_ngram_jaccard_matches_brute_force(spark):
+    got = {(r['id_a'], r['id_b']): r['jaccard']
+           for r in ngram_jaccard_pairs(_corpus(spark), 'id', 'body',
+                                        k=3, threshold=0.3).collect()}
+    rows = {r['id']: r['body'] for r in _corpus(spark).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        sa, sb = _py_shingles(rows[a]), _py_shingles(rows[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k_ in got:
+        assert abs(got[k_] - want[k_]) < 1e-9
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(spark):
+    pairs = {(r['id_a'], r['id_b'])
+             for r in minhash_lsh_pairs(_corpus(spark), 'id', 'body',
+                                        num_hashes=64, bands=16,
+                                        jaccard_threshold=0.4).collect()}
+    assert (0, 3) in pairs          # exact dup: jaccard_est = 1.0
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup pair found
+    assert (0, 5) not in pairs and (2, 5) not in pairs
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    pairs = {(r['id_a'], r['id_b']): r['hamming']
+             for r in simhash_near_pairs(_corpus(spark), 'id', 'body',
+                                         max_hamming=10).collect()}
+    assert pairs.get((0, 3)) == 0   # identical text → identical simhash
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+    vecs = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    q = vecs.filter(F.col('vec_id') == 0).collect()[0]['embedding']
+    got = brute_force_topk(vecs, list(q), k=5).collect()
+    pdf = vecs.toPandas()
+    qv = np.array(q, dtype='float64')
+    sims = pdf['embedding'].map(
+        lambda v: float(np.dot(np.array(v, dtype='float64'), qv)
+                        / (np.linalg.norm(v) * np.linalg.norm(qv))))
+    pdf = pdf.assign(sim=sims.round(6)).sort_values(
+        ['sim', 'vec_id'], ascending=[False, True])
+    want = list(pdf['vec_id'].head(5))
+    assert [r['vec_id'] for r in got] == want
+    assert got[0]['vec_id'] == 0 and abs(got[0]['cos_sim'] - 1.0) < 1e-6
+
+
+def test_pairwise_cosine_dups_self_consistency(spark):
+    """Duplicated vectors land in the same LSH bucket and are found."""
+    vecs = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet').limit(50)
+    dup = vecs.withColumn('vec_id', F.col('vec_id') + 1000)
+    both = vecs.unionByName(dup)
+    pairs = {(r['id_a'], r['id_b'])
+             for r in pairwise_cosine_dups(both, threshold=0.999).collect()}
+    for r in vecs.collect():
+        assert (r['vec_id'], r['vec_id'] + 1000) in pairs

@@ -1,0 +1,68 @@
+"""Checkpoint/resume semantics of run_extraction (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark import checkpoint as cp
+from pdf_ai_mapper_spark.config import EngineConfig
+from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+from pdf_ai_mapper_spark.pipeline import run_extraction
+
+CFG = EngineConfig(shuffle_partitions=8, output_buckets=8)
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix='pam_test_out_')
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_run_then_resume_is_idempotent(spark, outdir):
+    pages = web_pages_df(spark, 120, num_partitions=4)
+    s1 = run_extraction(spark, pages, outdir, CFG)
+    assert s1['rows_in'] == 120 and s1['rows_out'] == 120
+    assert s1['buckets'] == CFG.output_buckets
+
+    n1 = cp.read_output(spark, outdir).count()
+    s2 = run_extraction(spark, pages, outdir, CFG)
+    assert s2['rows_out'] == 0 and s2['buckets'] == 0
+    assert s2['resumed_skipped_buckets'] == CFG.output_buckets
+    assert cp.read_output(spark, outdir).count() == n1
+
+
+def test_partial_run_resumes_remaining_buckets(spark, outdir):
+    """Simulate a crash after some buckets committed: drop half the
+    checkpoint entries, rerun, and expect exactly the missing buckets
+    to be (re)processed with no duplicated output rows."""
+    pages = web_pages_df(spark, 120, num_partitions=4)
+    run_extraction(spark, pages, outdir, CFG)
+
+    # forge a partial checkpoint table: keep only buckets < 4
+    cps = spark.read.parquet(cp.checkpoint_path(outdir))
+    kept = cps.filter(F.col('bucket') < 4)
+    kept_pd = kept.toPandas()
+    shutil.rmtree(cp.checkpoint_path(outdir))
+    spark.createDataFrame(kept_pd).write.parquet(cp.checkpoint_path(outdir))
+
+    s = run_extraction(spark, pages, outdir, CFG)
+    assert s['resumed_skipped_buckets'] == 4
+    assert s['buckets'] == CFG.output_buckets - 4
+
+    out = cp.read_output(spark, outdir)
+    assert out.count() == 120                        # no dup rows
+    assert out.select('url').distinct().count() == 120
+
+
+def test_lineage_counters_sum_to_input(spark, outdir):
+    pages = web_pages_df(spark, 90, num_partitions=4)
+    run_extraction(spark, pages, outdir, CFG)
+    cps = spark.read.parquet(cp.checkpoint_path(outdir))
+    agg = cps.agg(F.sum('rows_in').alias('i'), F.sum('rows_out').alias('o'),
+                  F.sum('error_rows').alias('e')).collect()[0]
+    assert agg['i'] == 90 and agg['o'] == 90 and agg['e'] == 0
