@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline on web pages
+synthesized (deterministically, executor-side) from the sf0.001
+documents table. ``queries``/``oracle_sql`` expose the operator catalog
+of SURVEY.md §2 plus the training-data-pipeline operators; the driver
+compares each against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +13,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = '/root/testdata/sf0.001'
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (doctype sniff → HTML
+    boilerplate strip → preprocess → md5 → dedup rank) over web pages
+    built from sf0.001 documents; per-url byte-identity surfaced as a
+    column."""
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    from pdf_ai_mapper_spark.queries import q_extraction_pipeline
+    return q_extraction_pipeline(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from pdf_ai_mapper_spark.queries import catalog
+    return catalog()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_ai_mapper_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -296,3 +296,42 @@ def web_pages_df(spark, n_rows: int, num_partitions: int | None = None):
 
     return (spark.range(0, n_rows, 1, parts)
             .mapInPandas(gen, schema=WEB_PAGES_SCHEMA))
+
+
+def web_pages_from_documents(spark, sf_dir: str):
+    """Wrap the driver's ``documents`` table into north-rule-shaped
+    web_pages rows: each document's text becomes the <article> of a
+    boilerplate-wrapped HTML page (deterministically, executor-side).
+    Ground truth = whitespace-normalized text, so the extraction
+    byte-identity oracle applies to driver data too."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf['doc_id'], pdf['text'], pdf['lang']):
+                i = int(doc_id)
+                truth = ' '.join((text or '').split())
+                page = (
+                    '<!DOCTYPE html><html><head><title>doc</title>'
+                    f'<script>var x={i};</script></head><body>'
+                    f'<header><nav><ul>{_nav_links(i)}</ul></nav></header>'
+                    f'<article><p>{_html.escape(truth)}</p></article>'
+                    '<footer><p>Copyright Example Site. '
+                    '<a href="/terms">Terms of service</a> '
+                    '<a href="/privacy">Privacy policy</a> '
+                    '<a href="/contact">Contact us now</a></p></footer>'
+                    '</body></html>'
+                )
+                rows.append({
+                    'url': url_of(i),
+                    'warc_ts': warc_ts_of(i),
+                    'html': page.encode('utf-8'),
+                    'text': truth,
+                    'lang': lang,
+                })
+            yield pd.DataFrame(rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
+
+    return docs.select('doc_id', 'text', 'lang').mapInPandas(
+        gen, schema=WEB_PAGES_SCHEMA)

@@ -83,7 +83,7 @@ def with_token_counts(df: DataFrame, text_col: str = 'text') -> DataFrame:
     return (df
             .withColumn('ws_tokens', F.size(F.split(F.trim(t), r'\s+')))
             .withColumn('bpe_ish_tokens',
-                        F.regexp_count(t, r'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')))
+                        F.regexp_count(t, F.lit(r'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:

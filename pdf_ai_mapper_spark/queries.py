@@ -1,0 +1,594 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable plus, where SQL-expressible, an
+exact ANSI-SQL oracle for DuckDB over the same parquet tables.
+
+Conventions (the driver hashes values after sorting columns by name):
+- every computed column is aliased identically on both sides;
+- aggregate ints are cast to bigint on both sides (DuckDB SUM(int)
+  returns HUGEINT otherwise);
+- doubles are rounded to 6 decimals on both sides;
+- every query has a deterministic total order *of values* (the hash is
+  order-insensitive, but ties inside top-k/limit must be broken
+  deterministically or the *set* itself differs).
+
+Keys are prefixed with the SURVEY.md §2 operator ids they cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernels.stopwords import sorted_stopwords
+from .operators import textstats
+from .operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+from .operators.similarity import brute_force_topk, cosine_sim, _as_double
+
+_STOPS = sorted_stopwords()
+_STOPS_SQL = ', '.join(f"'{w}'" for w in _STOPS)
+
+# language-ID marker table (operators/textstats.py) — SQL mirror built
+# from the same pinned dict
+_MARKERS = textstats.LANG_MARKERS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f'{sf_dir}/{name}.parquet')
+
+
+def _count_token_sql(word: str) -> str:
+    return (f"(len(string_split_regex(' ' || lower(text) || ' ', "
+            f"'[^a-z]{word}[^a-z]')) - 1)")
+
+
+# =====================================================================
+# queries — each fn(spark, sf_dir) -> DataFrame
+# =====================================================================
+
+def q_t2_t5_normalize(spark, sf_dir):
+    """T2-T5 native regex-normalization chain (text_preprocessor.py:
+    106-119) over documents; returns per-doc normalized text."""
+    t = F.col('text')
+    norm = F.lower(t)
+    norm = F.regexp_replace(norm, r'[^\w\s-]', ' ')
+    norm = F.regexp_replace(norm, r'\d+', ' ')
+    norm = F.trim(F.regexp_replace(norm, r'\s+', ' '))
+    return (_t(spark, sf_dir, 'documents')
+            .select('doc_id', norm.alias('norm_text'))
+            .orderBy('doc_id'))
+
+
+def q_t7_meaningful_tokens(spark, sf_dir):
+    """T7/T8 token filter: per-doc count of tokens with len>=3, not in
+    the frozen stopword set, not all-digits (text_preprocessor.py:
+    132-139)."""
+    toks = F.split(F.col('text'), ' ')
+    keep = F.filter(toks, lambda x: (F.length(x) >= 3)
+                    & ~x.isin(_STOPS)
+                    & ~x.rlike('^[0-9]+$'))
+    return (_t(spark, sf_dir, 'documents')
+            .select('doc_id', F.size(keep).cast('long').alias('n_meaningful'))
+            .orderBy('doc_id'))
+
+
+def q_d1_content_hash(spark, sf_dir):
+    """D1 md5 content hash (document_storage.py:76-84) + corpus dup
+    stats."""
+    d = _t(spark, sf_dir, 'documents').withColumn(
+        'h', F.md5(F.encode(F.col('text'), 'UTF-8')))
+    return d.agg(F.count('*').cast('long').alias('n_rows'),
+                 F.countDistinct('h').cast('long').alias('n_distinct_hashes'))
+
+
+def q_d2_dedup_first_seen(spark, sf_dir):
+    """D2 first-seen-wins dedup window (filter_manager.py:70-97):
+    survivors per lang after rank-1 on md5(text) ordered by doc_id."""
+    d = _t(spark, sf_dir, 'documents').withColumn(
+        'h', F.md5(F.encode(F.col('text'), 'UTF-8')))
+    w = Window.partitionBy('h').orderBy('doc_id')
+    return (d.withColumn('rn', F.row_number().over(w))
+            .filter(F.col('rn') == 1)
+            .groupBy('lang').agg(F.count('*').cast('long').alias('n_survivors'))
+            .orderBy('lang'))
+
+
+def q_w1_relevance_topk(spark, sf_dir):
+    """W1+W3: substring-count relevance for token 'spark'
+    (relevance_calculator.py:30-33) + top-10 (search_engine.py:81-84)."""
+    lower = F.lower(F.col('text'))
+    score = ((F.length(lower) - F.length(F.regexp_replace(lower, 'spark', '')))
+             / F.lit(5)).cast('long')
+    return (_t(spark, sf_dir, 'documents')
+            .select('doc_id', score.alias('score'))
+            .filter(F.col('score') > 0)
+            .orderBy(F.desc('score'), F.asc('doc_id'))
+            .limit(10))
+
+
+def q_w3_topk_events(spark, sf_dir):
+    """W3 top-k: 10 highest-value events."""
+    return (_t(spark, sf_dir, 'events')
+            .select('event_id', 'user_id', 'event_type',
+                    F.round('value', 6).alias('value_r'))
+            .orderBy(F.desc('value_r'), F.asc('event_id'))
+            .limit(10))
+
+
+def q_w5_first_event_per_user(spark, sf_dir):
+    """W5/window: each user's first event by (ts, event_id)."""
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    return (_t(spark, sf_dir, 'events')
+            .withColumn('rn', F.row_number().over(w))
+            .filter(F.col('rn') == 1)
+            .select('user_id', 'event_id', 'event_type')
+            .orderBy('user_id'))
+
+
+def q_f2_lang_filter_counts(spark, sf_dir):
+    """F2-style isin predicate + projection + grouped count."""
+    return (_t(spark, sf_dir, 'documents')
+            .filter(F.col('lang').isin('en', 'de'))
+            .groupBy('lang', 'source')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('lang', 'source'))
+
+
+def q_a1_wordfreq_top3(spark, sf_dir):
+    """A1 per-doc top-3 words of len>=4 (category_manager.py:90-103),
+    tie-broken (count desc, word asc) for SQL expressibility; the
+    Counter first-occurrence variant is covered by kernel tests."""
+    d = _t(spark, sf_dir, 'documents')
+    ex = d.select('doc_id', F.explode(F.split('text', ' ')).alias('w'))
+    ex = ex.filter(F.length('w') >= 4)
+    counts = ex.groupBy('doc_id', 'w').agg(F.count('*').alias('c'))
+    w = Window.partitionBy('doc_id').orderBy(F.desc('c'), F.asc('w'))
+    top = counts.withColumn('rn', F.row_number().over(w)).filter(F.col('rn') <= 3)
+    return (top.groupBy('doc_id')
+            .agg(F.concat_ws(', ', F.array_sort(
+                F.collect_list(F.struct('rn', 'w'))).getField('w'))
+                .alias('top_words'))
+            .orderBy('doc_id'))
+
+
+def q_a3_term_document_frequency(spark, sf_dir):
+    """A3 corpus term stats: top-20 terms by document frequency
+    (len>=3, non-stopword) — the vocabulary builder's exact order
+    (df desc, term asc)."""
+    d = _t(spark, sf_dir, 'documents')
+    toks = F.array_distinct(F.split('text', ' '))
+    ex = d.select(F.explode(toks).alias('t'))
+    ex = ex.filter((F.length('t') >= 3) & ~F.col('t').isin(_STOPS))
+    return (ex.groupBy('t').agg(F.count('*').cast('long').alias('df_count'))
+            .orderBy(F.desc('df_count'), F.asc('t'))
+            .limit(20))
+
+
+def q_a7_distinct_filter_values(spark, sf_dir):
+    """A7 available-filter values: sorted distinct (lang, source)
+    (filter_manager.py:99-125)."""
+    return (_t(spark, sf_dir, 'documents')
+            .select('lang', 'source').distinct()
+            .orderBy('lang', 'source'))
+
+
+def q_a8_corpus_stats(spark, sf_dir):
+    """A8 corpus counts + per-lang char stats."""
+    return (_t(spark, sf_dir, 'documents')
+            .groupBy('lang')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum('n_chars').cast('long').alias('total_chars'),
+                 F.round(F.avg('n_chars'), 6).alias('avg_chars'))
+            .orderBy('lang'))
+
+
+def q_j1_anti_join(spark, sf_dir):
+    """J1 duplicate-lookup as anti-join (document_storage.py:86-103):
+    customers with no orders, counted per market segment."""
+    c = _t(spark, sf_dir, 'customer')
+    o = _t(spark, sf_dir, 'orders')
+    return (c.join(o.select('o_custkey').distinct(),
+                   c.c_custkey == F.col('o_custkey'), 'left_anti')
+            .groupBy('c_mktsegment')
+            .agg(F.count('*').cast('long').alias('n_custs'))
+            .orderBy('c_mktsegment'))
+
+
+def q_j2_broadcast_join(spark, sf_dir):
+    """J2 broadcast hash join (search_engine.py:160-174 analogue):
+    revenue per market segment, dimension side broadcast."""
+    c = _t(spark, sf_dir, 'customer')
+    o = _t(spark, sf_dir, 'orders')
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy('c_mktsegment')
+            .agg(F.round(F.sum('o_totalprice'), 4).alias('revenue'),
+                 F.count('*').cast('long').alias('n_orders'))
+            .orderBy('c_mktsegment'))
+
+
+def q_j3_semi_join(spark, sf_dir):
+    """J3 semi-join expansion (filter_manager.py:56-68 analogue):
+    orders of BUILDING-segment customers, counted by status."""
+    c = _t(spark, sf_dir, 'customer').filter(F.col('c_mktsegment') == 'BUILDING')
+    o = _t(spark, sf_dir, 'orders')
+    return (o.join(F.broadcast(c.select('c_custkey')),
+                   o.o_custkey == F.col('c_custkey'), 'left_semi')
+            .groupBy('o_orderstatus')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('o_orderstatus'))
+
+
+def q_tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation over lineitem (hash agg with map-side
+    combine; the workhorse plan shape for corpus statistics)."""
+    li = _t(spark, sf_dir, 'lineitem')
+    return (li.filter(F.col('l_shipdate') <= F.lit('1998-09-02'))
+            .groupBy('l_returnflag', 'l_linestatus')
+            .agg(F.round(F.sum('l_quantity'), 4).alias('sum_qty'),
+                 F.round(F.sum('l_extendedprice'), 4).alias('sum_base_price'),
+                 F.round(F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))), 4)
+                 .alias('sum_disc_price'),
+                 F.round(F.avg('l_quantity'), 6).alias('avg_qty'),
+                 F.count('*').cast('long').alias('count_order'))
+            .orderBy('l_returnflag', 'l_linestatus'))
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators: doc_ids in lang 'en' INTERSECT source 'src1',
+    plus EXCEPT count — exercised over the documents table."""
+    d = _t(spark, sf_dir, 'documents')
+    en = d.filter(F.col('lang') == 'en').select('doc_id')
+    s1 = d.filter(F.col('source') == 'src1').select('doc_id')
+    inter = en.intersect(s1).count()
+    minus = en.exceptAll(s1).count()
+    union = en.union(s1).distinct().count()
+    return spark.createDataFrame(
+        [(int(inter), int(minus), int(union))],
+        'n_intersect long, n_except long, n_union long')
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (operators/textstats.py): predicted lang
+    per doc from marker-word counts; returns per-(lang, pred) counts."""
+    d = textstats.with_lang_id(_t(spark, sf_dir, 'documents'), 'text')
+    return (d.groupBy('lang', 'lang_pred')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('lang', 'lang_pred'))
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality heuristics aggregated per source."""
+    d = textstats.with_quality(_t(spark, sf_dir, 'documents'), 'text')
+    return (d.groupBy('source')
+            .agg(F.round(F.avg('alpha_ratio'), 6).alias('avg_alpha'),
+                 F.round(F.avg('digit_ratio'), 6).alias('avg_digit'),
+                 F.sum(F.col('quality_ok').cast('long')).cast('long').alias('n_ok'))
+            .orderBy('source'))
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish subword estimate, corpus
+    totals per lang."""
+    d = textstats.with_token_counts(_t(spark, sf_dir, 'documents'), 'text')
+    return (d.groupBy('lang')
+            .agg(F.sum('ws_tokens').cast('long').alias('total_ws_tokens'),
+                 F.sum('bpe_ish_tokens').cast('long').alias('total_bpe_tokens'))
+            .orderBy('lang'))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 + xxhash64 of normalized text;
+    distinct-fingerprint count per lang."""
+    d = textstats.with_fingerprint(_t(spark, sf_dir, 'documents'), 'text')
+    return (d.groupBy('lang')
+            .agg(F.countDistinct('fp_md5').cast('long').alias('n_fp'))
+            .orderBy('lang'))
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    """Embedding similarity: brute-force cosine top-10 vs the vec_id=0
+    query vector (array<float> → double math, rounded)."""
+    vecs = _t(spark, sf_dir, 'embeddings')
+    q = vecs.filter(F.col('vec_id') == 0).select('embedding').collect()[0][0]
+    return brute_force_topk(vecs, [float(x) for x in q], k=10)
+
+
+def q_emb_centroid_per_label(spark, sf_dir):
+    """Per-label centroid norm: aggregate elementwise mean over the
+    embedding array (posexplode + groupBy), rounded."""
+    vecs = _t(spark, sf_dir, 'embeddings')
+    ex = vecs.select('label', F.posexplode('embedding').alias('pos', 'v'))
+    cent = (ex.groupBy('label', 'pos')
+            .agg(F.avg(F.col('v').cast('double')).alias('m')))
+    return (cent.groupBy('label')
+            .agg(F.round(F.sqrt(F.sum(F.col('m') * F.col('m'))), 6)
+                 .alias('centroid_norm'))
+            .orderBy('label'))
+
+
+# ---- non-SQL-expressible (rows-only checks) -------------------------
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents (no SQL oracle —
+    LSH banding; driver records a rows-only check)."""
+    d = _t(spark, sf_dir, 'documents')
+    return (minhash_lsh_pairs(d, 'doc_id', 'text',
+                              num_hashes=64, bands=16, jaccard_threshold=0.8)
+            .orderBy('id_a', 'id_b'))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs over documents (rows-only check)."""
+    d = _t(spark, sf_dir, 'documents')
+    return simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3).orderBy('id_a', 'id_b')
+
+
+def q_extraction_pipeline(spark, sf_dir):
+    """The flagship: full extraction pipeline over web pages synthesized
+    from the documents table; per-url byte-identity asserted as a
+    boolean column (rows-only check — extraction is not SQL)."""
+    from .fixtures.webpages import web_pages_from_documents
+    from .pipeline import transform
+    pages = web_pages_from_documents(spark, sf_dir)
+    out = transform(pages, run_id='driver', partitions=None)
+    return (out.select('url', 'doctype', 'content_hash', 'is_error',
+                       (F.col('extracted_text') == F.col('text')).alias('byte_identical'))
+            .orderBy('url'))
+
+
+# =====================================================================
+# SQL oracles (DuckDB dialect-compatible ANSI SQL)
+# =====================================================================
+
+def _markers_score_sql(lang: str) -> str:
+    return ' + '.join(_count_token_sql(w) for w in _MARKERS[lang])
+
+
+_LANG_ID_CASE = (
+    "CASE "
+    + ' '.join(
+        f"WHEN s_{lang} >= GREATEST({', '.join('s_' + o for o in _MARKERS)}) "
+        f"AND s_{lang} >= 1 THEN '{lang}'"
+        for lang in _MARKERS)
+    + " ELSE 'und' END"
+)
+
+ORACLES: dict[str, str] = {
+    'q_t2_t5_normalize': r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[^\w\s-]', ' ', 'g'),
+                       '\d+', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm_text
+        FROM documents ORDER BY doc_id
+    """,
+    'q_t7_meaningful_tokens': f"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> length(x) >= 3
+                         AND x NOT IN ({_STOPS_SQL})
+                         AND NOT regexp_full_match(x, '[0-9]+')))
+                    AS BIGINT) AS n_meaningful
+        FROM documents ORDER BY doc_id
+    """,
+    'q_d1_content_hash': """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_hashes
+        FROM documents
+    """,
+    'q_d2_dedup_first_seen': """
+        WITH ranked AS (
+            SELECT lang, row_number() OVER (PARTITION BY md5(text)
+                                            ORDER BY doc_id) AS rn
+            FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_survivors
+        FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang
+    """,
+    'q_w1_relevance_topk': """
+        SELECT doc_id,
+               CAST((length(lower(text)) -
+                     length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT)
+                   AS score
+        FROM documents
+        WHERE (length(lower(text)) -
+               length(replace(lower(text), 'spark', ''))) / 5 > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    'q_w3_topk_events': """
+        SELECT event_id, user_id, event_type, round(value, 6) AS value_r
+        FROM events ORDER BY value_r DESC, event_id ASC LIMIT 10
+    """,
+    'q_w5_first_event_per_user': """
+        WITH ranked AS (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+        SELECT user_id, event_id, event_type
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    'q_f2_lang_filter_counts': """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    'q_a1_wordfreq_top3': """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        filtered AS (SELECT doc_id, w FROM words WHERE length(w) >= 4),
+        counts AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM filtered GROUP BY doc_id, w),
+        ranked AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, w ASC) AS rn
+            FROM counts)
+        SELECT doc_id, string_agg(w, ', ' ORDER BY rn) AS top_words
+        FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+    """,
+    'q_a3_term_document_frequency': f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents)
+        SELECT t, CAST(count(*) AS BIGINT) AS df_count
+        FROM toks
+        WHERE length(t) >= 3 AND t NOT IN ({_STOPS_SQL})
+        GROUP BY t ORDER BY df_count DESC, t ASC LIMIT 20
+    """,
+    'q_a7_distinct_filter_values': """
+        SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+    """,
+    'q_a8_corpus_stats': """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    'q_j1_anti_join': """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    'q_j2_broadcast_join': """
+        SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    'q_j3_semi_join': """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    'q_tpch_q1_pricing_summary': """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    'q_set_ops': """
+        SELECT CAST((SELECT count(*) FROM (
+                   SELECT doc_id FROM documents WHERE lang = 'en'
+                   INTERSECT
+                   SELECT doc_id FROM documents WHERE source = 'src1')) AS BIGINT)
+                   AS n_intersect,
+               CAST((SELECT count(*) FROM (
+                   SELECT doc_id FROM documents WHERE lang = 'en'
+                   EXCEPT ALL
+                   SELECT doc_id FROM documents WHERE source = 'src1')) AS BIGINT)
+                   AS n_except,
+               CAST((SELECT count(DISTINCT doc_id) FROM (
+                   SELECT doc_id FROM documents WHERE lang = 'en'
+                   UNION ALL
+                   SELECT doc_id FROM documents WHERE source = 'src1')) AS BIGINT)
+                   AS n_union
+    """,
+    'q_lang_id': (
+        "WITH scored AS (SELECT lang, "
+        + ', '.join(f"{_markers_score_sql(lang)} AS s_{lang}" for lang in _MARKERS)
+        + " FROM documents), pred AS (SELECT lang, " + _LANG_ID_CASE
+        + " AS lang_pred FROM scored) "
+        "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n "
+        "FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
+    ),
+    'q_quality_scores': r"""
+        WITH q AS (
+            SELECT source,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents)
+        SELECT source,
+               round(avg(alpha_ratio), 6) AS avg_alpha,
+               round(avg(digit_ratio), 6) AS avg_digit,
+               CAST(sum(CASE WHEN alpha_ratio > 0.6 AND digit_ratio < 0.2
+                             AND n_tokens >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ok
+        FROM q GROUP BY source ORDER BY source
+    """,
+    'q_token_counts': r"""
+        SELECT lang,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text,
+                   '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+                   AS total_bpe_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    'q_fingerprint': r"""
+        SELECT lang,
+               CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                    AS BIGINT) AS n_fp
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    'q_emb_cosine_topk': """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], q.qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings, q)
+        SELECT vec_id, cos_sim FROM sims
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    'q_emb_centroid_per_label': """
+        WITH ex AS (
+            SELECT label, u.pos AS pos, u.v AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(embedding)::DOUBLE AS v,
+                                 generate_subscripts(embedding, 1) AS pos) u),
+        cent AS (
+            SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos)
+        SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+        FROM cent GROUP BY label ORDER BY label
+    """,
+}
+
+
+def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        'q_t2_t5_normalize': q_t2_t5_normalize,
+        'q_t7_meaningful_tokens': q_t7_meaningful_tokens,
+        'q_d1_content_hash': q_d1_content_hash,
+        'q_d2_dedup_first_seen': q_d2_dedup_first_seen,
+        'q_w1_relevance_topk': q_w1_relevance_topk,
+        'q_w3_topk_events': q_w3_topk_events,
+        'q_w5_first_event_per_user': q_w5_first_event_per_user,
+        'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
+        'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
+        'q_a3_term_document_frequency': q_a3_term_document_frequency,
+        'q_a7_distinct_filter_values': q_a7_distinct_filter_values,
+        'q_a8_corpus_stats': q_a8_corpus_stats,
+        'q_j1_anti_join': q_j1_anti_join,
+        'q_j2_broadcast_join': q_j2_broadcast_join,
+        'q_j3_semi_join': q_j3_semi_join,
+        'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
+        'q_set_ops': q_set_ops,
+        'q_lang_id': q_lang_id,
+        'q_quality_scores': q_quality_scores,
+        'q_token_counts': q_token_counts,
+        'q_fingerprint': q_fingerprint,
+        'q_emb_cosine_topk': q_emb_cosine_topk,
+        'q_emb_centroid_per_label': q_emb_centroid_per_label,
+        # rows-only (no SQL oracle):
+        'q_minhash_near_dups': q_minhash_near_dups,
+        'q_simhash_near_dups': q_simhash_near_dups,
+        'q_extraction_pipeline': q_extraction_pipeline,
+    }
