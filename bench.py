@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric = the north metric (BASELINE.json): documents/sec
+through the full extraction pipeline (doctype sniff → extract UDF →
+preprocess UDF → md5 → dedup window) over a multi-doctype web_pages
+corpus (html/pdf/scanned-pdf/dup/image, 20% hot-host skew) with as many
+rows as the scale factor's documents table. Corpus is materialized to
+parquet untimed; the timed section is scan → pipeline → full
+materialization via a noop sink (no driver collect).
+
+Operator timings cover the catalog's representative shuffles/joins/
+windows/UDF stages at the same scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _consume(df) -> int:
+    """Force full computation without collecting to the driver."""
+    df.write.format('noop').mode('overwrite').save()
+    return 0
+
+
+HEADLINE_QUERIES = [
+    'q_tpch_q1_pricing_summary',
+    'q_j2_broadcast_join',
+    'q_j1_anti_join',
+    'q_d2_dedup_first_seen',
+    'q_w1_relevance_topk',
+    'q_a1_wordfreq_top3',
+    'q_a3_term_document_frequency',
+    'q_lang_id',
+    'q_quality_scores',
+    'q_token_counts',
+    'q_fingerprint',
+    'q_emb_cosine_topk',
+    'q_minhash_near_dups',
+    'q_simhash_near_dups',
+]
+
+
+def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
+    from pdf_ai_mapper_spark.config import EngineConfig
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.pipeline import transform
+    from pdf_ai_mapper_spark.queries import catalog
+    from pdf_ai_mapper_spark.session import get_spark
+
+    cfg = EngineConfig(shuffle_partitions=cpus)
+    spark = keep_spark or get_spark(app_name='pdf-ai-mapper-bench',
+                                    master=f'local[{cpus}]', cfg=cfg)
+
+    n_docs = spark.read.parquet(f'{sf_dir}/documents.parquet').count()
+
+    # ---- warm-up (untimed): run every headline query once at the
+    # smallest scale so JIT/codegen/Python-worker startup doesn't land
+    # in the timed sections — the target regime is a steady-state job,
+    # not a cold JVM ----
+    warm_sf = '/root/testdata/sf0.001'
+    cat_warm = catalog()
+    for name in HEADLINE_QUERIES:
+        try:
+            cat_warm[name](spark, warm_sf).collect()
+        except Exception:
+            pass
+    _consume(transform(web_pages_df(spark, 200, num_partitions=cpus),
+                       run_id='warm', cfg=cfg).drop('text'))
+
+    # ---- extraction corpus (untimed prep) ----
+    tmp = tempfile.mkdtemp(prefix='pam_bench_')
+    corpus_path = os.path.join(tmp, 'web_pages')
+    web_pages_df(spark, n_docs, num_partitions=cpus * 2).write.parquet(corpus_path)
+
+    # ---- timed: the north-metric pipeline (best of 2 — the sandbox
+    # host is shared and wall-clock is noisy; min approximates the
+    # steady-state throughput a dedicated cluster would see) ----
+    pages = spark.read.parquet(corpus_path)
+    extraction_sec = float('inf')
+    for _ in range(2):
+        t0 = time.monotonic()
+        _consume(transform(pages, run_id='bench', cfg=cfg)
+                 .drop('text'))
+        extraction_sec = min(extraction_sec, time.monotonic() - t0)
+
+    timings: dict[str, float] = {'extraction_pipeline': round(extraction_sec, 3)}
+
+    cat = catalog()
+    for name in HEADLINE_QUERIES:
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.monotonic()
+            cat[name](spark, sf_dir).collect()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    result = {
+        'metric': 'headline suite wall-clock (extraction pipeline + operator queries)',
+        'value': total,
+        'unit': 'sec',
+        'queries': timings,
+        'sf': float(sf_dir.rstrip('/').rsplit('sf', 1)[-1]),
+        'cpus': cpus,
+        'extraction_rows': n_docs,
+        'extraction_docs_per_sec': round(n_docs / extraction_sec, 2),
+    }
+    if keep_spark is None:
+        spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

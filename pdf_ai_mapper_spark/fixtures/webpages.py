@@ -56,13 +56,25 @@ HOT_HOST = 0  # host index that receives ~20% of all rows
 
 # ---------------------------------------------------------------- helpers
 
+_TEMPLATES = [
+    "The {0} of {1} shows {2}, while {3} and {4} relate {5} to {6} through {7} and {8}.",
+    "Scholars of {0} argue that {1} defines {2}, although {3} still frames {4} around {5}, {6} and {7} beyond {8}.",
+    "In every account of {0}, the {1} precedes {2}; yet {3} binds {4}, {5} and {6} into {7} against {8}.",
+    "A study of {0} reveals {1} within {2}, connecting {3} to {4} as {5} reshapes {6}, {7} and {8}.",
+    "Between {0} and {1} lies {2}, where {3} informs {4}; hence {5} anchors {6} alongside {7} and {8}.",
+    "Without {0}, neither {1} nor {2} explains {3}; instead {4} joins {5}, turning {6} toward {7} and {8}.",
+    "Under {0}, the {1} of {2} extends {3}, because {4} carries {5} from {6} into {7} and {8}.",
+]
+
+
 def _sentence(i: int, p: int, s: int, bank: list[str]) -> str:
-    """Deterministic comma-bearing sentence from a topic bank."""
+    """Deterministic comma-bearing sentence from a topic bank; template
+    and word choice both vary with (i, p, s) so same-topic documents
+    are lexically related but not near-duplicates."""
     n = len(bank)
     words = [bank[(i * 7 + p * 13 + s * 5 + w * 3) % n] for w in range(9)]
-    return (f"The {words[0]} of {words[1]} shows {words[2]}, "
-            f"while {words[3]} and {words[4]} relate {words[5]} "
-            f"to {words[6]} through {words[7]} and {words[8]}.")
+    tmpl = _TEMPLATES[(i * 3 + p * 5 + s) % len(_TEMPLATES)]
+    return tmpl.format(*words)
 
 
 def _paragraphs(i: int) -> list[str]:

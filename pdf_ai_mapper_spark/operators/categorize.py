@@ -182,6 +182,25 @@ def with_simple_categories(df: DataFrame,
         .otherwise(F.array(F.lit('Uncategorized'))))
 
 
+def category_dimension(spark, category_names: list[str]) -> DataFrame:
+    """Structured-category dimension table (reference
+    document_storage.py:174-180): id 'cat-%03d' (:175), type = word
+    before ':', keywords = comma-split tail, display_name = full name.
+    A tiny driver-built DataFrame — always the broadcast side of
+    category joins (J2/J3)."""
+    rows = []
+    for idx, name in enumerate(category_names):
+        if ':' in name:
+            ctype, _, tail = name.partition(':')
+            keywords = [w.strip() for w in tail.split(',') if w.strip()]
+        else:
+            ctype, keywords = name, []
+        rows.append((f'cat-{idx:03d}', ctype.strip(), keywords, name))
+    df = spark.createDataFrame(
+        rows, 'id string, type string, keywords array<string>, display_name string')
+    return df.withColumn('created_at', F.current_timestamp())
+
+
 def fit_kmeans_categories(df: DataFrame, k: int,
                           text_col: str = 'preprocessed_text',
                           cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -56,12 +56,21 @@ def anti_join_committed(batch: DataFrame, committed: DataFrame,
 def with_shingles(df: DataFrame, text_col: str, k: int = 3,
                   out_col: str = 'shingles') -> DataFrame:
     """Distinct word k-gram shingles per row, via native higher-order
-    functions (no UDF): tokens → transform over a sequence of start
-    offsets → array_distinct."""
+    functions (no UDF): k shifted slices of the token array zipped into
+    shingle strings — O(n) per row with exactly k split() evaluations.
+
+    Why this shape: expressions referenced inside HOF lambdas are NOT
+    common-subexpression-eliminated on the interpreted path, so a
+    per-offset formulation (element_at/slice inside transform) re-ran
+    split() for every element — observed as jstack-verified O(n²)
+    StringSplit.eval dominating a 20k-doc signature job."""
     toks = F.split(F.lower(F.col(text_col)), r'\s+')
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(' ', F.slice(toks, i + 1, k)))
+    m = n - F.lit(k - 1)  # shingle count when n >= k
+    parts = [F.slice(toks, j + 1, F.greatest(m, F.lit(0))) for j in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(' '), b))
     return df.withColumn(
         out_col,
         F.when(n >= k, F.array_distinct(sh)).otherwise(F.array()),
@@ -70,44 +79,110 @@ def with_shingles(df: DataFrame, text_col: str, k: int = 3,
 
 # --------------------------------------------------------------- MinHash LSH
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman (a, b) pairs from a fixed LCG —
+    no RNG state, identical on every executor."""
+    params = []
+    x = 0x9E3779B1  # golden-ratio seed
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+        a = (x % (_MERSENNE31 - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+        b = x % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, k: int = 3) -> DataFrame:
     """(id, sig: array<bigint>) — num_hashes min-hash values per doc.
-    One explode + one groupBy with map-side partial mins; hash family =
-    xxhash64(shingle, i)."""
-    ex = (with_shingles(df.select(id_col, text_col), text_col, k)
-          .select(id_col, F.explode('shingles').alias('sh')))
-    aggs = [F.min(F.xxhash64(F.col('sh'), F.lit(i))).alias(f'h{i}')
-            for i in range(num_hashes)]
-    sig = ex.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col,
-                      F.array(*[F.col(f'h{i}') for i in range(num_hashes)]).alias('sig'))
+
+    Entirely map-side — NO shuffle: shingles and their base hashes are
+    per-row arrays, and each of the num_hashes signature slots is an
+    ``array_min`` over an affine permutation ``(a_i·h + b_i) mod
+    (2³¹−1)`` of the base hashes (Carter-Wegman universal hashing, as
+    in the classic MinHash literature). One xxhash64 per shingle —
+    64× cheaper than hashing the string per permutation — and
+    overflow-safe under Spark 4's default ANSI arithmetic (h reduced
+    mod 2³¹−1 first, so a·h < 2⁶²). The earlier explode + 64-way
+    groupBy formulation shuffled |docs|·|shingles| rows; this one
+    shuffles nothing."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, k)
+    base = F.transform(F.col('shingles'),
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    shingled = shingled.withColumn('__h', base)
+    def _perm(a: int, b: int):
+        # closure factory: a plain lambda with default args would be
+        # bound by PySpark as a 3-arg higher-order lambda
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+
+    slots = [F.array_min(F.transform(F.col('__h'), _perm(a, b)))
+             for (a, b) in _affine_params(num_hashes)]
+    return (shingled
+            .filter(F.size('shingles') > 0)
+            .select(id_col, F.array(*slots).alias('sig')))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16, k: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_bucket_size: int = 64) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by estimated
     Jaccard = fraction of agreeing minhashes. Returns (id_a, id_b,
-    jaccard_est) with id_a < id_b."""
+    jaccard_est) with id_a < id_b.
+
+    Skew guard: a band bucket with B members yields B² join rows —
+    template-heavy corpora produce buckets of thousands (measured:
+    2500-doc buckets on the synthetic fixture → a quadratic join that
+    never finishes). Buckets larger than ``max_bucket_size`` are
+    expanded as a STAR instead: every member pairs with the bucket's
+    minimum id only. That keeps dup-cluster discovery (connected
+    components through the hub) while bounding work linearly in bucket
+    size — the standard production dedup trick. No silent truncation:
+    star-expanded pairs still verify against the full signature."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+
+    # NARROW blocking table: (id, band, band_key) only — the 64-long
+    # signature arrays must not ride through the window/join shuffles
+    # (they multiplied shuffle bytes ~25× and halved scaling); they are
+    # re-attached per-id to the (few) surviving candidate pairs below.
     band = sig.select(
-        id_col, 'sig',
+        id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias('band'),
-    ).withColumn('band_key', F.xxhash64(
-        F.col('band'),
-        F.concat_ws(',', F.transform(
-            F.slice('sig', F.col('band') * rows + 1, rows),
-            lambda v: v.cast('string'))),
-    ))
-    a = band.select(F.col(id_col).alias('id_a'), F.col('sig').alias('sig_a'),
-                    'band', 'band_key')
-    b = band.select(F.col(id_col).alias('id_b'), F.col('sig').alias('sig_b'),
-                    'band', 'band_key')
-    pairs = (a.join(b, on=['band', 'band_key'])
+        'sig',
+    ).select(
+        id_col, 'band',
+        F.xxhash64(
+            F.col('band'),
+            F.concat_ws(',', F.transform(
+                F.slice('sig', F.col('band') * rows + 1, rows),
+                lambda v: v.cast('string')))).alias('band_key'),
+    )
+    w = Window.partitionBy('band', 'band_key')
+    band = (band
+            .withColumn('__bsz', F.count('*').over(w))
+            .withColumn('__hub', F.min(id_col).over(w)))
+    small = band.filter(F.col('__bsz') <= max_bucket_size)
+    big = band.filter(F.col('__bsz') > max_bucket_size)
+
+    a = small.select(F.col(id_col).alias('id_a'), 'band', 'band_key')
+    b = small.select(F.col(id_col).alias('id_b'), 'band', 'band_key')
+    dense = (a.join(b, on=['band', 'band_key'])
              .filter(F.col('id_a') < F.col('id_b'))
-             .dropDuplicates(['id_a', 'id_b']))
+             .select('id_a', 'id_b'))
+
+    # star expansion for oversized buckets: (hub, member) pairs only
+    star = (big.filter(F.col(id_col) != F.col('__hub'))
+            .select(F.col('__hub').alias('id_a'), F.col(id_col).alias('id_b')))
+
+    pairs = dense.unionByName(star).dropDuplicates(['id_a', 'id_b'])
+    sig_a = sig.select(F.col(id_col).alias('id_a'), F.col('sig').alias('sig_a'))
+    sig_b = sig.select(F.col(id_col).alias('id_b'), F.col('sig').alias('sig_b'))
+    pairs = pairs.join(sig_a, 'id_a').join(sig_b, 'id_b')
     agree = F.size(F.filter(
         F.zip_with('sig_a', 'sig_b', lambda x, y: x == y),
         lambda m: m,
@@ -142,10 +217,13 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int = 64) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     chunks (pigeonhole: distance ≤3 → at least one of 4 chunks equal),
-    so the join is equi-key, not a cross product."""
+    so the join is equi-key, not a cross product. Oversized blocks get
+    the same star expansion as minhash_lsh_pairs (see there) to bound
+    the quadratic blowup on template-heavy corpora."""
     sh = with_simhash(df, id_col, text_col)
     chunks = sh.select(
         id_col, 'simhash',
@@ -157,12 +235,26 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         ])).alias('blk'),
     ).select(id_col, 'simhash', F.col('blk.chunk').alias('chunk'),
              F.col('blk.key').alias('key'))
-    a = chunks.select(F.col(id_col).alias('id_a'), F.col('simhash').alias('sh_a'),
-                      'chunk', 'key')
-    b = chunks.select(F.col(id_col).alias('id_b'), F.col('simhash').alias('sh_b'),
-                      'chunk', 'key')
-    return (a.join(b, on=['chunk', 'key'])
-            .filter(F.col('id_a') < F.col('id_b'))
+    w = Window.partitionBy('chunk', 'key')
+    chunks = (chunks
+              .withColumn('__bsz', F.count('*').over(w))
+              .withColumn('__hub', F.min(id_col).over(w)))
+    small = chunks.filter(F.col('__bsz') <= max_bucket_size)
+    big = chunks.filter(F.col('__bsz') > max_bucket_size)
+
+    a = small.select(F.col(id_col).alias('id_a'), F.col('simhash').alias('sh_a'),
+                     'chunk', 'key')
+    b = small.select(F.col(id_col).alias('id_b'), F.col('simhash').alias('sh_b'),
+                     'chunk', 'key')
+    dense = (a.join(b, on=['chunk', 'key'])
+             .filter(F.col('id_a') < F.col('id_b'))
+             .select('id_a', 'sh_a', 'id_b', 'sh_b'))
+    hub_sh = sh.select(F.col(id_col).alias('__hub'), F.col('simhash').alias('sh_a'))
+    star = (big.filter(F.col(id_col) != F.col('__hub'))
+            .select('__hub', F.col(id_col).alias('id_b'), F.col('simhash').alias('sh_b'))
+            .join(hub_sh, on='__hub')
+            .select(F.col('__hub').alias('id_a'), 'sh_a', 'id_b', 'sh_b'))
+    return (dense.unionByName(star)
             .dropDuplicates(['id_a', 'id_b'])
             .withColumn('hamming', F.bit_count(F.col('sh_a').bitwiseXOR(F.col('sh_b'))))
             .filter(F.col('hamming') <= max_hamming)

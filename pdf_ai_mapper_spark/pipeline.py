@@ -5,9 +5,9 @@ upload→extract→preprocess→dedup loop):
 
     scan input → bucket = pmod(xxhash64(url), B)
                → drop already-committed buckets (resume)
-               → repartition by url hash (uniform work distribution;
-                 hot hosts split naturally because the key is the url)
                → extract_text UDF → preprocess UDF → md5 → dedup rank
+                 (no payload repartition — scan split sizing already
+                  distributes work; see operators/extraction.extracted)
                → write parquet partitioned by bucket
                  (dynamic partition overwrite → atomic per-bucket
                   commits, crash-safe resume)
@@ -39,10 +39,22 @@ def transform(input_df: DataFrame, run_id: str,
     """The pure (no-IO) pipeline body: input web_pages → output rows."""
     out = input_df.withColumn(
         'bucket', F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int'))
-    out = extracted(out, payload_col='html',
-                    partitions=partitions or cfg.shuffle_partitions)
-    out = with_dup_rank(out)
-    out = out.withColumn('is_duplicate', F.col('dup_rank') > 1).drop('dup_rank')
+    out = extracted(out, payload_col='html', partitions=partitions)
+    # first-seen duplicate flag WITHOUT shuffling the heavy text rows:
+    # a narrow (hash, ts, url) aggregation finds each hash's first
+    # sighting, joined back on content_hash — AQE broadcasts the agg
+    # side when it fits (then the whole pipeline is ONE parallel map
+    # stage), and degrades to a shuffle-hash join at billions of
+    # hashes. A window here would shuffle every extracted/preprocessed
+    # text through the exchange and AQE-coalesce the reduce side down
+    # to a few partitions (measured: a ~7 s serial floor at 80k rows).
+    firsts = (out.groupBy('content_hash')
+              .agg(F.min(F.struct('warc_ts', 'url')).alias('__first')))
+    out = (out.join(firsts, on='content_hash', how='left')
+           .withColumn('is_duplicate',
+                       F.when(F.col('content_hash').isNull(), F.lit(False))
+                       .otherwise(F.struct('warc_ts', 'url') != F.col('__first')))
+           .drop('__first'))
     out = out.withColumn('run_id', F.lit(run_id))
     if 'text' in input_df.columns:  # fixture ground truth rides along in tests
         return out.select(*OUTPUT_COLUMNS, 'text')

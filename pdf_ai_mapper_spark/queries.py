@@ -98,7 +98,7 @@ def q_w1_relevance_topk(spark, sf_dir):
     """W1+W3: substring-count relevance for token 'spark'
     (relevance_calculator.py:30-33) + top-10 (search_engine.py:81-84)."""
     lower = F.lower(F.col('text'))
-    score = ((F.length(lower) - F.length(F.regexp_replace(lower, 'spark', '')))
+    score = ((F.length(lower) - F.length(F.replace(lower, F.lit('spark'), F.lit(''))))
              / F.lit(5)).cast('long')
     return (_t(spark, sf_dir, 'documents')
             .select('doc_id', score.alias('score'))

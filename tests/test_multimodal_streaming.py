@@ -1,0 +1,103 @@
+"""Multimodal column plumbing + streaming ingestion."""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark import checkpoint as cp
+from pdf_ai_mapper_spark.config import EngineConfig
+from pdf_ai_mapper_spark.fixtures.webpages import build_png, web_pages_pandas
+from pdf_ai_mapper_spark.operators.multimodal import (audio_metadata,
+                                                      image_embeddings,
+                                                      image_metadata,
+                                                      video_sampled_frames)
+from pdf_ai_mapper_spark.streaming import ingest_stream
+
+CFG = EngineConfig(shuffle_partitions=4, output_buckets=8)
+
+
+def _wav(rate=16000, channels=1, seconds=0.5):
+    n = int(rate * seconds) * 2 * channels
+    hdr = (b'RIFF' + struct.pack('<I', 36 + n) + b'WAVE'
+           + b'fmt ' + struct.pack('<IHHIIHH', 16, 1, channels, rate,
+                                   rate * 2 * channels, 2 * channels, 16)
+           + b'data' + struct.pack('<I', n))
+    return hdr + b'\x00' * n
+
+
+def _video(frames):
+    out = b''
+    for fdata in frames:
+        out += struct.pack('>I', len(fdata)) + fdata
+    return out
+
+
+def test_image_metadata_and_errors(spark):
+    rows = [(0, build_png('a')), (1, build_png('b')), (2, b'not a png'), (3, None)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=['id', 'payload']))
+    got = {r['id']: r for r in image_metadata(df).collect()}
+    assert got[0]['width'] == 1 and got[0]['height'] == 1
+    assert got[0]['decode_error'] is None
+    assert got[2]['decode_error'] is not None
+    assert got[3]['decode_error'] is not None
+    assert len(got) == 4
+
+
+def test_image_embeddings_deterministic(spark):
+    rows = [(0, build_png('a')), (1, build_png('b')), (2, build_png('a'))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=['id', 'payload']))
+    got = {r['id']: list(r['embedding']) for r in image_embeddings(df).collect()}
+    assert got[0] == got[2]          # identical payload → identical features
+    assert got[0] != got[1]
+    assert len(got[0]) == 8
+    assert abs(sum(x * x for x in got[0]) - 1.0) < 1e-6
+
+
+def test_audio_metadata(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, _wav()), (1, b'garbage')], columns=['id', 'payload']))
+    got = {r['id']: r for r in audio_metadata(df).collect()}
+    assert got[0]['sample_rate'] == 16000 and got[0]['channels'] == 1
+    assert abs(got[0]['duration_s'] - 0.5) < 0.01
+    assert got[1]['decode_error'] is not None
+
+
+def test_video_frame_sampling(spark):
+    frames = [f'frame{i}'.encode() for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, _video(frames))], columns=['id', 'payload']))
+    got = video_sampled_frames(df, every_n=3).collect()
+    assert [bytes(r['frame']) for r in got] == [b'frame0', b'frame3', b'frame6', b'frame9']
+    assert [r['frame_idx'] for r in got] == [0, 1, 2, 3]
+
+
+def test_streaming_ingest_availablenow(spark):
+    indir = tempfile.mkdtemp(prefix='pam_stream_in_')
+    outdir = tempfile.mkdtemp(prefix='pam_stream_out_')
+    try:
+        pdf = web_pages_pandas(60)
+        spark.createDataFrame(pdf).repartition(3).write.mode('overwrite').parquet(indir)
+
+        ingest_stream(spark, indir, outdir, CFG)
+        out = cp.read_output(spark, outdir)
+        assert out.count() == 60
+        assert out.filter('is_error').count() == 0
+
+        # restart with no new files → no new rows (offsets checkpointed)
+        ingest_stream(spark, indir, outdir, CFG)
+        assert cp.read_output(spark, outdir).count() == 60
+
+        # new files arrive → only they are processed
+        pdf2 = web_pages_pandas(12, start=100)
+        spark.createDataFrame(pdf2).coalesce(1).write.mode('append').parquet(indir)
+        ingest_stream(spark, indir, outdir, CFG)
+        assert cp.read_output(spark, outdir).count() == 72
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)

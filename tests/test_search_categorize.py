@@ -114,3 +114,34 @@ def test_topic_name_filters_and_format():
     assert name.startswith('Science: ')
     assert 'the,' not in name and ' ab' not in name
     assert topic_name([], 3) == 'Topic 4'
+
+
+def test_category_dimension_and_structured_filter(spark, corpus):
+    from pdf_ai_mapper_spark.operators.categorize import category_dimension
+    from pdf_ai_mapper_spark.operators.search import structured_category_filter
+
+    names = ['Science: theorem, proof, euclid',
+             'History: empire, battle',
+             'Document']
+    dim = category_dimension(spark, names)
+    rows = {r['id']: r for r in dim.collect()}
+    assert rows['cat-000']['type'] == 'Science'
+    assert list(rows['cat-000']['keywords']) == ['theorem', 'proof', 'euclid']
+    assert rows['cat-002']['keywords'] == []
+    assert rows['cat-001']['display_name'] == 'History: empire, battle'
+
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame({
+        'url': ['u1', 'u2', 'u3'],
+        'categories': [['Science: theorem, proof, euclid'],
+                       ['History: empire, battle'],
+                       ['Document']],
+    }))
+    by_type = structured_category_filter(docs, dim, category_types=['Science'])
+    assert [r['url'] for r in by_type.collect()] == ['u1']
+    by_kw = structured_category_filter(docs, dim, keywords=['battle'])
+    assert [r['url'] for r in by_kw.collect()] == ['u2']
+    both = structured_category_filter(docs, dim,
+                                      category_types=['Document'],
+                                      keywords=['proof'])
+    assert sorted(r['url'] for r in both.collect()) == ['u1', 'u3']
