@@ -67,18 +67,28 @@ def extract_key_phrases(tokens: list[str]) -> list[str]:
     len>=3); Counter.most_common(20) filtered to count>=2.  Counter
     preserves first-insertion order among equal counts — that tie-break
     is part of the byte-identity contract.
-    (reference text_preprocessor.py:155-177)"""
-    phrases: list[str] = []
-    for i in range(len(tokens) - 1):
-        a, b = tokens[i], tokens[i + 1]
-        if len(a) >= 3 and len(b) >= 3:
-            phrases.append(a + ' ' + b)
-    for i in range(len(tokens) - 2):
-        a, b, c = tokens[i], tokens[i + 1], tokens[i + 2]
-        if len(a) >= 3 and len(b) >= 3 and len(c) >= 3:
-            phrases.append(a + ' ' + b + ' ' + c)
+    (reference text_preprocessor.py:155-177)
+
+    Fast path: after the T7 filter every token already has len>=3, so
+    the per-window length checks are vacuous — one min() check gates a
+    C-level zip/join formulation (~2× kernel speedup, same output)."""
+    n = len(tokens)
+    if n >= 2 and min(map(len, tokens)) >= 3:
+        join = ' '.join
+        phrases = list(map(join, zip(tokens, tokens[1:])))
+        phrases += map(join, zip(tokens, tokens[1:], tokens[2:]))
+    else:
+        phrases = []
+        for i in range(n - 1):
+            a, b = tokens[i], tokens[i + 1]
+            if len(a) >= 3 and len(b) >= 3:
+                phrases.append(a + ' ' + b)
+        for i in range(n - 2):
+            a, b, c = tokens[i], tokens[i + 1], tokens[i + 2]
+            if len(a) >= 3 and len(b) >= 3 and len(c) >= 3:
+                phrases.append(a + ' ' + b + ' ' + c)
     counts = Counter(phrases)
-    return [p for p, n in counts.most_common(20) if n >= 2]
+    return [p for p, n_ in counts.most_common(20) if n_ >= 2]
 
 
 def preprocess_text(text: str) -> str:
