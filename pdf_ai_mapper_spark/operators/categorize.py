@@ -111,7 +111,8 @@ def fit_lda_categories(df: DataFrame,
                        text_col: str = 'preprocessed_text',
                        cfg: EngineConfig = DEFAULT_CONFIG,
                        max_iter: int | None = None,
-                       doc_count: int | None = None) -> DataFrame:
+                       doc_count: int | None = None,
+                       models_out: dict | None = None) -> DataFrame:
     """Full categorization stage. Cold start (<5 docs,
     category_manager.py:64-75): per-doc simple 'Topic: w1, w2, w3'
     categories (A1). Otherwise CountVectorizer + LDA(k=8, seed=42) →
@@ -126,6 +127,9 @@ def fit_lda_categories(df: DataFrame,
               maxIter=max_iter if max_iter is not None else cfg.lda_max_iter,
               featuresCol='features')
     model = lda.fit(feats)
+    if models_out is not None:  # S9: hand models to the caller for save_models
+        models_out['vectorizer'] = cv_model
+        models_out['lda'] = model
 
     # topic names from describeTopics (driver-side — k×10 terms, tiny)
     vocab = cv_model.vocabulary
@@ -180,6 +184,38 @@ def with_simple_categories(df: DataFrame,
         'categories',
         F.when(F.size(words) > 0, F.array(name))
         .otherwise(F.array(F.lit('Uncategorized'))))
+
+
+def save_models(path: str, cv_model=None, lda_model=None,
+                kmeans_model=None) -> None:
+    """S9 model persistence: pyspark.ml writers replace the reference's
+    pickle files (category_manager.py:141-145, document_service.py:
+    132-138). NB the reference's pickle LOAD path is dead code — a
+    NameError at category_manager.py:28 means it always refits
+    (SURVEY.md §2.1 S9); we implement the documented intent."""
+    import os
+    if cv_model is not None:
+        cv_model.write().overwrite().save(os.path.join(path, 'vectorizer'))
+    if lda_model is not None:
+        lda_model.write().overwrite().save(os.path.join(path, 'lda'))
+    if kmeans_model is not None:
+        kmeans_model.write().overwrite().save(os.path.join(path, 'kmeans'))
+
+
+def load_models(path: str) -> dict:
+    """Load whichever persisted models exist under ``path``."""
+    import os
+
+    from pyspark.ml.clustering import KMeansModel, LocalLDAModel
+    out: dict = {}
+    if os.path.exists(os.path.join(path, 'vectorizer')):
+        out['vectorizer'] = CountVectorizerModel.load(
+            os.path.join(path, 'vectorizer'))
+    if os.path.exists(os.path.join(path, 'lda')):
+        out['lda'] = LocalLDAModel.load(os.path.join(path, 'lda'))
+    if os.path.exists(os.path.join(path, 'kmeans')):
+        out['kmeans'] = KMeansModel.load(os.path.join(path, 'kmeans'))
+    return out
 
 
 def category_dimension(spark, category_names: list[str]) -> DataFrame:

@@ -16,6 +16,9 @@ candidate-pair blowup.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,7 +100,8 @@ def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 64, k: int = 3) -> DataFrame:
+                       num_hashes: int = 64, k: int = 3,
+                       impl: str = 'numpy') -> DataFrame:
     """(id, sig: array<bigint>) — num_hashes min-hash values per doc.
 
     Entirely map-side — NO shuffle: shingles and their base hashes are
@@ -113,7 +117,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     shingled = with_shingles(df.select(id_col, text_col), text_col, k)
     base = F.transform(F.col('shingles'),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    shingled = shingled.withColumn('__h', base)
+    shingled = (shingled.withColumn('__h', base)
+                .filter(F.size('shingles') > 0))
+
+    if impl == 'numpy':
+        # the 64 affine-min reductions as one vectorized numpy batch op
+        # (Arrow-transferred array<long> in/out) — the interpreted HOF
+        # evaluation of 64 transform+array_min passes is measurably
+        # slower; values are bit-identical (same params, i64 math)
+        return shingled.select(
+            id_col, _numpy_sig_udf(num_hashes)(F.col('__h')).alias('sig'))
+
     def _perm(a: int, b: int):
         # closure factory: a plain lambda with default args would be
         # bound by PySpark as a 3-arg higher-order lambda
@@ -121,9 +135,31 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     slots = [F.array_min(F.transform(F.col('__h'), _perm(a, b)))
              for (a, b) in _affine_params(num_hashes)]
-    return (shingled
-            .filter(F.size('shingles') > 0)
-            .select(id_col, F.array(*slots).alias('sig')))
+    return shingled.select(id_col, F.array(*slots).alias('sig'))
+
+
+def _numpy_sig_udf(num_hashes: int):
+    """Pandas UDF factory: per-row base-hash array → signature via one
+    (num_hashes × n_shingles) numpy broadcast + min along axis 1.
+    Overflow-safe: a, h < 2³¹ → a·h < 2⁶² fits int64."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = _affine_params(num_hashes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        for hs in batches:
+            out = []
+            for h in hs:
+                arr = np.asarray(h, dtype=np.int64)[None, :]
+                out.append(((A * arr + B) % _MERSENNE31).min(axis=1))
+            yield pd.Series(out)
+
+    return sig_udf
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -145,6 +181,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     star-expanded pairs still verify against the full signature."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # sig feeds three branches (band table + both verify joins); without
+    # persistence the whole shingle+permutation computation runs 3×
+    # (measured: it dominated the job). At cluster scale this is the
+    # "materialize the signature table once" step — swap the persist
+    # for a parquet/Iceberg write of `sig` on 100 TB corpora.
+    from pyspark.storagelevel import StorageLevel
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     # NARROW blocking table: (id, band, band_key) only — the 64-long
     # signature arrays must not ride through the window/join shuffles

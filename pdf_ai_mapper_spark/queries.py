@@ -307,6 +307,18 @@ def q_emb_centroid_per_label(spark, sf_dir):
             .orderBy('label'))
 
 
+def q_skew_salted_counts(spark, sf_dir):
+    """Salted two-stage aggregation (operators/skew.py) over a skewed
+    key — user_id event counts. The salt splits hot keys across
+    reducers; the merged result is byte-equal to a plain GROUP BY,
+    which is exactly what the oracle asserts."""
+    from .operators.skew import salted_count
+    ev = _t(spark, sf_dir, 'events')
+    return (salted_count(ev, F.col('user_id'), salt_buckets=8,
+                         key_name='user_id')
+            .orderBy('user_id'))
+
+
 # ---- non-SQL-expressible (rows-only checks) -------------------------
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -548,6 +560,10 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cos_sim FROM sims
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
+    'q_skew_salted_counts': """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     'q_emb_centroid_per_label': """
         WITH ex AS (
             SELECT label, u.pos AS pos, u.v AS v
@@ -587,6 +603,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_fingerprint': q_fingerprint,
         'q_emb_cosine_topk': q_emb_cosine_topk,
         'q_emb_centroid_per_label': q_emb_centroid_per_label,
+        'q_skew_salted_counts': q_skew_salted_counts,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,

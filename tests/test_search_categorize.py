@@ -145,3 +145,23 @@ def test_category_dimension_and_structured_filter(spark, corpus):
                                       category_types=['Document'],
                                       keywords=['proof'])
     assert sorted(r['url'] for r in both.collect()) == ['u1', 'u3']
+
+
+def test_model_persistence_roundtrip(spark, corpus, tmp_path):
+    from pdf_ai_mapper_spark.operators.categorize import (fit_lda_categories,
+                                                          load_models,
+                                                          save_models)
+    models = {}
+    out1 = fit_lda_categories(corpus, cfg=CFG, max_iter=5, models_out=models)
+    assert 'vectorizer' in models and 'lda' in models
+    save_models(str(tmp_path), cv_model=models['vectorizer'],
+                lda_model=models['lda'])
+    loaded = load_models(str(tmp_path))
+    assert loaded['vectorizer'].vocabulary == models['vectorizer'].vocabulary
+    # loaded model reproduces the same topic distributions
+    from pdf_ai_mapper_spark.operators.categorize import with_tokens
+    feats = loaded['vectorizer'].transform(with_tokens(corpus.limit(10)))
+    a = models['lda'].transform(feats).select('topicDistribution').collect()
+    b = loaded['lda'].transform(feats).select('topicDistribution').collect()
+    for ra, rb in zip(a, b):
+        assert ra[0].toArray().round(8).tolist() == rb[0].toArray().round(8).tolist()
