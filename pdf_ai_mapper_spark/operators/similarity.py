@@ -100,6 +100,41 @@ def _xxhash64_int(d: int, p: int) -> int:
     return cache[key]
 
 
+def ivf_index(df: DataFrame, n_lists: int = 16,
+              id_col: str = 'vec_id', vec_col: str = 'embedding',
+              seed: int = 42):
+    """IVF (inverted-file) ANN index: KMeans partitions the corpus into
+    n_lists cells; a table bucketed/partitioned by ``ivf_cell`` makes a
+    probe read only the probed cells (partition pruning). Returns
+    (indexed_df, kmeans_model)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn('__v', array_to_vector(_as_double(F.col(vec_col))))
+    km = KMeans(k=n_lists, seed=seed, featuresCol='__v',
+                predictionCol='ivf_cell')
+    model = km.fit(feats)
+    return model.transform(feats).drop('__v'), model
+
+
+def ivf_topk(indexed_df: DataFrame, kmeans_model, query_vec: list[float],
+             k: int = 10, n_probe: int = 4,
+             id_col: str = 'vec_id', vec_col: str = 'embedding') -> DataFrame:
+    """ANN top-k over an IVF index: rank cells by centroid distance to
+    the query (driver-side — n_lists tiny), scan only the n_probe
+    nearest cells, exact cosine within them. Recall rises with n_probe;
+    n_probe = n_lists degenerates to exact brute force."""
+    import math
+    q = [float(x) for x in query_vec]
+    dists = []
+    for cid, center in enumerate(kmeans_model.clusterCenters()):
+        d = math.sqrt(sum((c - x) ** 2 for c, x in zip(center, q)))
+        dists.append((d, cid))
+    probe = [cid for _, cid in sorted(dists)[:n_probe]]
+    cand = indexed_df.filter(F.col('ivf_cell').isin(probe))
+    return brute_force_topk(cand, q, id_col, vec_col, k)
+
+
 def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
                          vec_col: str = 'embedding',
                          threshold: float = 0.95,

@@ -307,6 +307,32 @@ def q_emb_centroid_per_label(spark, sf_dir):
             .orderBy('label'))
 
 
+_SNIPPET_TOKENS = ['data', 'model']  # pinned; phrase = 'data model'
+
+
+def q_w2_search_snippets(spark, sf_dir):
+    """W1+W2+W3+F6 composed: reference-semantics relevance (substring
+    counts + the in-loop phrase bonus of +10 per token), score>0
+    filter, top-10, and the 200-char/stride-50 sliding-window snippet
+    with first-max tie-break, whitespace cleanup and ellipses —
+    computed by the engine's pandas-UDF kernels and cross-checked
+    against a pure-SQL reconstruction in DuckDB."""
+    from .config import DEFAULT_CONFIG
+    from .operators.search import _relevance_udf, _snippet_udf
+    toks = list(_SNIPPET_TOKENS)
+    rel = _relevance_udf(toks)
+    snip = _snippet_udf(toks, DEFAULT_CONFIG.snippet_length,
+                        DEFAULT_CONFIG.snippet_stride)
+
+    d = _t(spark, sf_dir, 'documents')
+    out = (d.withColumn('score', rel(F.col('text')))
+           .filter(F.col('score') > 0)
+           .orderBy(F.desc('score'), F.asc('doc_id'))
+           .limit(10)
+           .withColumn('snippet', snip(F.col('text'))))
+    return out.select('doc_id', 'score', 'snippet')
+
+
 def q_skew_salted_counts(spark, sf_dir):
     """Salted two-stage aggregation (operators/skew.py) over a skewed
     key — user_id event counts. The salt splits hot keys across
@@ -560,6 +586,48 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cos_sim FROM sims
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
+    'q_w2_search_snippets': """
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        scored AS (
+            SELECT doc_id, t,
+                   CAST((length(t) - length(replace(t, 'data', ''))) / 4
+                        + (length(t) - length(replace(t, 'model', ''))) / 5
+                        + CASE WHEN position('data model' IN t) > 0
+                               THEN 20 ELSE 0 END AS BIGINT) AS score
+            FROM d),
+        hits AS (SELECT * FROM scored WHERE score > 0
+                 ORDER BY score DESC, doc_id ASC LIMIT 10),
+        wins AS (
+            SELECT h.doc_id, h.t, h.score, w.i,
+                   CAST((length(substr(h.t, CAST(w.i AS INT) + 1, 200))
+                         - length(replace(substr(h.t, CAST(w.i AS INT) + 1, 200), 'data', ''))) / 4
+                        + (length(substr(h.t, CAST(w.i AS INT) + 1, 200))
+                           - length(replace(substr(h.t, CAST(w.i AS INT) + 1, 200), 'model', ''))) / 5
+                        AS BIGINT) AS wcount
+            FROM hits h,
+                 LATERAL (SELECT unnest(list_append(
+                     range(0, greatest(length(h.t) - 200, 0), 50), 0)) AS i) w),
+        best AS (
+            SELECT doc_id, t, score, i AS best_pos, wcount,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY wcount DESC, i ASC) AS rn
+            FROM wins),
+        pick AS (
+            SELECT doc_id, score, t,
+                   CASE WHEN wcount = 0 THEN 0 ELSE best_pos END AS pos
+            FROM best WHERE rn = 1),
+        cleaned AS (
+            SELECT doc_id, score, t, pos,
+                   trim(regexp_replace(
+                       replace(substr(t, CAST(pos AS INT) + 1, 200), chr(10), ' '),
+                       '\\s+', ' ', 'g')) AS body
+            FROM pick)
+        SELECT doc_id, score,
+               (CASE WHEN pos > 0 THEN '...' ELSE '' END) || body
+               || (CASE WHEN pos + 200 < length(t) THEN '...' ELSE '' END)
+                   AS snippet
+        FROM cleaned ORDER BY score DESC, doc_id ASC
+    """,
     'q_skew_salted_counts': """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id ORDER BY user_id
@@ -604,6 +672,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_emb_cosine_topk': q_emb_cosine_topk,
         'q_emb_centroid_per_label': q_emb_centroid_per_label,
         'q_skew_salted_counts': q_skew_salted_counts,
+        'q_w2_search_snippets': q_w2_search_snippets,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,

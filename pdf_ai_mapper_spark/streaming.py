@@ -54,3 +54,38 @@ def ingest_stream(spark: SparkSession, input_path: str, output_path: str,
     else:
         query = writer.start()
     return query
+
+
+def windowed_host_counts(spark: SparkSession, input_path: str,
+                         output_path: str,
+                         window: str = '10 minutes',
+                         watermark: str = '30 minutes',
+                         available_now: bool = True):
+    """Event-time windowed aggregation with late-data handling: pages
+    ingested per (host, event-time window), watermarked on warc_ts so
+    state for closed windows is dropped — the standard Structured
+    Streaming stateful-aggregation shape (the reference has no
+    streaming; this is the monitoring/metrics face of the ingest
+    pipeline at cluster scale)."""
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream
+              .schema(WEB_PAGES_SCHEMA)
+              .parquet(input_path))
+    agg = (stream
+           .withWatermark('warc_ts', watermark)
+           .groupBy(F.window('warc_ts', window).alias('win'),
+                    F.regexp_extract('url', r'https?://([^/]+)/', 1).alias('host'))
+           .agg(F.count('*').alias('n_pages'),
+                F.sum(F.length('html')).alias('bytes_in')))
+    writer = (agg.writeStream
+              .outputMode('append')
+              .format('parquet')
+              .option('path', os.path.join(output_path, 'host_counts'))
+              .option('checkpointLocation',
+                      os.path.join(output_path, '_host_counts_checkpoint')))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

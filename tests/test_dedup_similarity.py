@@ -113,3 +113,25 @@ def test_pairwise_cosine_dups_self_consistency(spark):
              for r in pairwise_cosine_dups(both, threshold=0.999).collect()}
     for r in vecs.collect():
         assert (r['vec_id'], r['vec_id'] + 1000) in pairs
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from pdf_ai_mapper_spark.operators.similarity import (brute_force_topk,
+                                                          ivf_index, ivf_topk)
+    from pyspark.sql import functions as F
+    vecs = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    q = list(vecs.filter(F.col('vec_id') == 7).collect()[0]['embedding'])
+    exact = [r['vec_id'] for r in brute_force_topk(vecs, q, k=10).collect()]
+
+    indexed, model = ivf_index(vecs, n_lists=8)
+    indexed = indexed.cache()
+    # full probe == exact
+    full = [r['vec_id'] for r in
+            ivf_topk(indexed, model, q, k=10, n_probe=8).collect()]
+    assert full == exact
+    # partial probe: query's own vector always found; decent recall
+    ann = [r['vec_id'] for r in
+           ivf_topk(indexed, model, q, k=10, n_probe=3).collect()]
+    assert 7 in ann
+    recall = len(set(ann) & set(exact)) / 10
+    assert recall >= 0.5, f'recall {recall}'

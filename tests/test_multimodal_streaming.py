@@ -101,3 +101,50 @@ def test_streaming_ingest_availablenow(spark):
     finally:
         shutil.rmtree(indir, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+def test_windowed_host_counts_with_watermark(spark):
+    from pdf_ai_mapper_spark.streaming import windowed_host_counts
+    indir = tempfile.mkdtemp(prefix='pam_win_in_')
+    outdir = tempfile.mkdtemp(prefix='pam_win_out_')
+    try:
+        # 600 rows span ~2.8h of event time (17s cadence)
+        pdf = web_pages_pandas(600)
+        spark.createDataFrame(pdf).repartition(4).write.mode('overwrite').parquet(indir)
+        windowed_host_counts(spark, indir, outdir,
+                             window='30 minutes', watermark='10 minutes')
+        out = spark.read.parquet(f'{outdir}/host_counts')
+        rows = out.collect()
+        # append mode emits only watermark-finalized windows — the
+        # early windows must be present, the final one may be withheld
+        assert len(rows) > 0
+        assert all(r['n_pages'] > 0 for r in rows)
+        hot = [r for r in rows if r['host'] == 'host0.example.com']
+        assert hot, 'hot host must appear in finalized windows'
+        # no window may exceed the total row count
+        assert all(r['n_pages'] <= 600 for r in rows)
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+def test_status_projection(spark):
+    from pdf_ai_mapper_spark.pipeline import transform, with_status
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.config import EngineConfig
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cfg = EngineConfig(shuffle_partitions=4)
+    out = transform(web_pages_df(spark, 24, 2), 't', cfg)
+    st1 = with_status(out)
+    assert {r['status'] for r in st1.select('status').distinct().collect()} == {'processing'}
+
+    cats = out.withColumn('categories', F.array(F.lit('Topic: x')))
+    st2 = with_status(cats)
+    assert {r['status'] for r in st2.select('status').distinct().collect()} == {'processed'}
+
+    err = spark.createDataFrame(pd.DataFrame(
+        {'url': ['u'], 'is_error': [True],
+         'categories': [['Topic: x']]}))
+    assert with_status(err).collect()[0]['status'] == 'error'
