@@ -56,6 +56,78 @@ def ingest_stream(spark: SparkSession, input_path: str, output_path: str,
     return query
 
 
+SESSION_OUTPUT_SCHEMA = ('user_id long, session_start timestamp, '
+                         'session_end timestamp, n_events long')
+SESSION_STATE_SCHEMA = 'start long, last long, n long'
+
+
+def sessionize_events(spark: SparkSession, input_path: str,
+                      output_path: str,
+                      gap_seconds: int = 1800,
+                      available_now: bool = True):
+    """Custom stateful streaming operator: gap-based sessionization per
+    user via ``applyInPandasWithState`` — the
+    arbitrary-stateful-processing shape the built-in windowed
+    aggregations can't express (a session ends only when a gap appears,
+    not at a fixed boundary). State per user = (start, last, count) in
+    epoch micros; closed sessions are emitted, the open one rides in
+    state across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf['ts']).astype('int64').sort_values() // 1000
+            for t in ts:
+                if start is None:
+                    start = last = int(t)
+                    n = 1
+                elif t - last > gap_us:
+                    out.append((user_id, start, last, n))
+                    start = last = int(t)
+                    n = 1
+                else:
+                    last = int(t)
+                    n += 1
+        if start is not None:
+            state.update((int(start), int(last), int(n)))
+        if out:
+            df = pd.DataFrame(out, columns=['user_id', 'session_start',
+                                            'session_end', 'n_events'])
+            df['session_start'] = pd.to_datetime(df['session_start'], unit='us')
+            df['session_end'] = pd.to_datetime(df['session_end'], unit='us')
+            yield df
+
+    stream = (spark.readStream
+              .schema('event_id long, ts timestamp, user_id long, '
+                      'event_type string, value double, props string')
+              .parquet(input_path))
+    sessions = (stream.groupBy('user_id')
+                .applyInPandasWithState(fn, SESSION_OUTPUT_SCHEMA,
+                                        SESSION_STATE_SCHEMA, 'append',
+                                        GroupStateTimeout.NoTimeout))
+    writer = (sessions.writeStream
+              .outputMode('append')
+              .format('parquet')
+              .option('path', os.path.join(output_path, 'sessions'))
+              .option('checkpointLocation',
+                      os.path.join(output_path, '_sessions_checkpoint')))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def windowed_host_counts(spark: SparkSession, input_path: str,
                          output_path: str,
                          window: str = '10 minutes',

@@ -148,3 +148,36 @@ def test_status_projection(spark):
         {'url': ['u'], 'is_error': [True],
          'categories': [['Topic: x']]}))
     assert with_status(err).collect()[0]['status'] == 'error'
+
+
+def test_stateful_sessionization(spark):
+    from pdf_ai_mapper_spark.streaming import sessionize_events
+    import pandas as pd
+    indir = tempfile.mkdtemp(prefix='pam_sess_in_')
+    outdir = tempfile.mkdtemp(prefix='pam_sess_out_')
+    try:
+        events = spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+        events.write.mode('overwrite').parquet(indir)
+        sessionize_events(spark, indir, outdir, gap_seconds=1800)
+        got = spark.read.parquet(f'{outdir}/sessions').toPandas()
+
+        # brute-force expected sessions (all but each user's open last one)
+        pdf = events.toPandas().sort_values(['user_id', 'ts'])
+        expected = []
+        for uid, g in pdf.groupby('user_id'):
+            ts = list(g['ts'])
+            start = last = ts[0]; n = 1
+            for t in ts[1:]:
+                if (t - last).total_seconds() > 1800:
+                    expected.append((uid, start, last, n))
+                    start = last = t; n = 1
+                else:
+                    last = t; n += 1
+            # final session stays in state (never emitted with NoTimeout)
+        want = sorted(expected)
+        have = sorted(got[['user_id', 'session_start', 'session_end',
+                           'n_events']].itertuples(index=False, name=None))
+        assert have == want, f'{len(have)} vs {len(want)}'
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
