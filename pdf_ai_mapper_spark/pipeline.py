@@ -83,14 +83,30 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
     run_id = run_id or cp.new_run_id()
     bucket = F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int')
 
+    # two mutually exclusive recovery mechanisms:
+    # - same-input resume (default): skip buckets already committed —
+    #   correct only when the input is identical to the crashed run's;
+    # - incremental batches (dedup_against_output): every bucket may
+    #   receive NEW rows, so the bucket skip must not apply; the
+    #   content anti-join below is what makes retries idempotent.
     done = cp.committed_buckets(spark, output_path)
     todo_df = input_df
-    if done:
+    if done and not dedup_against_output:
         todo_df = todo_df.filter(~bucket.isin(sorted(done)))
 
-    if dedup_against_output and done:
-        committed = cp.read_output(spark, output_path)
-        todo_df = anti_join_committed(todo_df, committed)
+    if dedup_against_output:
+        try:
+            committed = cp.read_output(spark, output_path)
+        except Exception:
+            committed = None  # first run — nothing committed yet
+        if committed is not None:
+            # the raw input has no content_hash yet — derive it for the
+            # anti-join only (md5 is cheap; the payload stays local)
+            hashes = (committed.select('content_hash').distinct()
+                      .withColumnRenamed('content_hash', '__h'))
+            todo_df = (todo_df.withColumn('__h', F.md5(F.col('html')))
+                       .join(hashes, on='__h', how='left_anti')
+                       .drop('__h'))
 
     # cheap native pass for per-bucket input counters (url column only —
     # the parquet scan prunes the payload)
@@ -102,11 +118,20 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                 'error_rows': 0, 'resumed_skipped_buckets': len(done)}
 
     result = transform(todo_df, run_id, cfg)
-    (result.write
-     .partitionBy('bucket')
-     .option('partitionOverwriteMode', 'dynamic')
-     .mode('overwrite')
-     .parquet(cp.data_path(output_path)))
+    # write mode per use case:
+    # - resume of the SAME input (default): dynamic partition overwrite —
+    #   a bucket is either committed or fully rewritten, crash-safe;
+    # - incremental batches (dedup_against_output): append — new rows
+    #   join existing buckets, and the content anti-join above makes a
+    #   crashed run self-healing (already-written rows are dropped from
+    #   the retry, so the append never duplicates).
+    writer = result.write.partitionBy('bucket')
+    if dedup_against_output:
+        writer = writer.mode('append')
+    else:
+        writer = (writer.option('partitionOverwriteMode', 'dynamic')
+                  .mode('overwrite'))
+    writer.parquet(cp.data_path(output_path))
 
     # lineage counters from the written files (cheap columnar re-scan,
     # no UDF re-execution)

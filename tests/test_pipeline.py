@@ -66,3 +66,27 @@ def test_lineage_counters_sum_to_input(spark, outdir):
     agg = cps.agg(F.sum('rows_in').alias('i'), F.sum('rows_out').alias('o'),
                   F.sum('error_rows').alias('e')).collect()[0]
     assert agg['i'] == 90 and agg['o'] == 90 and agg['e'] == 0
+
+
+def test_dedup_against_output_anti_join(spark, outdir):
+    """J1 at the pipeline level (incremental mode): a second batch whose
+    rows' content_hash is already committed gets anti-joined away; only
+    genuinely new rows append, and retries are idempotent."""
+    run_extraction(spark, web_pages_df(spark, 60, num_partitions=4),
+                   outdir, CFG, dedup_against_output=True)
+    n1 = cp.read_output(spark, outdir).count()
+    assert n1 == 60
+
+    # second batch: rows 0-59 repeated + rows 60-89 new
+    s = run_extraction(spark, web_pages_df(spark, 90, num_partitions=4),
+                       outdir, CFG, dedup_against_output=True)
+    out = cp.read_output(spark, outdir)
+    assert s['rows_in'] == 30          # only the 30 genuinely new rows
+    assert out.count() == 90
+    assert out.groupBy('url').count().filter('count > 1').count() == 0
+
+    # retry of the same batch (simulated crash-recovery) → no-op
+    s2 = run_extraction(spark, web_pages_df(spark, 90, num_partitions=4),
+                        outdir, CFG, dedup_against_output=True)
+    assert s2['rows_in'] == 0
+    assert cp.read_output(spark, outdir).count() == 90
