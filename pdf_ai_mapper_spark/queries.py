@@ -307,6 +307,34 @@ def q_emb_centroid_per_label(spark, sf_dir):
             .orderBy('label'))
 
 
+def q_rollup_orders(spark, sf_dir):
+    """Grouping sets: ROLLUP over (orderstatus, orderpriority) with
+    grand totals — the hierarchical-summary shape of corpus reporting
+    (free in Catalyst; SURVEY.md §2.4 notes the reference has none)."""
+    o = _t(spark, sf_dir, 'orders')
+    return (o.rollup('o_orderstatus', 'o_orderpriority')
+            .agg(F.count('*').cast('long').alias('n'),
+                 F.round(F.sum('o_totalprice'), 4).alias('total'))
+            .select(F.coalesce('o_orderstatus', F.lit('ALL')).alias('status'),
+                    F.coalesce('o_orderpriority', F.lit('ALL')).alias('priority'),
+                    'n', 'total')
+            .orderBy('status', 'priority'))
+
+
+def q_cube_events(spark, sf_dir):
+    """Grouping sets: CUBE over (event_type, hour-of-day bucket)."""
+    e = _t(spark, sf_dir, 'events').withColumn(
+        'hour_bucket', (F.hour('ts') / 6).cast('int'))
+    return (e.cube('event_type', 'hour_bucket')
+            .agg(F.count('*').cast('long').alias('n'),
+                 F.round(F.sum('value'), 4).alias('total_value'))
+            .select(F.coalesce('event_type', F.lit('ALL')).alias('etype'),
+                    F.coalesce(F.col('hour_bucket').cast('string'),
+                               F.lit('ALL')).alias('hbucket'),
+                    'n', 'total_value')
+            .orderBy('etype', 'hbucket'))
+
+
 _SNIPPET_TOKENS = ['data', 'model']  # pinned; phrase = 'data model'
 
 
@@ -586,6 +614,27 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cos_sim FROM sims
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
+    'q_rollup_orders': """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    'q_cube_events': """
+        WITH e AS (SELECT event_type, CAST(hour(ts) // 6 AS INT) AS hour_bucket,
+                          value
+                   FROM events)
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(hour_bucket AS VARCHAR), 'ALL') AS hbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM e
+        GROUP BY CUBE (event_type, hour_bucket)
+        ORDER BY etype, hbucket
+    """,
     'q_w2_search_snippets': """
         WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
         scored AS (
@@ -673,6 +722,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_emb_centroid_per_label': q_emb_centroid_per_label,
         'q_skew_salted_counts': q_skew_salted_counts,
         'q_w2_search_snippets': q_w2_search_snippets,
+        'q_rollup_orders': q_rollup_orders,
+        'q_cube_events': q_cube_events,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,

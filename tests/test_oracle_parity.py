@@ -45,7 +45,9 @@ def _norm(v):
 
 def _rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # None-safe multiset ordering (grouping sets emit NULL keys)
+    return sorted(normed, key=repr)
 
 
 QUERIES = entry_mod.queries()
