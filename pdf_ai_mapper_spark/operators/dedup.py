@@ -267,7 +267,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     so the join is equi-key, not a cross product. Oversized blocks get
     the same star expansion as minhash_lsh_pairs (see there) to bound
     the quadratic blowup on template-heavy corpora."""
-    sh = with_simhash(df, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+    # consumed by the chunk table AND the hub join — persist, or the
+    # 64-way signed-bit aggregation runs twice (cf. minhash_lsh_pairs)
+    sh = with_simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         id_col, 'simhash',
         F.explode(F.array(*[
