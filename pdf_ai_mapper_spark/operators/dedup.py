@@ -239,12 +239,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 # --------------------------------------------------------------- SimHash
 
 def with_simhash(df: DataFrame, id_col: str, text_col: str,
-                 bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from token hashes — explode + 64 signed
-    bit-sum aggregations (all map-side combinable), assembled back into
-    one bigint. (Charikar, STOC 2002.)"""
-    ex = (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), r'\s+')).alias('tok'))
-            .filter(F.length('tok') > 0)
+                 bits: int = 64, impl: str = 'numpy') -> DataFrame:
+    """64-bit SimHash per doc from token hashes (Charikar, STOC 2002).
+
+    numpy impl (default): token hashes are a per-row array (native
+    xxhash64 transform — no explode, no shuffle), and the 64 signed
+    bit-sums + sign-pack run as one vectorized numpy batch op. The
+    native impl (explode + 64 sum aggregations, map-side combinable)
+    remains for environments without Arrow; both produce identical
+    values."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                    lambda t: F.length(t) > 0)
+    if impl == 'numpy':
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+        return (df.select(id_col, hashes.alias('__h'))
+                .filter(F.size('__h') > 0)
+                .select(id_col, _numpy_simhash_udf(bits)(F.col('__h')).alias('simhash')))
+
+    ex = (df.select(id_col, F.explode(toks).alias('tok'))
             .withColumn('h', F.xxhash64('tok')))
     aggs = [
         F.sum(F.shiftright('h', b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f'b{b}')
@@ -257,6 +269,32 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str,
                       F.shiftleft(F.lit(1).cast('long'), b)).otherwise(F.lit(0).cast('long'))
         sim = term if sim is None else sim.bitwiseOR(term)
     return sums.select(id_col, sim.alias('simhash'))
+
+
+def _numpy_simhash_udf(bits: int):
+    """Pandas UDF factory: per-row token-hash array → packed simhash.
+    Bit b of each uint64 hash contributes ±1; sum ≥ 0 sets bit b."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def sim_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+        shifts = np.arange(bits, dtype=np.uint64)
+        for hs in batches:
+            out = []
+            for h in hs:
+                arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                bitsm = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                sums = (bitsm * 2 - 1).sum(axis=0)
+                packed = np.bitwise_or.reduce(
+                    (sums >= 0).astype(np.uint64) << shifts)
+                # two's-complement view back into Spark's signed long
+                out.append(np.array([packed], dtype=np.uint64)
+                           .view(np.int64)[0])
+            yield pd.Series(out, dtype='int64')
+
+    return sim_udf
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
