@@ -2,15 +2,28 @@
 
 Baseline: brute-force cosine top-k — native ``zip_with`` dot product +
 TakeOrderedAndProject; scale path: LSH-bucketed ANN via random
-hyperplane signs (Charikar), where buckets turn the O(N·Q) scan into an
-equi-join on bucket keys. Hyperplanes are derived deterministically
-from xxhash64 of (dim index, plane index) so the operator needs no RNG
-state and both sides of any join bucket identically on every executor.
+hyperplane signs (Charikar, STOC 2002) and an IVF (inverted-file)
+index over KMeans cells.
+
+Hyperplanes are ±1 Rademacher vectors derived deterministically from a
+vendored splitmix64 of (plane, dim-index) — pure numpy, no RNG state,
+bit-identical on the driver and every executor. All plane signs for a
+row are computed by ONE Arrow-batched pandas UDF as a single
+(batch × dim) @ (dim × planes) matmul; the earlier formulation built a
+per-dimension Catalyst expression tree (dim × planes expression nodes
+— plan-compile explosion at 768 dims) and ran one Spark job per
+(dim, plane) pair on the driver to bucket the query vector. Both are
+gone: the driver buckets the query with the same numpy kernel, zero
+jobs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,28 +52,84 @@ def brute_force_topk(df: DataFrame, query_vec: list[float],
             .limit(k))
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """sign(v · h_plane) where h_plane[d] ∈ {-1,+1} is pseudo-random
-    from xxhash64(d, plane) — deterministic, identical everywhere."""
-    terms = [
-        F.when(F.xxhash64(F.lit(d), F.lit(plane)).bitwiseAND(F.lit(1)) == 1,
-               F.element_at(vec, d + 1)).otherwise(-F.element_at(vec, d + 1))
-        for d in range(dim)
-    ]
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    return (s >= 0).cast('int')
+# ------------------------------------------------------- hyperplane LSH
+
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM64_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_M2 = np.uint64(0x94D049BB133111EB)
 
 
-def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int,
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vendored splitmix64 finalizer (Steele et al., OOPSLA 2014 —
+    public domain), vectorized over uint64. Deterministic everywhere;
+    uint64 arithmetic wraps, which is the intended mod-2^64 math."""
+    with np.errstate(over='ignore'):
+        z = x + _SM64_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM64_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM64_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def _plane_signs(dim: int, planes: int) -> np.ndarray:
+    """(dim × planes) ±1 hyperplane matrix from splitmix64(p·2^32 + d).
+    Same bits on driver and executors — the whole determinism story."""
+    p = np.arange(planes, dtype=np.uint64)[None, :]
+    d = np.arange(dim, dtype=np.uint64)[:, None]
+    h = _splitmix64((p << np.uint64(32)) | d)  # (dim × planes)
+    return ((h & np.uint64(1)).astype(np.int64) * 2 - 1).astype(np.float64)
+
+
+def _bucket_of(mat: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """(n × dim) float matrix → (n,) int64 bucket ids via one matmul."""
+    bits = (mat @ signs) >= 0.0  # (n × planes)
+    weights = (1 << np.arange(signs.shape[1], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def _numpy_bucket_udf(planes: int):
+    """Pandas UDF factory: embedding array column → LSH bucket id, all
+    planes in one numpy matmul per batch (uniform-dim fast path; ragged
+    batches fall back to per-row dot products). Sign matrices are cached
+    per dim inside the worker."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def bucket_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[int, np.ndarray] = {}
+
+        def signs_for(d: int) -> np.ndarray:
+            if d not in cache:
+                cache[d] = _plane_signs(d, planes)
+            return cache[d]
+
+        for vecs in batches:
+            lens = vecs.map(len)
+            if lens.nunique() == 1:
+                mat = np.array(vecs.tolist(), dtype=np.float64)
+                out = _bucket_of(mat, signs_for(int(lens.iloc[0])))
+            else:
+                out = np.array([
+                    _bucket_of(np.asarray(v, dtype=np.float64)[None, :],
+                               signs_for(len(v)))[0]
+                    for v in vecs], dtype=np.int64)
+            yield pd.Series(out, dtype='int64')
+
+    return bucket_udf
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str,
                     planes: int = 8, out_col: str = 'lsh_bucket') -> DataFrame:
-    """Random-hyperplane LSH bucket id (0 .. 2^planes-1)."""
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0)
-    for p in range(planes):
-        bucket = bucket + F.shiftleft(_hyperplane_sign(v, p, dim), p)
-    return df.withColumn(out_col, bucket)
+    """Random-hyperplane LSH bucket id (0 .. 2^planes-1), one Arrow
+    round-trip per batch regardless of dim."""
+    return df.withColumn(out_col, _numpy_bucket_udf(planes)(F.col(vec_col)))
+
+
+def query_bucket(query_vec: list[float], planes: int) -> int:
+    """Driver-side bucket of a query vector — same numpy kernel as the
+    executors, zero Spark jobs."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)[None, :]
+    return int(_bucket_of(q, _plane_signs(q.shape[1], planes))[0])
 
 
 def lsh_topk(df: DataFrame, query_vec: list[float],
@@ -69,36 +138,12 @@ def lsh_topk(df: DataFrame, query_vec: list[float],
     """ANN top-k: scan only the query's LSH bucket (partition-prunable
     when the table is written bucketed by lsh_bucket). Recall < 1.0 by
     construction — the bench reports it against brute force."""
-    dim = len(query_vec)
-    bucketed = with_lsh_bucket(df, vec_col, dim, planes)
-    # driver-side bucket of the query vector (same deterministic planes)
-    import pandas as pd  # noqa: F401
-    qsig = 0
-    for p in range(planes):
-        import struct
-        s = 0.0
-        for d, x in enumerate(query_vec):
-            h = _xxhash64_int(d, p)
-            s += x if (h & 1) == 1 else -x
-        qsig += (1 if s >= 0 else 0) << p
-    cand = bucketed.filter(F.col('lsh_bucket') == qsig)
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    cand = bucketed.filter(F.col('lsh_bucket') == query_bucket(query_vec, planes))
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)
 
 
-def _xxhash64_int(d: int, p: int) -> int:
-    """Driver-side xxhash64(lit(d), lit(p)) — computed once via a tiny
-    local DataFrame at first use and memoized."""
-    key = (d, p)
-    cache = _xxhash64_int.__dict__.setdefault('cache', {})
-    if key not in cache:
-        from pyspark.sql import SparkSession
-        spark = SparkSession.getActiveSession()
-        row = (spark.range(1)
-               .select(F.xxhash64(F.lit(d), F.lit(p)).alias('h'))
-               .collect())
-        cache[key] = row[0]['h']
-    return cache[key]
-
+# ------------------------------------------------------------------ IVF
 
 def ivf_index(df: DataFrame, n_lists: int = 16,
               id_col: str = 'vec_id', vec_col: str = 'embedding',
@@ -124,33 +169,57 @@ def ivf_topk(indexed_df: DataFrame, kmeans_model, query_vec: list[float],
     the query (driver-side — n_lists tiny), scan only the n_probe
     nearest cells, exact cosine within them. Recall rises with n_probe;
     n_probe = n_lists degenerates to exact brute force."""
-    import math
-    q = [float(x) for x in query_vec]
-    dists = []
-    for cid, center in enumerate(kmeans_model.clusterCenters()):
-        d = math.sqrt(sum((c - x) ** 2 for c, x in zip(center, q)))
-        dists.append((d, cid))
-    probe = [cid for _, cid in sorted(dists)[:n_probe]]
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    centers = np.array([np.asarray(c, dtype=np.float64)
+                        for c in kmeans_model.clusterCenters()])
+    order = np.argsort(np.linalg.norm(centers - q[None, :], axis=1),
+                       kind='stable')
+    probe = [int(c) for c in order[:n_probe]]
     cand = indexed_df.filter(F.col('ivf_cell').isin(probe))
-    return brute_force_topk(cand, q, id_col, vec_col, k)
+    return brute_force_topk(cand, list(q), id_col, vec_col, k)
 
+
+# ------------------------------------------------- embedding near-dups
 
 def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
                          vec_col: str = 'embedding',
                          threshold: float = 0.95,
-                         planes: int = 6, dim: int | None = None) -> DataFrame:
+                         planes: int = 6,
+                         max_bucket_size: int = 64) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked: only vectors in the
     same hyperplane bucket are compared (equi-join), then exact cosine
-    filters. At 100 TB the bucket count (2^planes) is tuned so each
-    bucket's pair count stays bounded."""
-    if dim is None:
-        first = df.select(F.size(vec_col).alias('d')).first()
-        dim = first['d']
-    b = with_lsh_bucket(df, vec_col, dim, planes)
-    lhs = b.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('v_a'), 'lsh_bucket')
-    rhs = b.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('v_b'), 'lsh_bucket')
-    return (lhs.join(rhs, on='lsh_bucket')
-            .filter(F.col('id_a') < F.col('id_b'))
+    filters.
+
+    Scale guards (same pattern as dedup.minhash_lsh_pairs):
+    - the join runs over a NARROW (id, bucket) table — the dim-wide
+      vectors never ride through the bucket shuffle; they are
+      re-attached per id to the (few) surviving candidate pairs;
+    - a bucket with B members yields B² join rows, and near-dup-heavy
+      corpora (the whole use case) produce hot buckets — buckets over
+      ``max_bucket_size`` are expanded as a STAR around their minimum
+      id instead, keeping cluster discovery (connected components
+      through the hub) while bounding work linearly in bucket size."""
+    b = with_lsh_bucket(df.select(id_col, vec_col), vec_col, planes)
+    narrow = b.select(id_col, 'lsh_bucket')
+    w = Window.partitionBy('lsh_bucket')
+    narrow = (narrow
+              .withColumn('__bsz', F.count('*').over(w))
+              .withColumn('__hub', F.min(id_col).over(w)))
+    small = narrow.filter(F.col('__bsz') <= max_bucket_size)
+    big = narrow.filter(F.col('__bsz') > max_bucket_size)
+
+    a = small.select(F.col(id_col).alias('id_a'), 'lsh_bucket')
+    bb = small.select(F.col(id_col).alias('id_b'), 'lsh_bucket')
+    dense = (a.join(bb, on='lsh_bucket')
+             .filter(F.col('id_a') < F.col('id_b'))
+             .select('id_a', 'id_b'))
+    star = (big.filter(F.col(id_col) != F.col('__hub'))
+            .select(F.col('__hub').alias('id_a'), F.col(id_col).alias('id_b')))
+    pairs = dense.unionByName(star).dropDuplicates(['id_a', 'id_b'])
+
+    va = df.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('v_a'))
+    vb = df.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('v_b'))
+    return (pairs.join(va, 'id_a').join(vb, 'id_b')
             .withColumn('cos_sim', F.round(
                 cosine_sim(_as_double(F.col('v_a')), _as_double(F.col('v_b'))), 6))
             .filter(F.col('cos_sim') >= threshold)

@@ -135,3 +135,38 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert 7 in ann
     recall = len(set(ann) & set(exact)) / 10
     assert recall >= 0.5, f'recall {recall}'
+
+
+def test_lsh_768dim_bounded_plan_and_star_expansion(spark):
+    """768-dim vectors run LSH end-to-end (the old per-dimension
+    expression tree exploded at this dim), the driver-side query bucket
+    matches the executor kernel, and a hot bucket (120 near-identical
+    vectors) is star-expanded instead of joined quadratically."""
+    import numpy as np
+    from pdf_ai_mapper_spark.operators.similarity import (
+        lsh_topk, pairwise_cosine_dups, query_bucket, with_lsh_bucket)
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(768)
+    rows = []
+    for i in range(120):  # hot cluster: tiny perturbations of one vector
+        rows.append((i, [float(x) for x in base + rng.standard_normal(768) * 1e-4]))
+    for i in range(120, 160):  # background noise vectors
+        rows.append((i, [float(x) for x in rng.standard_normal(768)]))
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+
+    bucketed = with_lsh_bucket(df, 'embedding', planes=6).collect()
+    assert all(0 <= r['lsh_bucket'] < 64 for r in bucketed)
+    by_id = {r['vec_id']: r['lsh_bucket'] for r in bucketed}
+    q = rows[0][1]
+    assert query_bucket(q, planes=6) == by_id[0]  # driver == executor
+
+    ann = [r['vec_id'] for r in lsh_topk(df, q, k=10, planes=6).collect()]
+    assert 0 in ann and len(ann) == 10
+
+    pairs = pairwise_cosine_dups(df, threshold=0.999, planes=6,
+                                 max_bucket_size=16).collect()
+    ids_in_pairs = {r['id_a'] for r in pairs} | {r['id_b'] for r in pairs}
+    assert set(range(120)) <= ids_in_pairs  # whole hot cluster reachable via hub
+    # star expansion: ~119 hub pairs, not 120·119/2 = 7140 dense pairs
+    assert len(pairs) < 400
