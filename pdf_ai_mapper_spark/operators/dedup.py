@@ -348,22 +348,40 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 # --------------------------------------------------------------- Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
-    explode → self-join on shingle → |∩| per pair → |∪| from per-doc
-    sizes. The shingle join IS the blocking — disjoint docs never meet."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, k)
-    sizes = sh.select(id_col, F.size('shingles').alias('n_sh'))
+                        k: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int = 256) -> DataFrame:
+    """Exact n-gram Jaccard similarity, blocked through RARE shingles:
+    candidate pairs must share at least one shingle whose corpus
+    document frequency is ≤ ``max_shingle_df``; the Jaccard value
+    itself is exact over the FULL shingle sets (native array_intersect
+    on the re-attached per-doc arrays).
+
+    The df cap is the scale guard: without it a corpus-common shingle
+    (boilerplate, templates) produces df² self-join rows. Capping only
+    the BLOCKING side keeps the similarity exact — a pair above a
+    meaningful threshold shares many shingles, so losing the common
+    ones as join keys doesn't lose the pair (a pair is missed only if
+    ALL its shared shingles exceed the cap). This contract is mirrored
+    exactly by the DuckDB oracle in queries.py (q_ngram_jaccard_exact)."""
+    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
+          .filter(F.size('shingles') > 0)
+          .select(id_col, 'shingles'))
     ex = sh.select(id_col, F.explode('shingles').alias('sh'))
-    a = ex.select(F.col(id_col).alias('id_a'), 'sh')
-    b = ex.select(F.col(id_col).alias('id_b'), 'sh')
-    inter = (a.join(b, on='sh')
-             .filter(F.col('id_a') < F.col('id_b'))
-             .groupBy('id_a', 'id_b').agg(F.count('*').alias('n_inter')))
-    sa = sizes.select(F.col(id_col).alias('id_a'), F.col('n_sh').alias('n_a'))
-    sb = sizes.select(F.col(id_col).alias('id_b'), F.col('n_sh').alias('n_b'))
-    return (inter.join(sa, 'id_a').join(sb, 'id_b')
+    rare = (ex.groupBy('sh').agg(F.count('*').alias('__df'))
+            .filter(F.col('__df') <= max_shingle_df)
+            .select('sh'))
+    exr = ex.join(rare, on='sh')
+    a = exr.select(F.col(id_col).alias('id_a'), 'sh')
+    b = exr.select(F.col(id_col).alias('id_b'), 'sh')
+    cand = (a.join(b, on='sh')
+            .filter(F.col('id_a') < F.col('id_b'))
+            .select('id_a', 'id_b')
+            .dropDuplicates(['id_a', 'id_b']))
+    sa = sh.select(F.col(id_col).alias('id_a'), F.col('shingles').alias('sh_a'))
+    sb = sh.select(F.col(id_col).alias('id_b'), F.col('shingles').alias('sh_b'))
+    inter = F.size(F.array_intersect('sh_a', 'sh_b'))
+    return (cand.join(sa, 'id_a').join(sb, 'id_b')
             .withColumn('jaccard',
-                        F.col('n_inter') / (F.col('n_a') + F.col('n_b') - F.col('n_inter')))
+                        inter / (F.size('sh_a') + F.size('sh_b') - inter))
             .filter(F.col('jaccard') >= threshold)
             .select('id_a', 'id_b', 'jaccard'))

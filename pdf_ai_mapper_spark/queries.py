@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from .kernels.stopwords import sorted_stopwords
 from .operators import textstats
-from .operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+from .operators.dedup import (minhash_lsh_pairs, ngram_jaccard_pairs,
+                              simhash_near_pairs)
 from .operators.similarity import brute_force_topk, cosine_sim, _as_double
 
 _STOPS = sorted_stopwords()
@@ -373,6 +374,20 @@ def q_skew_salted_counts(spark, sf_dir):
             .orderBy('user_id'))
 
 
+def q_ngram_jaccard_exact(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (k=3, threshold 0.5,
+    blocking through shingles with document frequency ≤ 256) — the
+    hash-green anchor for the near-dup family. The DuckDB oracle
+    replicates both the blocking contract and the exact arithmetic, so
+    this is a full value-level check of operators/dedup.py:
+    ngram_jaccard_pairs."""
+    d = _t(spark, sf_dir, 'documents')
+    return (ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5,
+                                max_shingle_df=256)
+            .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
+            .orderBy('id_a', 'id_b'))
+
+
 # ---- non-SQL-expressible (rows-only checks) -------------------------
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -681,6 +696,33 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id ORDER BY user_id
     """,
+    'q_ngram_jaccard_exact': r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE []::VARCHAR[] END AS shingles
+            FROM toks
+        ), shne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shne),
+        rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 256),
+        exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM exr a JOIN exr b USING (s) WHERE a.doc_id < b.doc_id),
+        j AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                   (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+            FROM cand JOIN shne sa ON sa.doc_id = id_a
+                      JOIN shne sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        WHERE jac >= 0.5 ORDER BY id_a, id_b
+    """,
     'q_emb_centroid_per_label': """
         WITH ex AS (
             SELECT label, u.pos AS pos, u.v AS v
@@ -724,6 +766,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_w2_search_snippets': q_w2_search_snippets,
         'q_rollup_orders': q_rollup_orders,
         'q_cube_events': q_cube_events,
+        'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,

@@ -170,3 +170,44 @@ def test_lsh_768dim_bounded_plan_and_star_expansion(spark):
     assert set(range(120)) <= ids_in_pairs  # whole hot cluster reachable via hub
     # star expansion: ~119 hub pairs, not 120·119/2 = 7140 dense pairs
     assert len(pairs) < 400
+
+
+SF001_DOCS = '/root/testdata/sf0.01/documents.parquet'
+
+
+def test_ngram_jaccard_df_cap_invariance_sf001(spark):
+    """The df-capped blocking (max_shingle_df=256) finds exactly the
+    same above-threshold pairs as unbounded blocking on the sf0.01
+    corpus — the cap only prunes join keys, never the arithmetic."""
+    d = spark.read.parquet(SF001_DOCS)
+    capped = {(r['id_a'], r['id_b']): r['jaccard'] for r in
+              ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5,
+                                  max_shingle_df=256).collect()}
+    uncapped = {(r['id_a'], r['id_b']): r['jaccard'] for r in
+                ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5,
+                                    max_shingle_df=10**9).collect()}
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_minhash_simhash_precision_vs_exact_jaccard_sf001(spark):
+    """Pair-set quality of the LSH sketches against the exact n-gram
+    Jaccard ground truth (deterministic data + algorithms → pinned
+    bounds). SimHash approximates token-multiset cosine, not shingle
+    Jaccard, so its bounds are looser by design."""
+    d = spark.read.parquet(SF001_DOCS)
+    exact = {(r['id_a'], r['id_b']) for r in
+             ngram_jaccard_pairs(d, 'doc_id', 'text', k=3,
+                                 threshold=0.5).collect()}
+    exact_hi = {(r['id_a'], r['id_b']) for r in
+                ngram_jaccard_pairs(d, 'doc_id', 'text', k=3,
+                                    threshold=0.8).collect()}
+    mh = {(r['id_a'], r['id_b']) for r in
+          minhash_lsh_pairs(d, 'doc_id', 'text', num_hashes=64, bands=16,
+                            jaccard_threshold=0.8).collect()}
+    assert len(mh & exact) / len(mh) == 1.0       # minhash precision
+    assert len(mh & exact_hi) / len(exact_hi) == 1.0  # minhash recall
+
+    sh = {(r['id_a'], r['id_b']) for r in
+          simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3).collect()}
+    assert len(sh & exact) / len(sh) >= 0.8       # simhash precision
+    assert len(sh & exact_hi) / len(exact_hi) >= 0.6  # simhash recall
