@@ -107,6 +107,37 @@ def determine_topic_type(terms: list[str]) -> str:
     return best if scores[best] > 0 else "Document"
 
 
+def _rx_filter(pattern: str):
+    # closure factory — a default-arg lambda would be bound as a 2-arg
+    # HOF lambda (PLANS.md hazard list)
+    return lambda t: t.rlike(pattern)
+
+
+def with_topic_type(df: DataFrame, text_col: str = 'text',
+                    out_col: str = 'topic_type') -> DataFrame:
+    """A6 topic-type scoring as a NATIVE Spark expression (reference
+    ``_determine_topic_type``, category_manager.py:266-296): per row,
+    score each type = number of whitespace tokens containing any of the
+    type's keywords (one alternation regex per type — a single
+    codegen'd pass over the token array, not one filter per keyword);
+    argmax with first-in-dict-order tie-break via array_max over
+    (score, -index) structs; 'Document' when every score is 0.
+
+    The driver-side Python twin (``determine_topic_type``) keeps the
+    reference's exact list-of-terms semantics for topic naming; this
+    column form is what a 100 TB corpus-labeling pass would run."""
+    toks = F.split(F.lower(F.col(text_col)), ' ')
+    entries = []
+    for i, (ttype, kws) in enumerate(TOPIC_KEYWORDS.items()):
+        score = F.size(F.filter(toks, _rx_filter('|'.join(kws))))
+        entries.append(F.struct(score.alias('s'), F.lit(-i).alias('ni'),
+                                F.lit(ttype).alias('n')))
+    best = F.array_max(F.array(*entries))
+    return df.withColumn(
+        out_col,
+        F.when(best['s'] > 0, best['n']).otherwise(F.lit('Document')))
+
+
 def fit_lda_categories(df: DataFrame,
                        text_col: str = 'preprocessed_text',
                        cfg: EngineConfig = DEFAULT_CONFIG,

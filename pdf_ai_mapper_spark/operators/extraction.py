@@ -51,6 +51,31 @@ def with_doctype(df: DataFrame, payload_col: str = 'html') -> DataFrame:
     return df.withColumn('doctype', doctype_col(F.col(payload_col)))
 
 
+def size_ok_col(payload: Column, max_bytes: int) -> Column:
+    """F1 file-size predicate as a native expression (reference
+    document_processor.py:66-73; the per-row kernel mirror is
+    kernels/extract.py:88-89). Native so Catalyst can push it into the
+    scan and route oversized rows without touching Python."""
+    return F.octet_length(payload) <= F.lit(max_bytes)
+
+
+def error_code_col(text: Column) -> Column:
+    """Typed error taxonomy derived from the reference-faithful error
+    strings (reference analogue: app/core/exceptions.py's exception
+    classes; the strings themselves are pinned by kernels/extract.py).
+    A small enum column for routing/monitoring at scale — the raw
+    'Error: ...' strings stay byte-faithful in extracted_text."""
+    return (
+        F.when(text.isNull(), F.lit('EMPTY'))
+        .when(~text.startswith('Error'), F.lit('OK'))
+        .when(text.startswith('Error: File too large'), F.lit('TOO_LARGE'))
+        .when(text.startswith('Error: PDF extraction timed out'), F.lit('TIMEOUT'))
+        .when(text.startswith('Error: No text could be extracted'), F.lit('NO_TEXT'))
+        .when(text.startswith('Error: empty payload'), F.lit('EMPTY'))
+        .when(text.startswith('Error extracting text:'), F.lit('EXTRACT_FAILED'))
+        .otherwise(F.lit('UNKNOWN_ERROR')))
+
+
 @pandas_udf(StringType())
 def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """payload bytes → extracted text (S2-S6 unified kernel), with a
@@ -137,6 +162,7 @@ def extracted(df: DataFrame,
         .drop('__ep')
         .withColumn('is_error',
                     F.col('extracted_text').startswith('Error'))  # F3
+        .withColumn('error_code', error_code_col(F.col('extracted_text')))
         .withColumn('processed_at', F.current_timestamp())
     )
     if not keep_payload:

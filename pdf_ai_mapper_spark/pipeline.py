@@ -30,7 +30,8 @@ from .operators.extraction import extracted
 
 OUTPUT_COLUMNS = ['url', 'warc_ts', 'lang', 'doctype', 'content_hash',
                   'extracted_text', 'preprocessed_text', 'is_error',
-                  'is_duplicate', 'run_id', 'processed_at', 'bucket']
+                  'error_code', 'is_duplicate', 'run_id', 'processed_at',
+                  'bucket']
 
 
 def transform(input_df: DataFrame, run_id: str,

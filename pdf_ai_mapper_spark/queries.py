@@ -21,10 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .kernels.stopwords import sorted_stopwords
+from .kernels.stopwords import TOPIC_KEYWORDS, sorted_stopwords
 from .operators import textstats
-from .operators.dedup import (minhash_lsh_pairs, ngram_jaccard_pairs,
-                              simhash_near_pairs)
+from .operators.dedup import (dedup_exact, minhash_lsh_pairs,
+                              ngram_jaccard_pairs, simhash_near_pairs)
 from .operators.similarity import brute_force_topk, cosine_sim, _as_double
 
 _STOPS = sorted_stopwords()
@@ -374,6 +374,115 @@ def q_skew_salted_counts(spark, sf_dir):
             .orderBy('user_id'))
 
 
+def q_f1_size_reject(spark, sf_dir):
+    """F1 file-size predicate (operators/extraction.size_ok_col;
+    reference document_processor.py:66-73): accept/reject counts at a
+    1500-byte threshold over the UTF-8 payload size."""
+    from .operators.extraction import size_ok_col
+    d = _t(spark, sf_dir, 'documents')
+    ok = size_ok_col(F.encode(F.col('text'), 'UTF-8'), 1500)
+    return (d.groupBy(ok.alias('accepted'))
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('accepted'))
+
+
+def q_f4_category_overlap(spark, sf_dir):
+    """F4 category-overlap filter (operators/search.category_filter;
+    reference filter_manager.py:25-34): docs whose category array
+    overlaps the wanted list, counted per (lang, source). Categories
+    are derived natively from (lang, source) so the arrays_overlap
+    path is exercised with a SQL-checkable input."""
+    from .operators.search import category_filter
+    d = _t(spark, sf_dir, 'documents').withColumn(
+        'categories', F.array('lang', 'source'))
+    return (category_filter(d, ['de', 'src1'])
+            .groupBy('lang', 'source')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('lang', 'source'))
+
+
+def q_f5_structured_semi_join(spark, sf_dir):
+    """F5 structured category filter (operators/search.
+    structured_category_filter + operators/categorize.
+    category_dimension; reference filter_manager.py:52-68): resolve a
+    type filter + a keyword filter against the category dimension,
+    broadcast-semi-join the docs, count per (lang, source)."""
+    from .operators.categorize import category_dimension
+    from .operators.search import structured_category_filter
+    dim = category_dimension(
+        spark, ['Lang: en', 'Lang: de', 'Source: src1'])
+    d = _t(spark, sf_dir, 'documents').withColumn(
+        'categories',
+        F.array(F.concat(F.lit('Lang: '), F.col('lang')),
+                F.concat(F.lit('Source: '), F.col('source'))))
+    hit = structured_category_filter(d, dim, category_types=['Lang'],
+                                     keywords=['src1'])
+    return (hit.groupBy('lang', 'source')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('lang', 'source'))
+
+
+def q_j4_status_projection(spark, sf_dir):
+    """J4 status projection (pipeline.with_status; reference
+    app/api/status.py:36-42): error/processing/processed counts over
+    deterministically derived is_error/categories flags."""
+    from .pipeline import with_status
+    d = (_t(spark, sf_dir, 'documents')
+         .withColumn('is_error', F.col('doc_id') % 11 == 0)
+         .withColumn('categories',
+                     F.when(F.col('doc_id') % 3 == 0,
+                            F.array().cast('array<string>'))
+                     .otherwise(F.array(F.lit('Topic: sample')))))
+    return (with_status(d).groupBy('status')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('status'))
+
+
+def q_d3_destructive_dedup(spark, sf_dir):
+    """D3 destructive dedup (operators/dedup.dedup_exact; reference
+    document_storage.py:105-138): per-lang count of REMOVED rows —
+    the destructive delta — via survivors anti-join."""
+    d = _t(spark, sf_dir, 'documents').withColumn(
+        'h', F.md5(F.encode(F.col('text'), 'UTF-8')))
+    surv = dedup_exact(d, hash_col='h', order_cols=('doc_id',))
+    removed = d.join(surv.select('doc_id'), on='doc_id', how='left_anti')
+    return (removed.groupBy('lang')
+            .agg(F.count('*').cast('long').alias('n_removed'))
+            .orderBy('lang'))
+
+
+def q_a6_topic_type(spark, sf_dir):
+    """A6 topic-type scoring (operators/categorize.with_topic_type;
+    reference _determine_topic_type, category_manager.py:266-296):
+    per-doc argmax over the pinned keyword table, counted per type."""
+    from .operators.categorize import with_topic_type
+    d = with_topic_type(_t(spark, sf_dir, 'documents'), 'text')
+    return (d.groupBy('topic_type')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('topic_type'))
+
+
+def q_error_taxonomy(spark, sf_dir):
+    """Typed error-code classifier (operators/extraction.
+    error_code_col; reference analogue app/core/exceptions.py) over a
+    deterministic mix of the kernel's pinned error strings and clean
+    text."""
+    from .operators.extraction import error_code_col
+    d = _t(spark, sf_dir, 'documents')
+    msg = (F.when(F.col('doc_id') % 7 == 0, F.lit('Error: File too large'))
+           .when(F.col('doc_id') % 7 == 1,
+                 F.lit('Error: PDF extraction timed out after 120 seconds. '
+                       'The file may be too large or complex.'))
+           .when(F.col('doc_id') % 7 == 2, F.lit('Error extracting text: boom'))
+           .when(F.col('doc_id') % 7 == 3,
+                 F.lit('Error: No text could be extracted from the PDF'))
+           .otherwise(F.col('text')))
+    return (d.select(error_code_col(msg).alias('error_code'))
+            .groupBy('error_code')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('error_code'))
+
+
 def q_ngram_jaccard_exact(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (k=3, threshold 0.5,
     blocking through shingles with document frequency ≤ 256) — the
@@ -414,6 +523,7 @@ def q_extraction_pipeline(spark, sf_dir):
     pages = web_pages_from_documents(spark, sf_dir)
     out = transform(pages, run_id='driver', partitions=None)
     return (out.select('url', 'doctype', 'content_hash', 'is_error',
+                       'error_code',
                        (F.col('extracted_text') == F.col('text')).alias('byte_identical'))
             .orderBy('url'))
 
@@ -433,6 +543,23 @@ _LANG_ID_CASE = (
         f"AND s_{lang} >= 1 THEN '{lang}'"
         for lang in _MARKERS)
     + " ELSE 'und' END"
+)
+
+# A6 topic-type SQL mirror, generated from the same pinned keyword dict
+# (first-in-dict-order wins ties — the CASE chain in dict order)
+_TOPIC_TYPES = list(TOPIC_KEYWORDS)
+_TOPIC_SCORES_SQL = ', '.join(
+    "len(list_filter(toks, t -> regexp_matches(t, '"
+    + '|'.join(TOPIC_KEYWORDS[t]) + f"'))) AS s_{i}"
+    for i, t in enumerate(_TOPIC_TYPES))
+_TOPIC_CASE = (
+    "CASE "
+    + ' '.join(
+        f"WHEN s_{i} >= GREATEST("
+        + ', '.join(f's_{j}' for j in range(len(_TOPIC_TYPES)))
+        + f") AND s_{i} > 0 THEN '{t}'"
+        for i, t in enumerate(_TOPIC_TYPES))
+    + " ELSE 'Document' END"
 )
 
 ORACLES: dict[str, str] = {
@@ -696,6 +823,70 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY user_id ORDER BY user_id
     """,
+    'q_f1_size_reject': """
+        SELECT octet_length(encode(text)) <= 1500 AS accepted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY accepted ORDER BY accepted
+    """,
+    'q_f4_category_overlap': """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        WHERE list_has_any([lang, source], ['de', 'src1'])
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    'q_f5_structured_semi_join': """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        WHERE ('Lang: ' || lang) IN ('Lang: en', 'Lang: de')
+           OR ('Source: ' || source) = 'Source: src1'
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    'q_j4_status_projection': """
+        WITH s AS (
+            SELECT CASE WHEN doc_id % 11 = 0 THEN 'error'
+                        WHEN doc_id % 3 = 0 THEN 'processing'
+                        ELSE 'processed' END AS status
+            FROM documents)
+        SELECT status, CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY status ORDER BY status
+    """,
+    'q_d3_destructive_dedup': """
+        WITH ranked AS (
+            SELECT lang, row_number() OVER (PARTITION BY md5(text)
+                                            ORDER BY doc_id) AS rn
+            FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_removed
+        FROM ranked WHERE rn > 1 GROUP BY lang ORDER BY lang
+    """,
+    'q_a6_topic_type': (
+        "WITH toks_t AS (SELECT string_split(lower(text), ' ') AS toks "
+        "FROM documents), scored AS (SELECT " + _TOPIC_SCORES_SQL
+        + " FROM toks_t), pred AS (SELECT " + _TOPIC_CASE
+        + " AS topic_type FROM scored) "
+        "SELECT topic_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM pred GROUP BY topic_type ORDER BY topic_type"
+    ),
+    'q_error_taxonomy': """
+        WITH m AS (
+            SELECT CASE
+                WHEN doc_id % 7 = 0 THEN 'Error: File too large'
+                WHEN doc_id % 7 = 1 THEN 'Error: PDF extraction timed out after 120 seconds. The file may be too large or complex.'
+                WHEN doc_id % 7 = 2 THEN 'Error extracting text: boom'
+                WHEN doc_id % 7 = 3 THEN 'Error: No text could be extracted from the PDF'
+                ELSE text END AS msg
+            FROM documents)
+        SELECT CASE
+                 WHEN msg IS NULL THEN 'EMPTY'
+                 WHEN NOT starts_with(msg, 'Error') THEN 'OK'
+                 WHEN starts_with(msg, 'Error: File too large') THEN 'TOO_LARGE'
+                 WHEN starts_with(msg, 'Error: PDF extraction timed out') THEN 'TIMEOUT'
+                 WHEN starts_with(msg, 'Error: No text could be extracted') THEN 'NO_TEXT'
+                 WHEN starts_with(msg, 'Error: empty payload') THEN 'EMPTY'
+                 WHEN starts_with(msg, 'Error extracting text:') THEN 'EXTRACT_FAILED'
+                 ELSE 'UNKNOWN_ERROR' END AS error_code,
+               CAST(count(*) AS BIGINT) AS n
+        FROM m GROUP BY error_code ORDER BY error_code
+    """,
     'q_ngram_jaccard_exact': r"""
         WITH toks AS (
             SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
@@ -767,6 +958,13 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_rollup_orders': q_rollup_orders,
         'q_cube_events': q_cube_events,
         'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
+        'q_f1_size_reject': q_f1_size_reject,
+        'q_f4_category_overlap': q_f4_category_overlap,
+        'q_f5_structured_semi_join': q_f5_structured_semi_join,
+        'q_j4_status_projection': q_j4_status_projection,
+        'q_d3_destructive_dedup': q_d3_destructive_dedup,
+        'q_a6_topic_type': q_a6_topic_type,
+        'q_error_taxonomy': q_error_taxonomy,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
