@@ -44,12 +44,14 @@ HEADLINE_QUERIES = [
     'q_emb_cosine_topk',
     'q_minhash_near_dups',
     'q_simhash_near_dups',
+    'q_ngram_jaccard_exact',
 ]
 
 
 def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     from pdf_ai_mapper_spark.config import EngineConfig
     from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.operators.dedup import release
     from pdf_ai_mapper_spark.pipeline import transform
     from pdf_ai_mapper_spark.queries import catalog
     from pdf_ai_mapper_spark.session import get_spark
@@ -68,7 +70,9 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     cat_warm = catalog()
     for name in HEADLINE_QUERIES:
         try:
-            cat_warm[name](spark, warm_sf).collect()
+            df = cat_warm[name](spark, warm_sf)
+            df.collect()
+            release(df)  # drop per-call cached signature tables
         except Exception:
             pass
     _consume(transform(web_pages_df(spark, 200, num_partitions=cpus),
@@ -101,8 +105,10 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
         best = float('inf')
         for _ in range(3):
             t0 = time.monotonic()
-            cat[name](spark, sf_dir).collect()
+            df = cat[name](spark, sf_dir)
+            df.collect()
             best = min(best, time.monotonic() - t0)
+            release(df)  # unpersist outside the timed window
         timings[name] = round(best, 3)
 
     shutil.rmtree(tmp, ignore_errors=True)

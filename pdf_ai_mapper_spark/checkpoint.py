@@ -36,12 +36,33 @@ def data_path(output_path: str) -> str:
     return os.path.join(output_path, 'data')
 
 
+def is_missing_path_error(e: Exception) -> bool:
+    """True only for the missing-input-path analysis error — a corrupt
+    or permission-broken table must surface, not silently disable
+    resume (which would reprocess every bucket)."""
+    cond = None
+    for attr in ('getCondition', 'getErrorClass'):
+        get = getattr(e, attr, None)
+        if callable(get):
+            try:
+                cond = get()
+            except Exception:
+                cond = None
+            break
+    s = str(e)
+    return (cond == 'PATH_NOT_FOUND' or 'PATH_NOT_FOUND' in s
+            or 'Path does not exist' in s)
+
+
 def committed_buckets(spark: SparkSession, output_path: str) -> set[int]:
+    from pyspark.errors import AnalysisException
     cp = checkpoint_path(output_path)
     try:
         rows = spark.read.parquet(cp).select('bucket').distinct().collect()
-    except Exception:  # first run: no checkpoint table yet
-        return set()
+    except AnalysisException as e:
+        if is_missing_path_error(e):  # first run: no checkpoint table yet
+            return set()
+        raise
     return {r['bucket'] for r in rows}
 
 

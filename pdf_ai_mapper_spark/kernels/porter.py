@@ -1,16 +1,44 @@
 """Vendored Porter stemmer — M.F. Porter, "An algorithm for suffix
-stripping", Program 14(3) 1980. Implemented from the published
-algorithm (public knowledge), dependency-free.
+stripping", Program 14(3) 1980 — plus the publicly documented
+"NLTK_EXTENSIONS" behavior tweaks, implemented from their published
+descriptions (public knowledge), dependency-free.
 
 The reference stems *query* tokens with ``nltk.stem.PorterStemmer``
-(``app/core/search/query_processor.py:21,44-48``). NLTK's class adds
-small "NLTK_EXTENSIONS" tweaks on top of the 1980 algorithm; we
-implement the classic algorithm, which agrees with NLTK on ordinary
-English query terms. Documents are never stemmed (reference asymmetry,
-SURVEY.md §2.3), so stemming only shapes query token strings.
+(``app/core/search/query_processor.py:21,44-48``), whose DEFAULT mode
+is NLTK_EXTENSIONS — so that mode is our default too; pass
+``mode=ORIGINAL`` for the classic 1980 algorithm. The extensions that
+change outputs on query-like words:
+
+- an irregular-forms pool (``skies→sky``, ``dying→die``, ``news→news``
+  …) checked before the rule steps;
+- step 1a: 4-letter ``-ies`` words keep the e (``dies→die``, vs
+  classic ``di``);
+- step 1b: ``-ied`` handled directly (``died→die``, ``spied→spi``),
+  skipping the at/bl/iz fixups;
+- step 1c: ``y→i`` only when the y follows a consonant and the stem
+  is longer than one letter (``say→say``, ``play→play``, vs classic
+  ``sai``/``plai``; ``cry→cri`` in both).
+
+Documents are never stemmed (reference asymmetry, SURVEY.md §2.3), so
+stemming only shapes query token strings.
 """
 
 from __future__ import annotations
+
+NLTK_EXTENSIONS = 'nltk'
+ORIGINAL = 'original'
+
+# nltk.stem.porter.PorterStemmer.pool (irregular forms), NLTK_EXTENSIONS
+_POOL = {
+    'sky': 'sky', 'skies': 'sky',
+    'dying': 'die', 'lying': 'lie', 'tying': 'tie',
+    'news': 'news',
+    'innings': 'inning', 'inning': 'inning',
+    'outings': 'outing', 'outing': 'outing',
+    'cannings': 'canning', 'canning': 'canning',
+    'howe': 'howe',
+    'proceed': 'proceed', 'exceed': 'exceed', 'succeed': 'succeed',
+}
 
 _VOWELS = "aeiou"
 
@@ -85,14 +113,22 @@ _STEP4 = [
 ]
 
 
-def stem(word: str) -> str:
-    """Stem one lowercase word with the classic Porter algorithm."""
+def stem(word: str, mode: str = NLTK_EXTENSIONS) -> str:
+    """Stem one lowercase word. Default mode matches
+    nltk.stem.PorterStemmer's default (NLTK_EXTENSIONS), which is what
+    the reference's query path runs; ``mode=ORIGINAL`` is the classic
+    1980 algorithm."""
+    nltk = (mode == NLTK_EXTENSIONS)
+    if nltk and word in _POOL:
+        return _POOL[word]
     if len(word) <= 2:
         return word
     w = word
 
     # Step 1a
-    if w.endswith('sses'):
+    if nltk and w.endswith('ies') and len(w) == 4:
+        w = w[:-1]  # dies → die
+    elif w.endswith('sses'):
         w = w[:-2]
     elif w.endswith('ies'):
         w = w[:-2]
@@ -102,7 +138,9 @@ def stem(word: str) -> str:
         w = w[:-1]
 
     # Step 1b
-    if w.endswith('eed'):
+    if nltk and w.endswith('ied'):
+        w = w[:-1] if len(w) == 4 else w[:-2]  # died → die, spied → spi
+    elif w.endswith('eed'):
         if _measure(w[:-3]) > 0:
             w = w[:-1]
     else:
@@ -122,8 +160,13 @@ def stem(word: str) -> str:
                 w += 'e'
 
     # Step 1c
-    if w.endswith('y') and _has_vowel(w[:-1]):
-        w = w[:-1] + 'i'
+    if w.endswith('y'):
+        s = w[:-1]
+        if nltk:
+            if len(s) > 1 and _is_cons(s, len(s) - 1):
+                w = s + 'i'
+        elif _has_vowel(s):
+            w = s + 'i'
 
     # Step 2
     for suf, rep in _STEP2:

@@ -54,6 +54,16 @@ def anti_join_committed(batch: DataFrame, committed: DataFrame,
                       on=hash_col, how='left_anti')
 
 
+def release(df: DataFrame) -> None:
+    """Unpersist the cached signature tables backing a pairs DataFrame
+    returned by ``minhash_lsh_pairs`` / ``simhash_near_pairs``. Call
+    once the result has been materialized (collect/write) — repeated
+    calls in a long-lived session (bench loops, repeated queries)
+    otherwise accumulate MEMORY_AND_DISK tables."""
+    for dep in getattr(df, '_persisted_deps', ()):
+        dep.unpersist()
+
+
 # --------------------------------------------------------------- shingling
 
 def with_shingles(df: DataFrame, text_col: str, k: int = 3,
@@ -230,10 +240,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.zip_with('sig_a', 'sig_b', lambda x, y: x == y),
         lambda m: m,
     ))
-    return (pairs
-            .withColumn('jaccard_est', agree / F.lit(float(num_hashes)))
-            .filter(F.col('jaccard_est') >= jaccard_threshold)
-            .select('id_a', 'id_b', 'jaccard_est'))
+    result = (pairs
+              .withColumn('jaccard_est', agree / F.lit(float(num_hashes)))
+              .filter(F.col('jaccard_est') >= jaccard_threshold)
+              .select('id_a', 'id_b', 'jaccard_est'))
+    result._persisted_deps = [sig]  # for release() once materialized
+    return result
 
 
 # --------------------------------------------------------------- SimHash
@@ -338,11 +350,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             .select('__hub', F.col(id_col).alias('id_b'), F.col('simhash').alias('sh_b'))
             .join(hub_sh, on='__hub')
             .select(F.col('__hub').alias('id_a'), 'sh_a', 'id_b', 'sh_b'))
-    return (dense.unionByName(star)
-            .dropDuplicates(['id_a', 'id_b'])
-            .withColumn('hamming', F.bit_count(F.col('sh_a').bitwiseXOR(F.col('sh_b'))))
-            .filter(F.col('hamming') <= max_hamming)
-            .select('id_a', 'id_b', 'hamming'))
+    result = (dense.unionByName(star)
+              .dropDuplicates(['id_a', 'id_b'])
+              .withColumn('hamming', F.bit_count(F.col('sh_a').bitwiseXOR(F.col('sh_b'))))
+              .filter(F.col('hamming') <= max_hamming)
+              .select('id_a', 'id_b', 'hamming'))
+    result._persisted_deps = [sh]  # for release() once materialized
+    return result
 
 
 # --------------------------------------------------------------- Jaccard

@@ -76,11 +76,27 @@ def error_code_col(text: Column) -> Column:
         .otherwise(F.lit('UNKNOWN_ERROR')))
 
 
+_TIMEOUT_MSG = ("Error: PDF extraction timed out after {s} seconds. "
+                "The file may be too large or complex.")
+
+
+def _budget_check(text: str, elapsed: float, budget: float) -> str:
+    """Post-hoc per-row time budget (reference pdf_extractor.py:68-73):
+    a row whose extraction ran over budget AND produced no text gets
+    the reference's timeout string; partial text is kept, and a
+    genuine extraction error message is never rewritten. NB this is a
+    detection mechanism, not a preemption one — it cannot interrupt a
+    hung kernel call; at cluster scale stragglers are additionally
+    bounded by spark.task.maxFailures + speculative execution."""
+    if elapsed > budget and not text:
+        return _TIMEOUT_MSG.format(s=int(budget))
+    return text
+
+
 @pandas_udf(StringType())
 def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """payload bytes → extracted text (S2-S6 unified kernel), with a
-    cooperative per-row time budget standing in for the reference's
-    timeout threads."""
+    """payload bytes → extracted text (S2-S6 unified kernel), with the
+    post-hoc per-row time budget of ``_budget_check``."""
     cfg = DEFAULT_CONFIG
     budget = cfg.pdf_timeout_s
     for payloads in batches:
@@ -88,14 +104,7 @@ def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for data in payloads:
             t0 = time.monotonic()
             text = extract_text(data, cfg)
-            if time.monotonic() - t0 > budget:
-                # reference pdf_extractor.py:68-73: partial text if any,
-                # else the timeout error string
-                if not text or text.startswith('Error'):
-                    text = (f"Error: PDF extraction timed out after "
-                            f"{int(budget)} seconds. The file may be too "
-                            f"large or complex.")
-            out.append(text)
+            out.append(_budget_check(text, time.monotonic() - t0, budget))
         yield pd.Series(out, dtype='object')
 
 
@@ -125,10 +134,13 @@ def extract_preprocess_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFram
     pressure and Arrow bytes (measured: the chained form flatlined
     local[8]→local[32] scaling)."""
     cfg = DEFAULT_CONFIG
+    budget = cfg.pdf_timeout_s
     for payloads in batches:
         ext, pre = [], []
         for data in payloads:
+            t0 = time.monotonic()
             text = extract_text(data, cfg)
+            text = _budget_check(text, time.monotonic() - t0, budget)
             ext.append(text)
             pre.append(preprocess_text(text))
         yield pd.DataFrame({'extracted_text': ext, 'preprocessed_text': pre})

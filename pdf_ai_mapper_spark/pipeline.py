@@ -96,9 +96,12 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
         todo_df = todo_df.filter(~bucket.isin(sorted(done)))
 
     if dedup_against_output:
+        from pyspark.errors import AnalysisException
         try:
             committed = cp.read_output(spark, output_path)
-        except Exception:
+        except AnalysisException as e:
+            if not cp.is_missing_path_error(e):
+                raise  # corrupt/permission-broken output must surface
             committed = None  # first run — nothing committed yet
         if committed is not None:
             # the raw input has no content_hash yet — derive it for the

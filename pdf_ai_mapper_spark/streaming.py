@@ -5,11 +5,11 @@ The reference has no streaming — each upload spawns a daemon thread
 that "process whatever arrived" loop is an ``availableNow`` file-source
 stream: new parquet files landing under an input directory are picked
 up in bounded micro-batches, run through the SAME ``pipeline.transform``
-body, and committed via ``foreachBatch`` into the same bucketed layout
-— so batch and streaming share one code path and one output contract.
-Streaming checkpointing (offsets/WAL) composes with the engine's own
-per-bucket lineage table: offsets make file pickup exactly-once,
-the lineage table makes reprocessing idempotent.
+body, and committed via ``foreachBatch`` into a per-batch-overwritable
+bucketed layout (run_id=stream-{batch_id}/bucket=...). Streaming
+checkpointing (offsets/WAL) makes file pickup exactly-once; the
+per-batch dynamic partition overwrite in ``batch_sink`` makes the
+write side idempotent under micro-batch retry.
 """
 
 from __future__ import annotations
@@ -24,6 +24,27 @@ from .fixtures.webpages import WEB_PAGES_SCHEMA
 from .pipeline import transform
 
 
+def batch_sink(output_path: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """foreachBatch sink, idempotent PER BATCH: the output is laid out
+    as run_id=stream-{batch_id}/bucket=... and written with dynamic
+    partition overwrite, so a micro-batch retried after a crash between
+    the job commit and the stream-checkpoint commit REPLACES its own
+    partitions instead of appending duplicates. Combined with the
+    source's offset checkpoint this gives exactly-once output rows.
+    The streaming output root must be stream-only — batch runs lay
+    out bucket=... at the top level and must not share the directory."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df, run_id=f'stream-{batch_id}', cfg=cfg)
+        if 'text' in out.columns:
+            out = out.drop('text')
+        (out.write
+         .partitionBy('run_id', 'bucket')
+         .option('partitionOverwriteMode', 'dynamic')
+         .mode('overwrite')
+         .parquet(cp.data_path(output_path)))
+    return sink
+
+
 def ingest_stream(spark: SparkSession, input_path: str, output_path: str,
                   cfg: EngineConfig = DEFAULT_CONFIG,
                   available_now: bool = True,
@@ -35,18 +56,8 @@ def ingest_stream(spark: SparkSession, input_path: str, output_path: str,
               .option('maxFilesPerTrigger', max_files_per_trigger)
               .parquet(input_path))
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = transform(batch_df, run_id=f'stream-{batch_id}', cfg=cfg)
-        if 'text' in out.columns:
-            out = out.drop('text')
-        (out.write
-         .partitionBy('bucket')
-         .option('partitionOverwriteMode', 'dynamic')
-         .mode('append')
-         .parquet(cp.data_path(output_path)))
-
     writer = (stream.writeStream
-              .foreachBatch(sink)
+              .foreachBatch(batch_sink(output_path, cfg))
               .option('checkpointLocation', os.path.join(output_path, '_stream_checkpoint')))
     if available_now:
         query = writer.trigger(availableNow=True).start()

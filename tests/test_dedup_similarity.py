@@ -211,3 +211,13 @@ def test_minhash_simhash_precision_vs_exact_jaccard_sf001(spark):
           simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3).collect()}
     assert len(sh & exact) / len(sh) >= 0.8       # simhash precision
     assert len(sh & exact_hi) / len(exact_hi) >= 0.6  # simhash recall
+
+
+def test_release_unpersists_signature_cache(spark):
+    from pdf_ai_mapper_spark.operators.dedup import release
+    df = minhash_lsh_pairs(_corpus(spark), 'id', 'body',
+                           num_hashes=64, bands=16, jaccard_threshold=0.4)
+    df.collect()
+    assert df._persisted_deps[0].storageLevel.useMemory
+    release(df)
+    assert not df._persisted_deps[0].storageLevel.useMemory

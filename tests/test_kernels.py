@@ -191,5 +191,19 @@ def test_query_preprocess_stems_and_drops_stopwords():
     ('rate', 'rate'), ('cease', 'ceas'), ('controll', 'control'), ('roll', 'roll'),
 ])
 def test_porter_stemmer_canonical_vocabulary(word, expected):
-    """Examples from Porter's 1980 paper, steps 1a-5b."""
+    """Examples from Porter's 1980 paper, steps 1a-5b (classic mode)."""
+    assert porter.stem(word, mode=porter.ORIGINAL) == expected
+
+
+@pytest.mark.parametrize('word,expected', [
+    # NLTK_EXTENSIONS divergences from the 1980 paper, matching
+    # nltk.stem.PorterStemmer() defaults (the reference's query path):
+    ('ties', 'tie'), ('dies', 'die'),          # step1a: 4-letter -ies
+    ('died', 'die'), ('spied', 'spi'),         # step1b: -ied direct
+    ('play', 'play'), ('say', 'say'),          # step1c: vowel+y kept
+    ('enjoy', 'enjoy'), ('cry', 'cri'), ('happy', 'happi'),
+    ('skies', 'sky'), ('dying', 'die'), ('lying', 'lie'),  # pool
+    ('news', 'news'), ('innings', 'inning'), ('succeed', 'succeed'),
+])
+def test_porter_stemmer_nltk_extensions(word, expected):
     assert porter.stem(word) == expected

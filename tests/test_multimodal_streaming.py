@@ -181,3 +181,29 @@ def test_stateful_sessionization(spark):
     finally:
         shutil.rmtree(indir, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+def test_batch_sink_retry_is_idempotent(spark):
+    """A foreachBatch micro-batch retried after a crash between job
+    commit and stream-checkpoint commit must not duplicate rows: the
+    sink overwrites its own run_id=stream-{batch_id} partitions."""
+    import tempfile
+    import shutil
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.streaming import batch_sink
+
+    outdir = tempfile.mkdtemp(prefix='pam_sink_')
+    try:
+        sink = batch_sink(outdir, CFG)
+        batch = web_pages_df(spark, 30)
+        sink(batch, 0)
+        n1 = cp.read_output(spark, outdir).count()
+        sink(batch, 0)  # simulated retry of the same batch_id
+        assert cp.read_output(spark, outdir).count() == n1 == 30
+        batch2 = spark.createDataFrame(web_pages_pandas(10, start=100))
+        sink(batch2, 1)  # next batch adds its own partitions
+        out = cp.read_output(spark, outdir)
+        assert out.count() == 40
+        assert out.select('run_id').distinct().count() == 2
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)

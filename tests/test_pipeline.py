@@ -90,3 +90,19 @@ def test_dedup_against_output_anti_join(spark, outdir):
                         outdir, CFG, dedup_against_output=True)
     assert s2['rows_in'] == 0
     assert cp.read_output(spark, outdir).count() == 90
+
+
+def test_corrupt_checkpoint_table_surfaces(spark, outdir):
+    """A broken _checkpoints table must raise, not silently disable
+    resume (checkpoint.committed_buckets narrows its catch to the
+    missing-path error only)."""
+    import os
+    import pytest
+
+    os.makedirs(cp.checkpoint_path(outdir), exist_ok=True)
+    with open(os.path.join(cp.checkpoint_path(outdir), 'part-0.parquet'), 'wb') as f:
+        f.write(b'this is not parquet')
+    # corrupt footers raise a SparkException (not the missing-path
+    # AnalysisException) — committed_buckets must let it propagate
+    with pytest.raises(Exception, match='[Pp]arquet|Job aborted'):
+        cp.committed_buckets(spark, outdir)
