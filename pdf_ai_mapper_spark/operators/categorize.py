@@ -25,6 +25,9 @@ max_iter=100)) with ``pyspark.ml``:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.ml.clustering import LDA, KMeans
 from pyspark.ml.feature import (IDF, CountVectorizer, CountVectorizerModel,
                                 HashingTF)
@@ -197,24 +200,27 @@ def fit_lda_categories(df: DataFrame,
 
 def with_simple_categories(df: DataFrame,
                            text_col: str = 'preprocessed_text') -> DataFrame:
-    """A1 cold-start path, fully native: top-3 words of len>=4 by
-    count, ties by first occurrence (Counter semantics) — expressed as
-    (-count, first_pos) sort over per-doc word aggregates."""
-    words = F.filter(F.split(F.col(text_col), ' '), lambda w: F.length(w) >= 4)
-    # struct sort: (-count, first_index) ascending == most_common order
-    counted = F.transform(
-        F.array_distinct(words),
-        lambda w: F.struct(
-            (-F.size(F.filter(words, lambda x: x == w))).alias('negc'),
-            F.array_position(words, w).alias('pos'),
-            w.alias('w')))
-    top = F.slice(F.array_sort(counted), 1, 3)
-    name = F.concat(F.lit('Topic: '),
-                    F.concat_ws(', ', F.transform(top, lambda s: s['w'])))
-    return df.withColumn(
-        'categories',
-        F.when(F.size(words) > 0, F.array(name))
-        .otherwise(F.array(F.lit('Uncategorized'))))
+    """A1 cold-start path (reference category_manager.py:64-75,90-103):
+    top-3 words of len>=4 by count, ties by first occurrence (Counter
+    semantics), via the per-row Python kernel in an Arrow-batched
+    pandas UDF. This path only runs when the corpus has fewer than
+    min_docs_for_model (5) documents, so row-wise Python is the right
+    tool — the earlier native formulation referenced the token-split
+    expression inside HOF lambdas, which re-evaluates it per distinct
+    word on the interpreted path (the no-CSE-in-HOF-lambdas hazard in
+    PLANS.md — O(n²)-ish on long docs)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..kernels.preprocess import simple_categories
+
+    @pandas_udf(ArrayType(StringType()))
+    def cats_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series([simple_categories(t) if t is not None
+                             else ['Uncategorized'] for t in texts])
+
+    return df.withColumn('categories', cats_udf(F.col(text_col)))
 
 
 def save_models(path: str, cv_model=None, lda_model=None,

@@ -122,6 +122,22 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                 'error_rows': 0, 'resumed_skipped_buckets': len(done)}
 
     result = transform(todo_df, run_id, cfg)
+
+    # lineage counters ride ON the write job via df.observe() — the
+    # earlier post-write re-scan read the whole output table back
+    # (run_id is not a partition key, so at 100 TB that is a full
+    # footer scan). Per-bucket conditional sums are bounded by
+    # cfg.output_buckets, evaluated map-side at zero extra passes.
+    from pyspark.sql import Observation
+    obs = Observation(f'lineage-{run_id}')
+    buckets_todo = sorted(rows_in)
+    metrics = []
+    for b in buckets_todo:
+        metrics.append(F.sum(F.when(F.col('bucket') == b, 1).otherwise(0))
+                       .cast('long').alias(f'out_{b}'))
+        metrics.append(F.sum(F.when((F.col('bucket') == b) & F.col('is_error'), 1)
+                             .otherwise(0)).cast('long').alias(f'err_{b}'))
+    result = result.observe(obs, metrics[0], *metrics[1:])
     # write mode per use case:
     # - resume of the SAME input (default): dynamic partition overwrite —
     #   a bucket is either committed or fully rewritten, crash-safe;
@@ -137,18 +153,12 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                   .mode('overwrite'))
     writer.parquet(cp.data_path(output_path))
 
-    # lineage counters from the written files (cheap columnar re-scan,
-    # no UDF re-execution)
-    written = (spark.read.parquet(cp.data_path(output_path))
-               .filter(F.col('run_id') == run_id)
-               .groupBy('bucket')
-               .agg(F.count('*').alias('rows_out'),
-                    F.sum(F.col('is_error').cast('long')).alias('error_rows'))
-               .collect())
-    entries = [{'run_id': run_id, 'bucket': int(r['bucket']),
-                'rows_in': int(rows_in.get(r['bucket'], 0)),
-                'rows_out': int(r['rows_out']),
-                'error_rows': int(r['error_rows'])} for r in written]
+    vals = obs.get  # blocks until the write job reports its metrics
+    entries = [{'run_id': run_id, 'bucket': int(b),
+                'rows_in': int(rows_in.get(b, 0)),
+                'rows_out': int(vals[f'out_{b}']),
+                'error_rows': int(vals[f'err_{b}'])}
+               for b in buckets_todo if int(vals[f'out_{b}']) > 0]
     cp.append_checkpoints(spark, output_path, entries)
 
     return {
