@@ -118,6 +118,8 @@ def _fast_tree(html: str) -> _Node:
     pos = 0
     n = len(html)
     find = html.find
+    low = None  # html.lower(), computed at most once (was once PER
+    #             script/style tag — O(tags·n) on script-heavy pages)
     while pos < n:
         lt = find('<', pos)
         if lt < 0:
@@ -154,7 +156,9 @@ def _fast_tree(html: str) -> _Node:
         attrs = m.group('attrs') or ''
         self_closing = attrs.rstrip().endswith('/')
         if tag in _RAWTEXT_TAGS and not self_closing:
-            close = html.lower().find(f'</{tag}', pos)
+            if low is None:
+                low = html.lower()
+            close = low.find(f'</{tag}', pos)
             raw = html[pos:close] if close >= 0 else html[pos:]
             if close >= 0:
                 gt = find('>', close)
@@ -173,7 +177,8 @@ def _fast_tree(html: str) -> _Node:
             # scan to the matching end tag at depth 1
             depth = 1
             scan = pos
-            low = html.lower()
+            if low is None:
+                low = html.lower()
             while depth and scan < n:
                 nxt_open = low.find(f'<{tag}', scan)
                 nxt_close = low.find(f'</{tag}', scan)
@@ -281,6 +286,7 @@ def extract_main_text(html: str) -> str:
         return ""
 
     stats = {id(b): _block_stats(b) for b in blocks}
+    cands = {id(b): _candidate_of(b) for b in blocks}  # ancestor walk once
 
     # Score candidate containers by the mass of their good blocks.
     scores: dict[int, float] = {}
@@ -290,7 +296,7 @@ def extract_main_text(html: str) -> str:
         s = _block_score(text, n, ld)
         if s <= 0.0:
             continue
-        cand = _candidate_of(b)
+        cand = cands[id(b)]
         if cand is None:
             continue
         key = id(cand)
@@ -314,8 +320,7 @@ def extract_main_text(html: str) -> str:
     # Emit the winner's own good blocks in document order.
     out: list[str] = []
     for b in blocks:
-        cand = _candidate_of(b)
-        if cand is not best:
+        if cands[id(b)] is not best:
             continue
         text, n, ld = stats[id(b)]
         if n == 0:

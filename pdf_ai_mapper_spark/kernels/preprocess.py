@@ -37,18 +37,21 @@ _RE_ARABIC = re.compile(r'[؀-ۿ]')
 _RE_SPECIALS = re.compile(r'[^\w\s-]')
 _RE_DIGITS = re.compile(r'\d+')
 _RE_WS = re.compile(r'\s+')
+# The six script/special/digit passes fused into ONE alternation: the
+# three groups are disjoint character sets (script chars are \w
+# letters, digits are \w, specials are non-\w), every match is
+# replaced by a single space in all formulations, and replacements
+# never create new matches — so one pass is byte-identical to the
+# reference's six sequential subs (verified by the hypothesis parity
+# suite vs tests/reference_extractor.py).
+_RE_STRIP_ALL = re.compile(
+    r'[Ͱ-Ͽἀ-῿Ѐ-ӿ一-鿿؀-ۿ]|[^\w\s-]|\d+')
 
 
 def normalize_text(text: str) -> str:
     """T2-T5: lowercase, strip non-Latin scripts / specials / digits,
     collapse whitespace. (reference text_preprocessor.py:106-119)"""
-    text = text.lower()
-    text = _RE_GREEK.sub(' ', text)
-    text = _RE_CYRILLIC.sub(' ', text)
-    text = _RE_CJK.sub(' ', text)
-    text = _RE_ARABIC.sub(' ', text)
-    text = _RE_SPECIALS.sub(' ', text)
-    text = _RE_DIGITS.sub(' ', text)
+    text = _RE_STRIP_ALL.sub(' ', text.lower())
     return _RE_WS.sub(' ', text).strip()
 
 

@@ -514,6 +514,34 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3).orderBy('id_a', 'id_b')
 
 
+def q_lda_categories(spark, sf_dir):
+    """A3-A6 composed (rows-only — LDA topic labels are seeded but not
+    SQL-expressible): CountVectorizer(pinned-order vocab) + LDA(k=8,
+    seed=42, reduced iterations for driver runtime) over the documents
+    table, per-category doc counts. Deterministic at fixed parallelism
+    (SURVEY.md §7.4)."""
+    from .operators.categorize import fit_lda_categories
+    d = (_t(spark, sf_dir, 'documents')
+         .withColumn('preprocessed_text', F.col('text')))
+    out = fit_lda_categories(d, max_iter=10)
+    return (out.select('doc_id', F.explode('categories').alias('category'))
+            .groupBy('category')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('category'))
+
+
+def q_search_pipeline(spark, sf_dir):
+    """F7+F8+W1-W3+F6 composed through the REAL search() operator
+    (rows-only; the SQL-checkable reconstruction of the scoring math
+    is q_w2_search_snippets): query stem → guard → relevance → score>0
+    → snippet → top-k projection."""
+    from .operators.search import search
+    d = (_t(spark, sf_dir, 'documents')
+         .withColumn('url', F.concat(F.lit('doc-'), F.col('doc_id')))
+         .withColumn('extracted_text', F.col('text')))
+    return search(d, 'data models', k=10)
+
+
 def q_extraction_pipeline(spark, sf_dir):
     """The flagship: full extraction pipeline over web pages synthesized
     from the documents table; per-url byte-identity asserted as a
@@ -969,4 +997,6 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
         'q_extraction_pipeline': q_extraction_pipeline,
+        'q_lda_categories': q_lda_categories,
+        'q_search_pipeline': q_search_pipeline,
     }
