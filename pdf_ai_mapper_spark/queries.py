@@ -483,6 +483,24 @@ def q_error_taxonomy(spark, sf_dir):
             .orderBy('error_code'))
 
 
+def q_emb_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (operators/similarity.
+    pairwise_cosine_dups, hyperplane-LSH blocked) over the embeddings
+    table unioned with an exactly-duplicated slice (vec_id%5==0,
+    shifted ids). The fixture's max natural pairwise cosine is ~0.51,
+    so at threshold 0.95 the true pair set is exactly the duplicate
+    identities — which identical vectors' identical buckets provably
+    find — making the LSH operator's output equal to the exact DuckDB
+    all-pairs oracle."""
+    from .operators.similarity import pairwise_cosine_dups
+    vecs = _t(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
+    dup = (vecs.filter(F.col('vec_id') % 5 == 0)
+           .withColumn('vec_id', F.col('vec_id') + 100000))
+    both = vecs.unionByName(dup)
+    return (pairwise_cosine_dups(both, threshold=0.95, planes=6)
+            .orderBy('id_a', 'id_b'))
+
+
 def q_ngram_jaccard_exact(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (k=3, threshold 0.5,
     blocking through shingles with document frequency ≤ 256) — the
@@ -915,6 +933,25 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM m GROUP BY error_code ORDER BY error_code
     """,
+    'q_emb_cosine_dups': """
+        WITH u AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id % 5 = 0),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                a.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))), 6)
+                       AS cos_sim
+            FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos_sim FROM p
+        WHERE cos_sim >= 0.95 ORDER BY id_a, id_b
+    """,
     'q_ngram_jaccard_exact': r"""
         WITH toks AS (
             SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
@@ -986,6 +1023,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_rollup_orders': q_rollup_orders,
         'q_cube_events': q_cube_events,
         'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
+        'q_emb_cosine_dups': q_emb_cosine_dups,
         'q_f1_size_reject': q_f1_size_reject,
         'q_f4_category_overlap': q_f4_category_overlap,
         'q_f5_structured_semi_join': q_f5_structured_semi_join,
