@@ -84,3 +84,52 @@ def new_run_id() -> str:
 
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.parquet(data_path(output_path))
+
+
+def compact_output(spark: SparkSession, output_path: str,
+                   files_per_bucket: int = 1) -> dict:
+    """Small-file compaction for the bucketed batch layout.
+
+    Every append-mode run (incremental batches via
+    ``run_extraction(dedup_against_output=True)``) adds ≥1 file per
+    touched bucket, so file count grows linearly with runs — at
+    cluster scale each read then pays one open()+footer parse per tiny
+    file. Rewrites each bucket into ``files_per_bucket`` files
+    (repartition on (bucket, url-hash-salt) so a bucket can also be
+    SPLIT into several right-sized files), verifies the row count,
+    then atomically swaps directories. The lineage table is untouched:
+    compaction moves bytes, not rows, so resume semantics and
+    counters stay valid.
+
+    On a real cluster this is Iceberg's rewrite-data-files snapshot
+    commit; the local-fs stand-in is write-to-sibling + rename swap,
+    with the row-count check before the old data is dropped."""
+    import shutil
+
+    data = data_path(output_path)
+    df = spark.read.parquet(data)
+    files_before = len(df.inputFiles())
+    n_before = df.count()
+
+    k = max(1, files_per_bucket)
+    n_buckets = df.select('bucket').distinct().count()
+    parts = df.repartition(max(1, n_buckets * k), F.col('bucket'),
+                           F.pmod(F.xxhash64('url'), F.lit(k)))
+    tmp = data + '.compact_tmp'
+    parts.write.partitionBy('bucket').mode('overwrite').parquet(tmp)
+
+    compacted = spark.read.parquet(tmp)
+    n_after = compacted.count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f'compaction row-count mismatch: {n_before} -> {n_after}; '
+            f'original data left untouched')
+    files_after = len(compacted.inputFiles())
+
+    old = data + '.compact_old'
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old, ignore_errors=True)
+    return {'rows': int(n_after), 'files_before': int(files_before),
+            'files_after': int(files_after)}

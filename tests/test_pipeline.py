@@ -106,3 +106,30 @@ def test_corrupt_checkpoint_table_surfaces(spark, outdir):
     # AnalysisException) — committed_buckets must let it propagate
     with pytest.raises(Exception, match='[Pp]arquet|Job aborted'):
         cp.committed_buckets(spark, outdir)
+
+
+def test_compact_output_preserves_rows_and_reduces_files(spark, outdir):
+    """Three incremental append runs fragment the buckets; compaction
+    rewrites to ~1 file per bucket with identical rows, and resume
+    semantics survive (lineage table untouched)."""
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_pandas
+    for start in (0, 100, 200):
+        batch = spark.createDataFrame(web_pages_pandas(40, start=start))
+        run_extraction(spark, batch, outdir, CFG, dedup_against_output=True)
+
+    before = cp.read_output(spark, outdir)
+    rows_before = sorted(r['url'] for r in before.select('url').collect())
+    files_before = len(before.inputFiles())
+
+    stats = cp.compact_output(spark, outdir)
+    assert stats['rows'] == len(rows_before) == 120
+    assert stats['files_after'] < files_before
+    assert stats['files_after'] <= CFG.output_buckets
+
+    after = cp.read_output(spark, outdir)
+    assert sorted(r['url'] for r in after.select('url').collect()) == rows_before
+    # retry of already-ingested batch is still a no-op after compaction
+    batch = spark.createDataFrame(web_pages_pandas(40, start=0))
+    s = run_extraction(spark, batch, outdir, CFG, dedup_against_output=True)
+    assert s['rows_in'] == 0
+    assert cp.read_output(spark, outdir).count() == 120
