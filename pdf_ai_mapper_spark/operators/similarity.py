@@ -221,8 +221,13 @@ def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
       ``max_bucket_size`` are expanded as a STAR around their minimum
       id instead, keeping cluster discovery (connected components
       through the hub) while bounding work linearly in bucket size."""
+    from pyspark.storagelevel import StorageLevel
     b = with_lsh_bucket(df.select(id_col, vec_col), vec_col, planes)
-    narrow = b.select(id_col, 'lsh_bucket')
+    # narrow (id, bucket) persisted: it feeds the window + both join
+    # sides + the star branch — without it the bucket pandas UDF (and
+    # the embedding scan behind it) re-runs once per branch
+    narrow = (b.select(id_col, 'lsh_bucket')
+              .persist(StorageLevel.MEMORY_AND_DISK))
     w = Window.partitionBy('lsh_bucket')
     narrow = (narrow
               .withColumn('__bsz', F.count('*').over(w))
@@ -241,8 +246,10 @@ def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
 
     va = df.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('v_a'))
     vb = df.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('v_b'))
-    return (pairs.join(va, 'id_a').join(vb, 'id_b')
-            .withColumn('cos_sim', F.round(
-                cosine_sim(_as_double(F.col('v_a')), _as_double(F.col('v_b'))), 6))
-            .filter(F.col('cos_sim') >= threshold)
-            .select('id_a', 'id_b', 'cos_sim'))
+    result = (pairs.join(va, 'id_a').join(vb, 'id_b')
+              .withColumn('cos_sim', F.round(
+                  cosine_sim(_as_double(F.col('v_a')), _as_double(F.col('v_b'))), 6))
+              .filter(F.col('cos_sim') >= threshold)
+              .select('id_a', 'id_b', 'cos_sim'))
+    result._persisted_deps = [narrow]  # dedup.release() unpersists
+    return result

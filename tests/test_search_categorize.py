@@ -165,3 +165,33 @@ def test_model_persistence_roundtrip(spark, corpus, tmp_path):
     b = loaded['lda'].transform(feats).select('topicDistribution').collect()
     for ra, rb in zip(a, b):
         assert ra[0].toArray().round(8).tolist() == rb[0].toArray().round(8).tolist()
+
+
+def test_with_topic_type_matches_python_twin(spark):
+    """The native A6 column form must agree with the reference-faithful
+    Python twin (determine_topic_type) on randomized token lists —
+    including tie-breaks (first type in dict order wins) and the
+    all-zero 'Document' fallback."""
+    import random
+    from pdf_ai_mapper_spark.kernels.stopwords import TOPIC_KEYWORDS
+    from pdf_ai_mapper_spark.operators.categorize import (
+        determine_topic_type, with_topic_type)
+
+    rng = random.Random(42)
+    all_kws = [kw for kws in TOPIC_KEYWORDS.values() for kw in kws]
+    filler = ['lorem', 'ipsum', 'dolor', 'sit', 'amet', 'xyzzy']
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(all_kws if rng.random() < 0.5 else filler)
+                for _ in range(n)]
+        if rng.random() < 0.3 and toks:  # keyword-as-substring cases
+            toks[0] = 'pre' + toks[0] + 'post'
+        rows.append((i, ' '.join(toks)))
+    df = spark.createDataFrame(rows, 'id long, text string')
+    got = {r['id']: r['topic_type']
+           for r in with_topic_type(df, 'text').collect()}
+    for i, text in rows:
+        want = determine_topic_type(text.split(' ')) if text else \
+            determine_topic_type([''])
+        assert got[i] == want, (i, text, got[i], want)
