@@ -483,6 +483,24 @@ def q_error_taxonomy(spark, sf_dir):
             .orderBy('error_code'))
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """General two-stage salted aggregation (operators/skew.salted_agg)
+    over the skewed events table: per-event_type count + sum + max of
+    value. The oracle asserts byte-equality with a plain GROUP BY —
+    the salting must be algebraically invisible."""
+    from .operators.skew import salted_agg
+    ev = _t(spark, sf_dir, 'events')
+    out = salted_agg(
+        ev, ['event_type'],
+        aggs_partial=[F.count('*').alias('__n'),
+                      F.sum('value').alias('__s'),
+                      F.max('value').alias('__m')],
+        aggs_merge=[F.sum('__n').cast('long').alias('n'),
+                    F.round(F.sum('__s'), 4).alias('total_value'),
+                    F.round(F.max('__m'), 6).alias('max_value')])
+    return out.orderBy('event_type')
+
+
 def q_emb_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (operators/similarity.
     pairwise_cosine_dups, hyperplane-LSH blocked) over the embeddings
@@ -933,6 +951,12 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM m GROUP BY error_code ORDER BY error_code
     """,
+    'q_skew_salted_agg': """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     'q_emb_cosine_dups': """
         WITH u AS (
             SELECT vec_id, embedding FROM embeddings
@@ -1024,6 +1048,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_cube_events': q_cube_events,
         'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
         'q_emb_cosine_dups': q_emb_cosine_dups,
+        'q_skew_salted_agg': q_skew_salted_agg,
         'q_f1_size_reject': q_f1_size_reject,
         'q_f4_category_overlap': q_f4_category_overlap,
         'q_f5_structured_semi_join': q_f5_structured_semi_join,
