@@ -3,7 +3,9 @@
 
 Stage order is hand-pinned (Catalyst cannot reorder around opaque
 UDFs — SURVEY.md §4.1): category filter → dedup rank → relevance UDF →
-score>0 filter → snippet UDF (only on surviving rows) → top-k.
+score>0 filter → top-k → snippet UDF (on the k winners ONLY — ranking
+never reads the snippet, so deferring it is result-identical and costs
+k computations instead of one per matching document).
 ``orderBy(desc).limit(k)`` plans as TakeOrderedAndProject — true
 distributed top-k, no global sort.
 """
@@ -113,10 +115,17 @@ def search(df: DataFrame, query: str,
     out = out.withColumn('score', rel(F.col(text_col)))
     out = out.filter(F.col('score') > 0)  # F6 — before the snippet UDF
 
-    snip = _snippet_udf(tokens, cfg.snippet_length, cfg.snippet_stride)
-    out = out.withColumn('snippet', snip(F.col(text_col)))
-
+    # top-k FIRST (TakeOrderedAndProject), snippet UDF on the k
+    # survivors only: ranking is (score, url) and never reads the
+    # snippet, so this is result-identical — and at corpus scale it
+    # means k snippet computations instead of one per matching row
     keep = [c for c in ('url', 'categories') if c in out.columns]
-    return (out.select(*keep, 'score', 'snippet')
-            .orderBy(F.desc('score'), *( [F.asc('url')] if 'url' in keep else [] ))
-            .limit(k))  # W3 → TakeOrderedAndProject
+    order = [F.desc('score')] + ([F.asc('url')] if 'url' in keep else [])
+    top = (out.select(*keep, 'score', text_col)
+           .orderBy(*order)
+           .limit(k))  # W3 → TakeOrderedAndProject
+
+    snip = _snippet_udf(tokens, cfg.snippet_length, cfg.snippet_stride)
+    return (top.withColumn('snippet', snip(F.col(text_col)))
+            .select(*keep, 'score', 'snippet')
+            .orderBy(*order))

@@ -578,6 +578,19 @@ def q_search_pipeline(spark, sf_dir):
     return search(d, 'data models', k=10)
 
 
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate top-k via hyperplane LSH (operators/similarity.
+    lsh_topk; rows-only — recall < 1.0 by construction, so no SQL
+    oracle; the exact variant q_emb_cosine_topk is the oracled
+    anchor). The query's own vector must always be found (its bucket
+    is its own)."""
+    from .operators.similarity import lsh_topk
+    vecs = _t(spark, sf_dir, 'embeddings')
+    q = vecs.filter(F.col('vec_id') == 0).select('embedding').collect()[0][0]
+    return (lsh_topk(vecs, [float(x) for x in q], k=10, planes=4)
+            .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
+
+
 def q_extraction_pipeline(spark, sf_dir):
     """The flagship: full extraction pipeline over web pages synthesized
     from the documents table; per-url byte-identity asserted as a
@@ -1062,4 +1075,5 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_extraction_pipeline': q_extraction_pipeline,
         'q_lda_categories': q_lda_categories,
         'q_search_pipeline': q_search_pipeline,
+        'q_lsh_ann_topk': q_lsh_ann_topk,
     }
