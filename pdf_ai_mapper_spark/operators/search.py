@@ -81,11 +81,31 @@ def structured_category_filter(df: DataFrame, cats_dim: DataFrame,
     for c in conds[1:]:
         cond = cond | c
     wanted = dim.filter(cond).select(F.col('display_name').alias('__cat'))
-    exploded = df.withColumn('__cat', F.explode(F.col(cat_col)))
-    hit = (exploded.join(F.broadcast(wanted), on='__cat', how='left_semi')
-           .drop('__cat').dropDuplicates(['url']) if 'url' in df.columns else
-           exploded.join(F.broadcast(wanted), on='__cat', how='left_semi').drop('__cat').distinct())
-    return hit
+    # the dimension is tiny (driver-built: topic names, ≤ dozens) —
+    # when it fits in a literal list the whole filter is ONE native
+    # arrays_overlap predicate: no explode, no shuffle, heavy rows
+    # never move. Guarded fallback for an unexpectedly large dim:
+    # explode ONLY the key columns and semi-join the matching keys
+    # back, so the wide rows still never ride an explode/dedup shuffle
+    # (the earlier formulation exploded and dropDuplicates'd full rows).
+    head = wanted.take(10_001)
+    if len(head) <= 10_000:
+        names = [r['__cat'] for r in head]
+        if not names:
+            return df.filter(F.lit(False))
+        return df.filter(F.arrays_overlap(F.col(cat_col), F.lit(names)))
+    key = 'url' if 'url' in df.columns else None
+    narrow = (df.select(key, F.explode(F.col(cat_col)).alias('__cat'))
+              if key else
+              df.select(F.explode(F.col(cat_col)).alias('__cat')))
+    if key:
+        hits = (narrow.join(wanted, on='__cat', how='left_semi')
+                .select(key).distinct())
+        return df.join(hits, on=key, how='left_semi')
+    # no stable key: fall back to a full-row semi join via the array
+    return df.join(
+        narrow.join(wanted, on='__cat', how='left_semi').distinct(),
+        on=F.array_contains(F.col(cat_col), F.col('__cat')), how='left_semi')
 
 
 def search(df: DataFrame, query: str,
