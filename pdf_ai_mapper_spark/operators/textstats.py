@@ -86,6 +86,67 @@ def with_token_counts(df: DataFrame, text_col: str = 'text') -> DataFrame:
                         F.regexp_count(t, F.lit(r'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))))
 
 
+# Pinned PII patterns (kept RE2-simple so Spark and DuckDB agree).
+PII_EMAIL = r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+PII_URL = r'https?://[^\s]+'
+PII_PHONE = r'\+?[0-9][0-9()\- ]{7,}[0-9]'
+
+
+def with_redacted(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """PII scrubbing for training corpora: URLs → <URL>, emails →
+    <EMAIL>, phone-like digit runs → <PHONE>, applied in that pinned
+    order (URLs can contain email-shaped substrings; phone counting
+    runs on the already-redacted text so URL digits don't double-count).
+    Native regexp_replace/regexp_count — codegen, no Python. Adds
+    redacted_text, n_urls, n_emails, n_phones."""
+    t = F.col(text_col)
+    step1 = F.regexp_replace(t, PII_URL, '<URL>')
+    step2 = F.regexp_replace(step1, PII_EMAIL, '<EMAIL>')
+    step3 = F.regexp_replace(step2, PII_PHONE, '<PHONE>')
+    return (df
+            .withColumn('n_urls', F.regexp_count(t, F.lit(PII_URL)).cast('long'))
+            .withColumn('n_emails', F.regexp_count(step1, F.lit(PII_EMAIL)).cast('long'))
+            .withColumn('n_phones', F.regexp_count(step2, F.lit(PII_PHONE)).cast('long'))
+            .withColumn('redacted_text', step3))
+
+
+def repetition_stats(df: DataFrame, id_col: str = 'doc_id',
+                     text_col: str = 'text') -> DataFrame:
+    """Gopher-style repetition signals per document: top-word fraction
+    (count of the most frequent lowercased word / total words) and
+    distinct-word ratio — the standard repetitive-boilerplate filters
+    for web corpora (Rae et al. 2021, public literature). Explode +
+    two-level aggregation: both shuffles carry (id, word, count) only."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                     lambda w: F.length(w) > 0)
+    ex = df.select(id_col, F.explode(words).alias('w'))
+    counts = ex.groupBy(id_col, 'w').agg(F.count('*').alias('c'))
+    return (counts.groupBy(id_col)
+            .agg((F.max('c') / F.sum('c')).alias('__twf'),
+                 (F.count('*') / F.sum('c')).alias('__dwr'),
+                 F.sum('c').cast('long').alias('n_words'))
+            .select(id_col,
+                    F.round('__twf', 6).alias('top_word_frac'),
+                    F.round('__dwr', 6).alias('distinct_word_ratio'),
+                    'n_words'))
+
+
+def source_quality_gate(df: DataFrame, group_col: str = 'source',
+                        text_col: str = 'text',
+                        min_avg_alpha: float = 0.6) -> DataFrame:
+    """C4-style group-level quality gate: compute per-group mean alpha
+    ratio (a cheap corpus-quality proxy), keep only documents whose
+    group passes. The gate aggregate is NARROW (group, avg) and the
+    passing-group set joins back as a broadcast semi-join — the
+    document payload never shuffles."""
+    q = with_quality(df, text_col)
+    passing = (q.groupBy(group_col)
+               .agg(F.avg('alpha_ratio').alias('__avg_alpha'))
+               .filter(F.col('__avg_alpha') >= min_avg_alpha)
+               .select(group_col))
+    return df.join(F.broadcast(passing), on=group_col, how='left_semi')
+
+
 def with_fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Two content fingerprints: md5 of the whitespace-normalized
     lowercase text (robust exact-dup key, survives reflow), and a

@@ -483,6 +483,49 @@ def q_error_taxonomy(spark, sf_dir):
             .orderBy('error_code'))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (operators/textstats.with_redacted): deterministic
+    emails/URLs/phone strings are embedded per doc, then redacted in
+    the pinned URL→EMAIL→PHONE order; per-lang counts of each PII kind
+    plus a hash-stable sample of redacted text lengths."""
+    d = _t(spark, sf_dir, 'documents')
+    sid = F.col('doc_id').cast('string')
+    msg = F.concat(F.col('text'),
+                   F.lit(' contact user'), sid,
+                   F.lit('@example.com or https://ex.com/p/'), sid,
+                   F.lit(' tel +1 (555) 000-'), F.lpad(sid, 4, '0'))
+    staged = d.withColumn('__msg', msg)
+    red = textstats.with_redacted(staged, '__msg')
+    return (red.groupBy('lang')
+            .agg(F.sum('n_urls').cast('long').alias('total_urls'),
+                 F.sum('n_emails').cast('long').alias('total_emails'),
+                 F.sum('n_phones').cast('long').alias('total_phones'),
+                 F.sum(F.length('redacted_text')).cast('long')
+                 .alias('total_redacted_chars'))
+            .orderBy('lang'))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (operators/textstats.
+    repetition_stats): per-doc top-word fraction, distinct-word ratio
+    and word count."""
+    d = _t(spark, sf_dir, 'documents')
+    return textstats.repetition_stats(d, 'doc_id', 'text').orderBy('doc_id')
+
+
+def q_source_quality_gate(spark, sf_dir):
+    """C4-style group quality gate (operators/textstats.
+    source_quality_gate): keep docs whose source's mean alpha ratio
+    clears 0.8232 (a max-gap threshold on this corpus, so the pass set
+    is stable against float noise); surviving doc counts per source."""
+    d = _t(spark, sf_dir, 'documents')
+    gated = textstats.source_quality_gate(d, 'source', 'text',
+                                          min_avg_alpha=0.8232)
+    return (gated.groupBy('source')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('source'))
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """General two-stage salted aggregation (operators/skew.salted_agg)
     over the skewed events table: per-event_type count + sum + max of
@@ -964,6 +1007,69 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM m GROUP BY error_code ORDER BY error_code
     """,
+    'q_pii_redaction': r"""
+        WITH staged AS (
+            SELECT lang,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or https://ex.com/p/'
+                        || CAST(doc_id AS VARCHAR)
+                        || ' tel +1 (555) 000-'
+                        || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS msg
+            FROM documents),
+        s1 AS (
+            SELECT lang,
+                   len(regexp_extract_all(msg, 'https?://[^\s]+')) AS n_urls,
+                   regexp_replace(msg, 'https?://[^\s]+', '<URL>', 'g') AS m1
+            FROM staged),
+        s2 AS (
+            SELECT lang, n_urls,
+                   len(regexp_extract_all(m1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   regexp_replace(m1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS m2
+            FROM s1),
+        s3 AS (
+            SELECT lang, n_urls, n_emails,
+                   len(regexp_extract_all(m2, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+                       AS n_phones,
+                   regexp_replace(m2, '\+?[0-9][0-9()\- ]{7,}[0-9]',
+                                  '<PHONE>', 'g') AS m3
+            FROM s2)
+        SELECT lang,
+               CAST(sum(n_urls) AS BIGINT) AS total_urls,
+               CAST(sum(n_emails) AS BIGINT) AS total_emails,
+               CAST(sum(n_phones) AS BIGINT) AS total_phones,
+               CAST(sum(length(m3)) AS BIGINT) AS total_redacted_chars
+        FROM s3 GROUP BY lang ORDER BY lang
+    """,
+    'q_repetition_stats': r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> len(x) > 0)) AS w
+            FROM documents),
+        c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+        SELECT doc_id,
+               round(max(c) * 1.0 / sum(c), 6) AS top_word_frac,
+               round(count(*) * 1.0 / sum(c), 6) AS distinct_word_ratio,
+               CAST(sum(c) AS BIGINT) AS n_words
+        FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+    'q_source_quality_gate': """
+        WITH q AS (
+            SELECT source,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio
+            FROM documents),
+        passing AS (
+            SELECT source FROM q GROUP BY source
+            HAVING avg(alpha_ratio) >= 0.8232)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN passing USING (source)
+        GROUP BY d.source ORDER BY d.source
+    """,
     'q_skew_salted_agg': """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 4) AS total_value,
@@ -1062,6 +1168,9 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
         'q_emb_cosine_dups': q_emb_cosine_dups,
         'q_skew_salted_agg': q_skew_salted_agg,
+        'q_pii_redaction': q_pii_redaction,
+        'q_repetition_stats': q_repetition_stats,
+        'q_source_quality_gate': q_source_quality_gate,
         'q_f1_size_reject': q_f1_size_reject,
         'q_f4_category_overlap': q_f4_category_overlap,
         'q_f5_structured_semi_join': q_f5_structured_semi_join,

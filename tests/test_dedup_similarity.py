@@ -221,3 +221,43 @@ def test_release_unpersists_signature_cache(spark):
     assert df._persisted_deps[0].storageLevel.useMemory
     release(df)
     assert not df._persisted_deps[0].storageLevel.useMemory
+
+
+def test_pii_redaction_kinds_and_order(spark):
+    from pdf_ai_mapper_spark.operators.textstats import with_redacted
+    rows = [
+        (0, 'mail me at a.b+c@test.org or visit https://x.io/a?b=c now'),
+        (1, 'call +1 (555) 123-4567 today'),
+        (2, 'https://u:p@host.com/x has an email-shaped userinfo'),
+        (3, 'clean text with no pii at all'),
+    ]
+    df = spark.createDataFrame(rows, 'id long, text string')
+    got = {r['id']: r for r in with_redacted(df, 'text').collect()}
+    assert got[0]['n_emails'] == 1 and got[0]['n_urls'] == 1
+    assert '<EMAIL>' in got[0]['redacted_text'] and '<URL>' in got[0]['redacted_text']
+    assert got[1]['n_phones'] == 1 and '<PHONE>' in got[1]['redacted_text']
+    # URL redaction runs FIRST, so the email-shaped userinfo inside the
+    # URL is consumed by <URL> and not double-counted as an email
+    assert got[2]['n_urls'] == 1 and got[2]['n_emails'] == 0
+    assert got[3]['redacted_text'] == rows[3][1]
+
+
+def test_repetition_stats_values(spark):
+    from pdf_ai_mapper_spark.operators.textstats import repetition_stats
+    df = spark.createDataFrame(
+        [(0, 'spam spam spam spam eggs'), (1, 'all words are different here')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in repetition_stats(df).collect()}
+    assert abs(got[0]['top_word_frac'] - 0.8) < 1e-9
+    assert abs(got[0]['distinct_word_ratio'] - 0.4) < 1e-9
+    assert got[1]['top_word_frac'] == 0.2 and got[1]['distinct_word_ratio'] == 1.0
+
+
+def test_source_quality_gate_filters_groups(spark):
+    from pdf_ai_mapper_spark.operators.textstats import source_quality_gate
+    rows = ([(i, 'srcgood', 'purely alphabetic words only here') for i in range(5)]
+            + [(i + 10, 'srcbad', '1234 5678 90 12 34 56 78 90') for i in range(5)])
+    df = spark.createDataFrame(rows, 'doc_id long, source string, text string')
+    kept = source_quality_gate(df, 'source', 'text', min_avg_alpha=0.6)
+    assert {r['source'] for r in kept.select('source').distinct().collect()} == {'srcgood'}
+    assert kept.count() == 5
