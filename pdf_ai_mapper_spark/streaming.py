@@ -143,7 +143,8 @@ def windowed_host_counts(spark: SparkSession, input_path: str,
                          output_path: str,
                          window: str = '10 minutes',
                          watermark: str = '30 minutes',
-                         available_now: bool = True):
+                         available_now: bool = True,
+                         hot_threshold: int = DEFAULT_CONFIG.hot_host_threshold):
     """Event-time windowed aggregation with late-data handling: pages
     ingested per (host, event-time window), watermarked on warc_ts so
     state for closed windows is dropped — the standard Structured
@@ -160,7 +161,11 @@ def windowed_host_counts(spark: SparkSession, input_path: str,
            .groupBy(F.window('warc_ts', window).alias('win'),
                     F.regexp_extract('url', r'https?://([^/]+)/', 1).alias('host'))
            .agg(F.count('*').alias('n_pages'),
-                F.sum(F.length('html')).alias('bytes_in')))
+                F.sum(F.length('html')).alias('bytes_in'))
+           # hosts over cfg.hot_host_threshold rows/window get flagged —
+           # the monitoring signal that drives salting/quarantine
+           # decisions downstream (SURVEY §7.4 skewed-host risk)
+           .withColumn('is_hot', F.col('n_pages') > hot_threshold))
     writer = (agg.writeStream
               .outputMode('append')
               .format('parquet')

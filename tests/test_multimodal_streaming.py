@@ -112,7 +112,8 @@ def test_windowed_host_counts_with_watermark(spark):
         pdf = web_pages_pandas(600)
         spark.createDataFrame(pdf).repartition(4).write.mode('overwrite').parquet(indir)
         windowed_host_counts(spark, indir, outdir,
-                             window='30 minutes', watermark='10 minutes')
+                             window='30 minutes', watermark='10 minutes',
+                             hot_threshold=15)
         out = spark.read.parquet(f'{outdir}/host_counts')
         rows = out.collect()
         # append mode emits only watermark-finalized windows — the
@@ -121,6 +122,11 @@ def test_windowed_host_counts_with_watermark(spark):
         assert all(r['n_pages'] > 0 for r in rows)
         hot = [r for r in rows if r['host'] == 'host0.example.com']
         assert hot, 'hot host must appear in finalized windows'
+        # the fixture's deliberate 20% hot host crosses the flag
+        # threshold; the long tail must not
+        assert any(r['is_hot'] for r in hot)
+        assert not any(r['is_hot'] for r in rows
+                       if r['host'] != 'host0.example.com')
         # no window may exceed the total row count
         assert all(r['n_pages'] <= 600 for r in rows)
     finally:
