@@ -147,6 +147,39 @@ def source_quality_gate(df: DataFrame, group_col: str = 'source',
     return df.join(F.broadcast(passing), on=group_col, how='left_semi')
 
 
+def with_chunks(df: DataFrame, id_col: str = 'doc_id',
+                text_col: str = 'text', chunk_tokens: int = 128,
+                overlap: int = 16) -> DataFrame:
+    """Context-window chunking for training-data prep: each document's
+    whitespace tokens split into windows of ``chunk_tokens`` with
+    ``overlap`` tokens carried between consecutive windows (stride =
+    chunk_tokens − overlap). Fully native — sequence → transform →
+    posexplode, no Python, no shuffle (chunking is per-row; the row
+    explodes in place). Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Trailing windows shorter than ``overlap`` tokens that are fully
+    contained in the previous window are excluded by construction
+    (starts iterate 0, stride, 2·stride, … < n_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError('need 0 <= overlap < chunk_tokens')
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r'\s+'),
+                    lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+              .otherwise(F.array().cast('array<int>'))
+
+    def _window(toks_expr):
+        # closure: slice is 1-based; each start yields ≤ chunk_tokens
+        return lambda s: F.slice(toks_expr, s + 1, chunk_tokens)
+
+    chunks = F.transform(starts, _window(toks))
+    ex = df.select(id_col, F.posexplode(chunks).alias('chunk_idx', '__c'))
+    return (ex.select(id_col, 'chunk_idx',
+                      F.array_join('__c', ' ').alias('chunk_text'),
+                      F.size('__c').cast('long').alias('n_tokens')))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Two content fingerprints: md5 of the whitespace-normalized
     lowercase text (robust exact-dup key, survives reflow), and a

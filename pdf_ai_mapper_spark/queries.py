@@ -526,6 +526,25 @@ def q_source_quality_gate(spark, sf_dir):
             .orderBy('source'))
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Context-window chunking (operators/textstats.with_chunks,
+    chunk=64 overlap=8): per-doc chunk counts + total chunk tokens —
+    the training-window prep stage, value-checked against a DuckDB
+    list-slicing mirror."""
+    d = _t(spark, sf_dir, 'documents')
+    ch = textstats.with_chunks(d, 'doc_id', 'text',
+                               chunk_tokens=64, overlap=8)
+    return (ch.groupBy('doc_id')
+            .agg(F.count('*').cast('long').alias('n_chunks'),
+                 F.sum('n_tokens').cast('long').alias('total_chunk_tokens'),
+                 F.md5(F.concat_ws('\x1f',
+                                   F.array_sort(F.collect_list(
+                                       F.concat_ws(':', F.col('chunk_idx'),
+                                                   F.col('chunk_text'))))))
+                 .alias('chunks_digest'))
+            .orderBy('doc_id'))
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """General two-stage salted aggregation (operators/skew.salted_agg)
     over the skewed events table: per-event_type count + sum + max of
@@ -1070,6 +1089,30 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN passing USING (source)
         GROUP BY d.source ORDER BY d.source
     """,
+    'q_doc_chunking': r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> len(x) > 0) AS toks
+            FROM documents),
+        st AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 56)) AS s
+            FROM t WHERE len(toks) > 0),
+        c AS (
+            SELECT doc_id, (s // 56) AS chunk_idx,
+                   array_to_string(toks[s+1 : s+64], ' ') AS chunk_text,
+                   len(toks[s+1 : s+64]) AS n_tokens
+            FROM st),
+        lab AS (
+            SELECT doc_id,
+                   CAST(chunk_idx AS VARCHAR) || ':' || chunk_text AS lbl,
+                   n_tokens
+            FROM c)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS total_chunk_tokens,
+               md5(string_agg(lbl, chr(31) ORDER BY lbl)) AS chunks_digest
+        FROM lab GROUP BY doc_id ORDER BY doc_id
+    """,
     'q_skew_salted_agg': """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 4) AS total_value,
@@ -1171,6 +1214,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_pii_redaction': q_pii_redaction,
         'q_repetition_stats': q_repetition_stats,
         'q_source_quality_gate': q_source_quality_gate,
+        'q_doc_chunking': q_doc_chunking,
         'q_f1_size_reject': q_f1_size_reject,
         'q_f4_category_overlap': q_f4_category_overlap,
         'q_f5_structured_semi_join': q_f5_structured_semi_join,

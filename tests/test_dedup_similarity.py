@@ -261,3 +261,22 @@ def test_source_quality_gate_filters_groups(spark):
     kept = source_quality_gate(df, 'source', 'text', min_avg_alpha=0.6)
     assert {r['source'] for r in kept.select('source').distinct().collect()} == {'srcgood'}
     assert kept.count() == 5
+
+
+def test_with_chunks_overlap_semantics(spark):
+    from pdf_ai_mapper_spark.operators.textstats import with_chunks
+    text = ' '.join(f't{i}' for i in range(10))
+    df = spark.createDataFrame([(0, text), (1, ''), (2, 'one two')],
+                               'doc_id long, text string')
+    got = with_chunks(df, 'doc_id', 'text', chunk_tokens=4, overlap=1)
+    rows = {(r['doc_id'], r['chunk_idx']): r for r in got.collect()}
+    # stride 3: windows [0..3], [3..6], [6..9], [9]
+    assert rows[(0, 0)]['chunk_text'] == 't0 t1 t2 t3'
+    assert rows[(0, 1)]['chunk_text'] == 't3 t4 t5 t6'
+    assert rows[(0, 2)]['chunk_text'] == 't6 t7 t8 t9'
+    assert rows[(0, 3)]['chunk_text'] == 't9' and rows[(0, 3)]['n_tokens'] == 1
+    assert not any(d == 1 for d, _ in rows)         # empty doc → no chunks
+    assert rows[(2, 0)]['chunk_text'] == 'one two'  # short doc → one chunk
+    import pytest
+    with pytest.raises(ValueError):
+        with_chunks(df, 'doc_id', 'text', chunk_tokens=4, overlap=4)
