@@ -15,6 +15,11 @@ Common-Crawl-style web-page tables:
                    (seed-free: content derived from row index).
 - ``pipeline``   — the end-to-end extraction pipeline with
                    checkpoint/resume and per-partition lineage counters.
+- ``api``        — ``MapperAPI``: the reference's HTTP endpoints as
+                   library methods with identical response shapes.
+- ``streaming``  — availableNow file-stream ingest (idempotent per
+                   micro-batch), watermarked host monitoring, stateful
+                   sessionization.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
