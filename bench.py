@@ -56,6 +56,10 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     from pdf_ai_mapper_spark.queries import catalog
     from pdf_ai_mapper_spark.session import get_spark
 
+    # partitions sized to the measured data volume: sf0.1 shuffles are
+    # KB-scale, where the corpus-scale default (4× cores, config.py)
+    # pays pure scheduling overhead — measured +3 s on the suite; at
+    # 120k+ docs the 4× setting wins by 30% (BENCH/BASELINE.md)
     cfg = EngineConfig(shuffle_partitions=cpus)
     spark = keep_spark or get_spark(app_name='pdf-ai-mapper-bench',
                                     master=f'local[{cpus}]', cfg=cfg)

@@ -42,7 +42,7 @@ def child(cpus: int, rows: int, corpus_path: str, repeats: int,
     from pdf_ai_mapper_spark.pipeline import transform
     from pdf_ai_mapper_spark.session import get_spark
 
-    cfg = EngineConfig(shuffle_partitions=cpus)
+    cfg = EngineConfig(shuffle_partitions=cpus * 4)
     spark = get_spark(app_name=f'scaling-bench-{cpus}',
                       master=f'local[{cpus}]', cfg=cfg)
     pages = spark.read.parquet(corpus_path)
