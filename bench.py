@@ -83,10 +83,11 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
                        run_id='warm', cfg=cfg).drop('text'))
 
     # ---- extraction corpus (untimed prep) ----
-    # sized ≥20k rows so the timed pipeline measures steady-state
+    # sized ≥40k rows so the timed pipeline measures steady-state
     # throughput, not stage-scheduling floor (documents.parquet is only
-    # 5k rows at sf0.1 — a ~1 s job at 32 cores)
-    n_corpus = max(n_docs, 20_000)
+    # 5k rows at sf0.1 — a ~1 s job at 32 cores; at 40k the timed job
+    # runs ~4 s, diluting the shared host's scheduling noise)
+    n_corpus = max(n_docs, 40_000)
     tmp = tempfile.mkdtemp(prefix='pam_bench_')
     corpus_path = os.path.join(tmp, 'web_pages')
     web_pages_df(spark, n_corpus, num_partitions=cpus * 2).write.parquet(corpus_path)
@@ -96,7 +97,7 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     # steady-state throughput a dedicated cluster would see) ----
     pages = spark.read.parquet(corpus_path)
     extraction_sec = float('inf')
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         _consume(transform(pages, run_id='bench', cfg=cfg)
                  .drop('text'))
