@@ -14,7 +14,8 @@ documents the host ceiling (32 workers cannot get 32 free cores here).
 MinHash (the shuffle-heaviest operator) is measured at 8→32 as the
 adversarial case.
 
-Writes BENCH/BASELINE.md. Usage:
+Writes BENCH/SCALING_RUN.md (raw sweep output; BENCH/BASELINE.md is
+the hand-curated analysis and must not be clobbered). Usage:
     python scripts/scaling_bench.py [--rows 80000] [--repeats 2]
 """
 
@@ -184,7 +185,7 @@ def main() -> None:
         'dedup join (whose build side is a narrow aggregate), bucketed',
         'output. The plan audit (PLANS.md) shows the shuffle inventory.',
     ]
-    path = os.path.join(REPO, 'BENCH', 'BASELINE.md')
+    path = os.path.join(REPO, 'BENCH', 'SCALING_RUN.md')
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, 'w') as f:
         f.write('\n'.join(lines) + '\n')
