@@ -104,14 +104,66 @@ _COMMENT_END = '-->'
 _RAWTEXT_TAGS = ('script', 'style')
 
 
+_NAME_CHARS = frozenset(
+    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-')
+# Per-worker memo tables: pages reuse a small tag vocabulary, so the
+# per-tag string parse collapses to one dict hit. Bounded (reset at
+# 4096 entries) so exotic corpora can't grow them without limit.
+_END_SEG_CACHE: dict[str, 'str | None'] = {}
+_START_SEG_CACHE: dict[str, 'tuple[str, bool] | None'] = {}
+
+
+def _end_seg_tag(seg: str) -> 'str | None':
+    """``</{seg}>`` → tag when seg is exactly a valid name (the common
+    case); None falls back to the regex path. Mirrors _TAG_RE: name =
+    alpha then [a-zA-Z0-9-]*; a pure name has no attrs part."""
+    try:
+        return _END_SEG_CACHE[seg]
+    except KeyError:
+        pass
+    tag = None
+    if seg and seg[0].isalpha() and all(c in _NAME_CHARS for c in seg):
+        tag = seg.lower()
+    if len(_END_SEG_CACHE) > 4096:
+        _END_SEG_CACHE.clear()
+    _END_SEG_CACHE[seg] = tag
+    return tag
+
+
+def _start_seg_parse(seg: str) -> 'tuple[str, bool] | None':
+    """``<{seg}>`` → (tag, self_closing) for QUOTE-FREE segs starting
+    with a letter. Provably equivalent to _TAG_RE on such segs: the
+    attrs class ``(?:"…"|'…'|[^>"'])*`` excludes only quotes and '>',
+    so with no quotes present the regex consumes name + rest exactly
+    to the first '>' — which is how seg was sliced. Quote-bearing
+    tags (a '>' may hide inside) return None → regex path."""
+    try:
+        return _START_SEG_CACHE[seg]
+    except KeyError:
+        pass
+    out = None
+    if '"' not in seg and "'" not in seg:
+        i = 1
+        m = len(seg)
+        while i < m and seg[i] in _NAME_CHARS:
+            i += 1
+        out = (seg[:i].lower(), seg.rstrip().endswith('/'))
+    if len(_START_SEG_CACHE) > 4096:
+        _START_SEG_CACHE.clear()
+    _START_SEG_CACHE[seg] = out
+    return out
+
+
 def _fast_tree(html: str) -> _Node:
     """Regex-scanner tokenizer building the same element tree as
-    _TreeBuilder, ~4× faster than stdlib html.parser on typical pages.
-    Handles comments, doctype, raw-text elements (script/style consume
-    until their end tag), void/self-closing tags, misnested end tags,
-    and character references (html.unescape on '&'-bearing text).
-    Raises on structures it cannot scan — caller falls back to the
-    stdlib tokenizer."""
+    _TreeBuilder, ~4× faster than stdlib html.parser on typical pages
+    (plus memoized string fast paths for the quote-free tags that
+    dominate real markup — see tests/test_kernels.py's fast-vs-stdlib
+    equivalence suite). Handles comments, doctype, raw-text elements
+    (script/style consume until their end tag), void/self-closing
+    tags, misnested end tags, and character references (html.unescape
+    on '&'-bearing text). Raises on structures it cannot scan — caller
+    falls back to the stdlib tokenizer."""
     root = _Node('#root', None, 0)
     stack = [root]
     order = 0
@@ -132,29 +184,52 @@ def _fast_tree(html: str) -> _Node:
             text = html[pos:lt]
             stack[-1].children.append(
                 _unescape(text) if '&' in text else text)
-        if html.startswith('<!--', lt):
-            end = find(_COMMENT_END, lt + 4)
-            pos = (end + 3) if end >= 0 else n
-            continue
-        m = _TAG_RE.match(html, lt)
-        if m is None:
-            # stray '<' — treat as text, as html.parser does
-            stack[-1].children.append('<')
-            pos = lt + 1
-            continue
-        pos = m.end()
-        name = m.group('name')
-        if name is None:  # <!doctype>, <?pi>
-            continue
-        tag = name.lower()
-        if m.group('end'):
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    del stack[i:]
-                    break
-            continue
-        attrs = m.group('attrs') or ''
-        self_closing = attrs.rstrip().endswith('/')
+
+        tag = None
+        self_closing = False
+        c = html[lt + 1:lt + 2]
+        if c == '/':
+            gt = find('>', lt + 2)
+            if gt >= 0:
+                etag = _end_seg_tag(html[lt + 2:gt])
+                if etag is not None:
+                    for i in range(len(stack) - 1, 0, -1):
+                        if stack[i].tag == etag:
+                            del stack[i:]
+                            break
+                    pos = gt + 1
+                    continue
+        elif c.isalpha():
+            gt = find('>', lt + 1)
+            if gt >= 0:
+                parsed = _start_seg_parse(html[lt + 1:gt])
+                if parsed is not None:
+                    tag, self_closing = parsed
+                    pos = gt + 1
+        if tag is None:
+            if html.startswith('<!--', lt):
+                end = find(_COMMENT_END, lt + 4)
+                pos = (end + 3) if end >= 0 else n
+                continue
+            m = _TAG_RE.match(html, lt)
+            if m is None:
+                # stray '<' — treat as text, as html.parser does
+                stack[-1].children.append('<')
+                pos = lt + 1
+                continue
+            pos = m.end()
+            name = m.group('name')
+            if name is None:  # <!doctype>, <?pi>
+                continue
+            tag = name.lower()
+            if m.group('end'):
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == tag:
+                        del stack[i:]
+                        break
+                continue
+            attrs = m.group('attrs') or ''
+            self_closing = attrs.rstrip().endswith('/')
         if tag in _RAWTEXT_TAGS and not self_closing:
             if low is None:
                 low = html.lower()

@@ -207,3 +207,49 @@ def test_porter_stemmer_canonical_vocabulary(word, expected):
 ])
 def test_porter_stemmer_nltk_extensions(word, expected):
     assert porter.stem(word) == expected
+
+
+def _tree_shape(node):
+    """Serialize an html_extract element tree for equality checks."""
+    out = [node.tag]
+    for c in node.children:
+        out.append(c if isinstance(c, str) else _tree_shape(c))
+    return out
+
+
+def test_fast_tree_matches_stdlib_builder():
+    """The regex scanner must build the same element tree as the
+    tolerant stdlib html.parser fallback on fixture pages and the
+    edge cases it claims to handle (comments, doctype, raw-text
+    script/style, void/self-closing tags, misnesting, stray '<',
+    entities)."""
+    from pdf_ai_mapper_spark.kernels import html_extract as hx
+
+    cases = [page_row(i)['html'].decode('utf-8', 'replace')
+             for i in range(0, 200, 7)
+             if not page_row(i)['html'][:5] == b'%PDF-'
+             and not page_row(i)['html'][:4] == b'\x89PNG']
+    cases += [
+        '<html><body><p>a</p><p>b</p></body></html>',
+        '<div><!-- <p>not content</p> --><p>real</p></div>',
+        '<!DOCTYPE html><p>x</p><?pi junk?>',
+        '<script>if (a < b) { x("</div>"); }</script><p>t</p>',
+        '<style>a > b { color: red }</style><p>t</p>',
+        '<p>unclosed<div>misnested</p></div><p>tail</p>',
+        '<p>stray < bracket</p>',
+        '<br><img src="x"/><hr/><p>after voids</p>',
+        '<p>&amp; &lt;ok&gt; &#65;</p>',
+        '<a href="x>y">quoted gt</a>',
+        "<a href='x>y'>single quoted</a>",
+        '<P>UPPER<Div>case</DIV></p>',
+        '<td>no table parents</td>',
+        'text before <p>tag</p> text after',
+        '',
+        'no tags at all & some text',
+    ]
+    for html in cases:
+        fast = hx._fast_tree(html)
+        builder = hx._TreeBuilder()
+        builder.feed(html)
+        builder.close()
+        assert _tree_shape(fast) == _tree_shape(builder.root), html[:80]
