@@ -43,7 +43,11 @@ _RE_WS = re.compile(r'\s+')
 # replaced by a single space in all formulations, and replacements
 # never create new matches — so one pass is byte-identical to the
 # reference's six sequential subs (verified by the hypothesis parity
-# suite vs tests/reference_extractor.py).
+# suite vs tests/reference_extractor.py). NB folding the \s+ collapse
+# into this alternation under an outer '+' is byte-identical too but
+# 20% SLOWER end-to-end — the grouped quantifier re-enters the
+# alternation per character; two linear passes beat one backtracking
+# pass (measured).
 _RE_STRIP_ALL = re.compile(
     r'[Ͱ-Ͽἀ-῿Ѐ-ӿ一-鿿؀-ۿ]|[^\w\s-]|\d+')
 
