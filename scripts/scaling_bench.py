@@ -135,7 +135,8 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
     lines = [
-        '# BENCH/BASELINE — measured throughput + scaling efficiency',
+        '# BENCH/SCALING_RUN — raw N→4N sweep (auto-generated;',
+        '# BENCH/BASELINE.md holds the curated analysis)',
         '',
         'North metric (BASELINE.json): documents/sec extraction throughput,',
         '≥0.8 scaling efficiency from N to 4N executors. Sandbox protocol:',
