@@ -124,8 +124,16 @@ class MapperAPI:
             'categories': ['Processing'],                # upload.py:55
         }
 
-    def status(self) -> dict:
-        """GET /status/ (status.py:16-47)."""
+    def status(self, limit: int = 1000, offset: int = 0) -> dict:
+        """GET /status/ (status.py:16-47).
+
+        The reference endpoint returns EVERY document; unbounded at
+        corpus scale, so this facade pages: ``documents`` carries at
+        most ``limit`` rows (default 1000) starting at ``offset`` in
+        url order, while ``document_count`` stays the TOTAL — the
+        response shape is unchanged and a small corpus (≤ limit) gets
+        the exact reference behavior. ``limit=None`` restores the
+        unbounded contract explicitly."""
         docs = self._docs_with_categories()
         response: dict = {'status': 'success', 'document_count': 0,
                           'documents': []}
@@ -134,10 +142,14 @@ class MapperAPI:
             response['structured_categories'] = structured
         if docs is None:
             return response
-        rows = (with_status(docs)
-                .select('url', 'status', 'categories')
-                .orderBy('url').collect())
-        response['document_count'] = len(rows)
+        page = with_status(docs).select('url', 'status', 'categories')
+        response['document_count'] = page.count()
+        page = page.orderBy('url')
+        if offset:
+            page = page.offset(offset)
+        if limit is not None:
+            page = page.limit(limit)
+        rows = page.collect()
         for r in rows:
             response['documents'].append({
                 'id': r['url'],
@@ -275,12 +287,8 @@ class MapperAPI:
             # 105-138); bucketed layout preserved
             tmp = cp.data_path(self.base_path) + '.dedup_tmp'
             survivors.write.partitionBy('bucket').mode('overwrite').parquet(tmp)
-            import shutil
             data = cp.data_path(self.base_path)
-            old = data + '.dedup_old'
-            os.rename(data, old)
-            os.rename(tmp, data)
-            shutil.rmtree(old, ignore_errors=True)
+            cp.swap_dirs(data, tmp, data + '.dedup_old')
         return n_before - n_after
 
     def _structured_list(self) -> list[dict]:

@@ -83,7 +83,42 @@ def new_run_id() -> str:
 
 
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
+    recover_swap(data_path(output_path))
     return spark.read.parquet(data_path(output_path))
+
+
+def swap_dirs(data: str, tmp: str, old: str) -> None:
+    """Promote ``tmp`` to ``data`` via rename-through-``old``.
+
+    Crash-safe contract (local-fs stand-in for an Iceberg snapshot
+    commit, where this whole dance is one metadata pointer swap):
+    - a stale ``old`` left by a previously interrupted swap is removed
+      first — otherwise ``os.rename(data, old)`` raises ENOTEMPTY and
+      every later swap fails forever;
+    - the window between the two renames is NOT atomic: a crash there
+      leaves ``data`` missing but ``old`` + ``tmp`` intact.
+      ``recover_swap`` (called by ``read_output``) restores ``old`` in
+      that case, so readers see the pre-swap table rather than
+      PATH_NOT_FOUND.
+    """
+    import shutil
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_swap(data: str) -> None:
+    """Roll back a swap that crashed between its two renames: if
+    ``data`` is missing but a ``.dedup_old`` / ``.compact_old`` sibling
+    exists, restore it."""
+    if os.path.exists(data):
+        return
+    for suffix in ('.dedup_old', '.compact_old'):
+        old = data + suffix
+        if os.path.exists(old):
+            os.rename(old, data)
+            return
 
 
 def compact_output(spark: SparkSession, output_path: str,
@@ -127,9 +162,6 @@ def compact_output(spark: SparkSession, output_path: str,
             f'original data left untouched')
     files_after = len(compacted.inputFiles())
 
-    old = data + '.compact_old'
-    os.rename(data, old)
-    os.rename(tmp, data)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_dirs(data, tmp, data + '.compact_old')
     return {'rows': int(n_after), 'files_before': int(files_before),
             'files_after': int(files_after)}

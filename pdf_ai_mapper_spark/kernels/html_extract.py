@@ -199,7 +199,22 @@ def _fast_tree(html: str) -> _Node:
                             break
                     pos = gt + 1
                     continue
-        elif c.isalpha():
+            nxt = html[lt + 2:lt + 3]
+            if not (nxt.isascii() and nxt.isalpha()):
+                # html.parser: '</>' is silently consumed and '</' +
+                # any other non-ASCII-letter ('</中文>', '</123>') is a
+                # bogus comment eaten through the next '>' — neither
+                # emits text. A '</'-garbage tail with no '>' at all is
+                # parser-state-dependent: raise → stdlib fallback.
+                if gt >= 0:
+                    pos = gt + 1
+                    continue
+                raise ValueError('unterminated </ at end of input')
+        elif c.isascii() and c.isalpha():
+            # ASCII guard required: _TAG_RE and stdlib html.parser only
+            # accept [a-zA-Z] tag names, but str.isalpha() is Unicode-
+            # aware — '<中文>' must stay text, not become an element
+
             gt = find('>', lt + 1)
             if gt >= 0:
                 parsed = _start_seg_parse(html[lt + 1:gt])

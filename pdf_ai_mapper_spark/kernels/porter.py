@@ -17,7 +17,12 @@ change outputs on query-like words:
   skipping the at/bl/iz fixups;
 - step 1c: ``y→i`` only when the y follows a consonant and the stem
   is longer than one letter (``say→say``, ``play→play``, vs classic
-  ``sai``/``plai``; ``cry→cri`` in both).
+  ``sai``/``plai``; ``cry→cri`` in both);
+- step 2: ``alli→al`` applied first with re-application of the step
+  (``formally→formal``), ``bli→ble`` replacing the paper's
+  ``abli→able`` (``possibly→possibl``), plus ``fulli→ful``
+  (``carefully→care``) and ``logi→log`` measured with the ``l`` kept
+  on the stem (``geology→geolog``).
 
 Documents are never stemmed (reference asymmetry, SURVEY.md §2.3), so
 stemming only shapes query token strings.
@@ -85,13 +90,15 @@ def _ends_double_cons(word: str) -> bool:
             and _is_cons(word, len(word) - 1))
 
 
-def _ends_cvc(word: str) -> bool:
-    if len(word) < 3:
-        return False
-    if (_is_cons(word, len(word) - 3) and not _is_cons(word, len(word) - 2)
+def _ends_cvc(word: str, nltk: bool = False) -> bool:
+    if (len(word) >= 3
+            and _is_cons(word, len(word) - 3) and not _is_cons(word, len(word) - 2)
             and _is_cons(word, len(word) - 1)):
         return word[-1] not in 'wxy'
-    return False
+    # NLTK_EXTENSIONS: a 2-letter vowel+consonant stem counts as CVC
+    # (nltk.stem.porter._ends_cvc), so step 5a keeps the e in 'use'
+    return (nltk and len(word) == 2
+            and not _is_cons(word, 0) and _is_cons(word, 1))
 
 
 _STEP2 = [
@@ -101,6 +108,36 @@ _STEP2 = [
     ('ator', 'ate'), ('alism', 'al'), ('iveness', 'ive'), ('fulness', 'ful'),
     ('ousness', 'ous'), ('aliti', 'al'), ('iviti', 'ive'), ('biliti', 'ble'),
 ]
+
+# NLTK_EXTENSIONS step-2 rule list (nltk.stem.porter._step2): the
+# published ('abli'→'able') is swapped for ('bli'→'ble'), and
+# ('fulli'→'ful') + ('logi'→'log') are appended; 'logi' measures the
+# stem WITH the l (word[:-3]) so 'geo'/'theo' stems behave like
+# 'archaeo'/'philo'. First matching suffix wins; a failed measure
+# condition on a matched suffix stops the step (no later rule runs).
+_STEP2_NLTK = [
+    ('ational', 'ate'), ('tional', 'tion'), ('enci', 'ence'), ('anci', 'ance'),
+    ('izer', 'ize'), ('bli', 'ble'), ('alli', 'al'), ('entli', 'ent'),
+    ('eli', 'e'), ('ousli', 'ous'), ('ization', 'ize'), ('ation', 'ate'),
+    ('ator', 'ate'), ('alism', 'al'), ('iveness', 'ive'), ('fulness', 'ful'),
+    ('ousness', 'ous'), ('aliti', 'al'), ('iviti', 'ive'), ('biliti', 'ble'),
+    ('fulli', 'ful'), ('logi', 'log'),
+]
+
+
+def _step2_nltk(w: str) -> str:
+    """NLTK-mode step 2: the ALLI→AL rule is applied FIRST and, when it
+    fires, the result runs through step 2 again (nltk.stem.porter's
+    documented deviation from the 1980 paper)."""
+    if w.endswith('alli') and _measure(w[:-4]) > 0:
+        return _step2_nltk(w[:-4] + 'al')
+    for suf, rep in _STEP2_NLTK:
+        if w.endswith(suf):
+            stem_part = w[:-3] if suf == 'logi' else w[:-len(suf)]
+            if _measure(stem_part) > 0:
+                return w[:-len(suf)] + rep
+            return w
+    return w
 
 _STEP3 = [
     ('icate', 'ic'), ('ative', ''), ('alize', 'al'), ('iciti', 'ic'),
@@ -156,7 +193,7 @@ def stem(word: str, mode: str = NLTK_EXTENSIONS) -> str:
                 w += 'e'
             elif _ends_double_cons(w) and not w.endswith(('l', 's', 'z')):
                 w = w[:-1]
-            elif _measure(w) == 1 and _ends_cvc(w):
+            elif _measure(w) == 1 and _ends_cvc(w, nltk):
                 w += 'e'
 
     # Step 1c
@@ -169,11 +206,14 @@ def stem(word: str, mode: str = NLTK_EXTENSIONS) -> str:
             w = s + 'i'
 
     # Step 2
-    for suf, rep in _STEP2:
-        if w.endswith(suf):
-            if _measure(w[:-len(suf)]) > 0:
-                w = w[:-len(suf)] + rep
-            break
+    if nltk:
+        w = _step2_nltk(w)
+    else:
+        for suf, rep in _STEP2:
+            if w.endswith(suf):
+                if _measure(w[:-len(suf)]) > 0:
+                    w = w[:-len(suf)] + rep
+                break
 
     # Step 3
     for suf, rep in _STEP3:
@@ -196,7 +236,7 @@ def stem(word: str, mode: str = NLTK_EXTENSIONS) -> str:
     # Step 5a
     if w.endswith('e'):
         m = _measure(w[:-1])
-        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1], nltk)):
             w = w[:-1]
 
     # Step 5b

@@ -226,10 +226,10 @@ def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
     # narrow (id, bucket) persisted: it feeds the window + both join
     # sides + the star branch — without it the bucket pandas UDF (and
     # the embedding scan behind it) re-runs once per branch
-    narrow = (b.select(id_col, 'lsh_bucket')
+    cached = (b.select(id_col, 'lsh_bucket')
               .persist(StorageLevel.MEMORY_AND_DISK))
     w = Window.partitionBy('lsh_bucket')
-    narrow = (narrow
+    narrow = (cached
               .withColumn('__bsz', F.count('*').over(w))
               .withColumn('__hub', F.min(id_col).over(w)))
     small = narrow.filter(F.col('__bsz') <= max_bucket_size)
@@ -251,5 +251,8 @@ def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
                   cosine_sim(_as_double(F.col('v_a')), _as_double(F.col('v_b'))), 6))
               .filter(F.col('cos_sim') >= threshold)
               .select('id_a', 'id_b', 'cos_sim'))
-    result._persisted_deps = [narrow]  # dedup.release() unpersists
+    # the handle stored MUST be the .persist()ed DataFrame itself —
+    # storing a derived plan (e.g. cached + window columns) makes
+    # unpersist a no-op and leaks the MEMORY_AND_DISK table
+    result._persisted_deps = [cached]  # dedup.release() unpersists
     return result

@@ -571,13 +571,17 @@ def q_emb_cosine_dups(spark, sf_dir):
     so at threshold 0.95 the true pair set is exactly the duplicate
     identities — which identical vectors' identical buckets provably
     find — making the LSH operator's output equal to the exact DuckDB
-    all-pairs oracle."""
+    all-pairs oracle. ``max_bucket_size`` is set above the table size
+    so every bucket takes the dense branch: the star-expansion branch
+    only guarantees pairs THROUGH the hub, so the exact-equality claim
+    would be fragile to fixture growth otherwise (ADVICE r2)."""
     from .operators.similarity import pairwise_cosine_dups
     vecs = _t(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
     dup = (vecs.filter(F.col('vec_id') % 5 == 0)
            .withColumn('vec_id', F.col('vec_id') + 100000))
     both = vecs.unionByName(dup)
-    return (pairwise_cosine_dups(both, threshold=0.95, planes=6)
+    return (pairwise_cosine_dups(both, threshold=0.95, planes=6,
+                                 max_bucket_size=1_000_000)
             .orderBy('id_a', 'id_b'))
 
 

@@ -223,6 +223,24 @@ def test_release_unpersists_signature_cache(spark):
     assert not df._persisted_deps[0].storageLevel.useMemory
 
 
+def test_release_unpersists_cosine_dups_cache(spark):
+    """release() must unpersist the ACTUAL cached plan, not a derived
+    one — verified against the session CacheManager, which a wrong
+    handle leaves non-empty (the leak ADVICE r2 found)."""
+    from pdf_ai_mapper_spark.operators.dedup import release
+    from pdf_ai_mapper_spark.operators.similarity import pairwise_cosine_dups
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    pairs = pairwise_cosine_dups(df, threshold=0.99, planes=4)
+    pairs.collect()
+    assert not cm.isEmpty()
+    release(pairs)
+    assert cm.isEmpty()
+
+
 def test_pii_redaction_kinds_and_order(spark):
     from pdf_ai_mapper_spark.operators.textstats import with_redacted
     rows = [

@@ -204,6 +204,13 @@ def test_porter_stemmer_canonical_vocabulary(word, expected):
     ('enjoy', 'enjoy'), ('cry', 'cri'), ('happy', 'happi'),
     ('skies', 'sky'), ('dying', 'die'), ('lying', 'lie'),  # pool
     ('news', 'news'), ('innings', 'inning'), ('succeed', 'succeed'),
+    # step-2 extensions (bli/ble swap, alli-first recursion, fulli,
+    # logi-with-l-measure) — expected values are nltk.stem.
+    # PorterStemmer() outputs:
+    ('possibly', 'possibl'), ('carefully', 'care'),
+    ('geology', 'geolog'), ('formally', 'formal'),
+    ('reasonably', 'reason'), ('usefully', 'use'),
+    ('theology', 'theolog'), ('analogi', 'analog'),
 ])
 def test_porter_stemmer_nltk_extensions(word, expected):
     assert porter.stem(word) == expected
@@ -246,6 +253,15 @@ def test_fast_tree_matches_stdlib_builder():
         'text before <p>tag</p> text after',
         '',
         'no tags at all & some text',
+        # non-ASCII pseudo-tags: str.isalpha() is Unicode-aware but tag
+        # names are ASCII-only ([a-zA-Z] in _TAG_RE and html.parser) —
+        # '<中文>' must be emitted as text, not consumed as an element
+        '<p>x <中文> y</p>',
+        '<div><émile>z</émile></div>',
+        '<p>a</中文><b>c</b></p>',
+        '<中文 attr="v">body</中文>',
+        '<p>a</123><b>c</b></p>',   # bogus end tag → dropped comment
+        '<p>a</><b>c</b></p>',      # '</>' silently consumed
     ]
     for html in cases:
         fast = hx._fast_tree(html)

@@ -133,3 +133,27 @@ def test_compact_output_preserves_rows_and_reduces_files(spark, outdir):
     s = run_extraction(spark, batch, outdir, CFG, dedup_against_output=True)
     assert s['rows_in'] == 0
     assert cp.read_output(spark, outdir).count() == 120
+
+
+def test_swap_survives_stale_old_dir_and_crashed_window(spark, outdir):
+    """Crash-safety of the rename swap (ADVICE r2): a stale
+    '.compact_old' left by an interrupted run must not break the next
+    compaction, and a crash BETWEEN the two renames (data moved aside,
+    tmp not yet promoted) must be recoverable by readers."""
+    import os
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_pandas
+    batch = spark.createDataFrame(web_pages_pandas(30, start=0))
+    run_extraction(spark, batch, outdir, CFG, dedup_against_output=True)
+    data = cp.data_path(outdir)
+    n = cp.read_output(spark, outdir).count()
+
+    # 1. stale old dir from a previously interrupted swap
+    os.makedirs(data + '.compact_old/junk', exist_ok=True)
+    stats = cp.compact_output(spark, outdir)
+    assert stats['rows'] == n
+    assert not os.path.exists(data + '.compact_old')
+
+    # 2. crash between the renames: data gone, old present
+    os.rename(data, data + '.compact_old')
+    assert cp.read_output(spark, outdir).count() == n  # recovered
+    assert os.path.exists(data)
