@@ -338,6 +338,70 @@ def q_cube_events(spark, sf_dir):
 
 _SNIPPET_TOKENS = ['data', 'model']  # pinned; phrase = 'data model'
 
+# q_search_pipeline's query string; its stems are computed ONCE here on
+# the driver — the same call search() makes — and inlined into the
+# DuckDB oracle as literals, so the oracle tracks the stemmer exactly
+_SEARCH_QUERY = 'data models'
+
+
+def _search_pipeline_oracle_sql() -> str:
+    """Full-pipeline oracle for q_search_pipeline: relevance (substring
+    counts + the in-loop +10-per-token phrase bonus), score>0, top-10
+    by (score desc, url asc), and the 200-char/stride-50 sliding-window
+    snippet — q_w2's hash-green SQL reconstruction, parameterized by
+    the driver-computed stems of _SEARCH_QUERY."""
+    from .kernels.query import preprocess_query
+    toks = preprocess_query(_SEARCH_QUERY)
+    assert toks and all(t.isascii() and t.isalnum() for t in toks), toks
+    phrase = ' '.join(toks)
+    bonus = 10 * len(toks) if len(toks) > 1 else 0
+
+    def counts(col: str) -> str:
+        return ' + '.join(
+            f"(length({col}) - length(replace({col}, '{t}', ''))) / {len(t)}"
+            for t in toks)
+
+    win = 'substr(h.t, CAST(w.i AS INT) + 1, 200)'
+    return rf"""
+        WITH d AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS url,
+                          lower(text) AS t
+                   FROM documents),
+        scored AS (
+            SELECT url, t,
+                   CAST({counts('t')}
+                        + CASE WHEN position('{phrase}' IN t) > 0
+                               THEN {bonus} ELSE 0 END AS BIGINT) AS score
+            FROM d),
+        hits AS (SELECT * FROM scored WHERE score > 0
+                 ORDER BY score DESC, url ASC LIMIT 10),
+        wins AS (
+            SELECT h.url, h.t, h.score, w.i,
+                   CAST({counts(win)} AS BIGINT) AS wcount
+            FROM hits h,
+                 LATERAL (SELECT unnest(list_append(
+                     range(0, greatest(length(h.t) - 200, 0), 50), 0)) AS i) w),
+        best AS (
+            SELECT url, t, score, i AS best_pos, wcount,
+                   row_number() OVER (PARTITION BY url
+                                      ORDER BY wcount DESC, i ASC) AS rn
+            FROM wins),
+        pick AS (
+            SELECT url, score, t,
+                   CASE WHEN wcount = 0 THEN 0 ELSE best_pos END AS pos
+            FROM best WHERE rn = 1),
+        cleaned AS (
+            SELECT url, score, t, pos,
+                   trim(regexp_replace(
+                       replace(substr(t, CAST(pos AS INT) + 1, 200), chr(10), ' '),
+                       '\s+', ' ', 'g')) AS body
+            FROM pick)
+        SELECT url, score,
+               (CASE WHEN pos > 0 THEN '...' ELSE '' END) || body
+               || (CASE WHEN pos + 200 < length(t) THEN '...' ELSE '' END)
+                   AS snippet
+        FROM cleaned ORDER BY score DESC, url ASC
+    """
+
 
 def q_w2_search_snippets(spark, sf_dir):
     """W1+W2+W3+F6 composed: reference-semantics relevance (substring
@@ -633,15 +697,18 @@ def q_lda_categories(spark, sf_dir):
 
 
 def q_search_pipeline(spark, sf_dir):
-    """F7+F8+W1-W3+F6 composed through the REAL search() operator
-    (rows-only; the SQL-checkable reconstruction of the scoring math
-    is q_w2_search_snippets): query stem → guard → relevance → score>0
-    → snippet → top-k projection."""
+    """F7+F8+W1-W3+F6 composed through the REAL search() operator:
+    query stem → guard → relevance → score>0 → snippet → top-k
+    projection. ORACLED (VERDICT r2 #3): the query's Porter stems are
+    computed on the driver (exactly as search() computes them,
+    search.py's preprocess_query) and inlined into the DuckDB SQL as
+    literals, so the full value-level check covers the pipeline
+    end-to-end — not just the q_w2 scoring-math reconstruction."""
     from .operators.search import search
     d = (_t(spark, sf_dir, 'documents')
          .withColumn('url', F.concat(F.lit('doc-'), F.col('doc_id')))
          .withColumn('extracted_text', F.col('text')))
-    return search(d, 'data models', k=10)
+    return search(d, _SEARCH_QUERY, k=10)
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -655,6 +722,236 @@ def q_lsh_ann_topk(spark, sf_dir):
     q = vecs.filter(F.col('vec_id') == 0).select('embedding').collect()[0][0]
     return (lsh_topk(vecs, [float(x) for x in q], k=10, planes=4)
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
+
+
+def q_neardup_pr(spark, sf_dir):
+    """Precision/recall of the approximate near-dup operators (MinHash
+    LSH, SimHash) against the EXACT n-gram Jaccard pair sets (rows-only
+    — the approximations are not SQL; the exact anchor is the oracled
+    q_ngram_jaccard_exact). Precision vs the J≥0.5 set, recall vs the
+    J≥0.8 set — the same contract tests/test_dedup_similarity.py pins
+    (SimHash approximates token-multiset cosine, not shingle Jaccard,
+    so its numbers are looser by design). Deterministic: fixed hash
+    params, no RNG."""
+    from .operators.dedup import release as _release
+
+    def pairs(q):
+        got = {(r['id_a'], r['id_b']) for r in q.collect()}
+        _release(q)
+        return got
+
+    d = _t(spark, sf_dir, 'documents')
+    exact = pairs(ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5))
+    exact_hi = pairs(ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.8))
+    mh = pairs(minhash_lsh_pairs(d, 'doc_id', 'text', num_hashes=64,
+                                 bands=16, jaccard_threshold=0.8))
+    sh = pairs(simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3))
+    rows = []
+    for name, got in (('minhash_lsh', mh), ('simhash', sh)):
+        prec = len(got & exact) / len(got) if got else 1.0
+        rec = len(got & exact_hi) / len(exact_hi) if exact_hi else 1.0
+        rows.append((name, len(got), round(prec, 6), round(rec, 6)))
+    return spark.createDataFrame(
+        rows, 'operator string, n_pairs long, precision double, recall double')
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k (operators/similarity.ivf_index/
+    ivf_topk; rows-only — KMeans cells are seeded but not SQL): probe
+    the 4 nearest of 8 cells for the vec_id=0 query; the exact variant
+    q_emb_cosine_topk is the oracled anchor."""
+    from .operators.similarity import ivf_index, ivf_topk
+    vecs = _t(spark, sf_dir, 'embeddings')
+    q = vecs.filter(F.col('vec_id') == 0).select('embedding').collect()[0][0]
+    indexed, model = ivf_index(vecs, n_lists=8)
+    return (ivf_topk(indexed, model, [float(x) for x in q], k=10, n_probe=4)
+            .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
+
+
+def q_stream_ingest(spark, sf_dir):
+    """Structured Streaming ingest (streaming.ingest_stream; rows-only —
+    runs a real availableNow file-source stream through the SAME
+    pipeline.transform body into the idempotent per-batch sink, then
+    reports corpus-level outcomes incl. per-url byte identity.
+    Reference analogue: the upload daemon-thread loop,
+    document_service.py:154-162."""
+    import shutil
+    import tempfile
+    from . import checkpoint as cp_mod
+    from .config import EngineConfig
+    from .fixtures.webpages import web_pages_from_documents
+    from .streaming import ingest_stream
+    indir = tempfile.mkdtemp(prefix='pam_q_stream_in_')
+    outdir = tempfile.mkdtemp(prefix='pam_q_stream_out_')
+    try:
+        pages = web_pages_from_documents(spark, sf_dir)
+        pages.coalesce(4).write.mode('overwrite').parquet(indir)
+        ingest_stream(spark, indir, outdir,
+                      EngineConfig(shuffle_partitions=8, output_buckets=8))
+        out = cp_mod.read_output(spark, outdir)
+        truth = spark.read.parquet(indir).select('url', 'text')
+        row = (out.join(truth, on='url')
+               .agg(F.count('*').alias('n_rows'),
+                    F.sum((F.col('extracted_text') == F.col('text'))
+                          .cast('long')).alias('n_byte_identical'),
+                    F.sum(F.col('is_error').cast('long')).alias('n_errors'),
+                    F.countDistinct('content_hash').alias('n_hashes'))
+               .collect()[0])
+        return spark.createDataFrame(
+            [(row['n_rows'], row['n_byte_identical'], row['n_errors'],
+              row['n_hashes'])],
+            'n_rows long, n_byte_identical long, n_errors long, n_hashes long')
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked event-time windowed aggregation over a real stream
+    (streaming.windowed_host_counts; rows-only): per-(window, host)
+    page counts with hot-host flags, reported as deterministic corpus
+    totals (append mode emits only watermark-finalized windows)."""
+    import shutil
+    import tempfile
+    from .fixtures.webpages import web_pages_from_documents
+    from .streaming import windowed_host_counts
+    indir = tempfile.mkdtemp(prefix='pam_q_win_in_')
+    outdir = tempfile.mkdtemp(prefix='pam_q_win_out_')
+    try:
+        pages = web_pages_from_documents(spark, sf_dir)
+        pages.coalesce(4).write.mode('overwrite').parquet(indir)
+        windowed_host_counts(spark, indir, outdir,
+                             window='30 minutes', watermark='10 minutes',
+                             hot_threshold=15)
+        rows = (spark.read.parquet(f'{outdir}/host_counts')
+                .agg(F.count('*').alias('n_window_rows'),
+                     F.countDistinct('host').alias('n_hosts'),
+                     F.sum('n_pages').alias('total_pages'),
+                     F.sum(F.col('is_hot').cast('long')).alias('n_hot'))
+                .collect()[0])
+        return spark.createDataFrame(
+            [tuple(rows)],
+            'n_window_rows long, n_hosts long, total_pages long, n_hot long')
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+def q_sessionization(spark, sf_dir):
+    """Stateful streaming sessionization (streaming.sessionize_events,
+    applyInPandasWithState; rows-only): gap-based sessions over the
+    events table run as a real stream; per-user OPEN sessions stay in
+    state by design, so totals cover closed sessions only."""
+    import shutil
+    import tempfile
+    from .streaming import sessionize_events
+    indir = tempfile.mkdtemp(prefix='pam_q_sess_in_')
+    outdir = tempfile.mkdtemp(prefix='pam_q_sess_out_')
+    try:
+        _t(spark, sf_dir, 'events').coalesce(4).write.mode('overwrite').parquet(indir)
+        sessionize_events(spark, indir, outdir, gap_seconds=1800)
+        rows = (spark.read.parquet(f'{outdir}/sessions')
+                .agg(F.count('*').alias('n_sessions'),
+                     F.countDistinct('user_id').alias('n_users'),
+                     F.sum('n_events').alias('total_events'),
+                     F.max('n_events').alias('max_session_events'))
+                .collect()[0])
+        return spark.createDataFrame(
+            [tuple(rows)],
+            'n_sessions long, n_users long, total_events long, '
+            'max_session_events long')
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal column operators (operators/multimodal; rows-only):
+    image/audio/video payloads as opaque binary columns decoded by
+    Arrow-batched mapInPandas stages — per-modality decode-ok/error
+    counts plus a deterministic metadata checksum. Payloads are real
+    container formats (PNG IHDR, RIFF/WAVE header, length-prefixed
+    frames) built deterministically from doc ids; every 5th image and
+    every 4th audio row is deliberately undecodable."""
+    import struct as _struct
+    from .fixtures.webpages import build_png
+    from .operators.multimodal import (audio_metadata, image_metadata,
+                                       video_sampled_frames)
+
+    def wav(rate, seconds):
+        n = int(rate * seconds) * 2
+        return (b'RIFF' + _struct.pack('<I', 36 + n) + b'WAVE'
+                + b'fmt ' + _struct.pack('<IHHIIHH', 16, 1, 1, rate,
+                                         rate * 2, 2, 16)
+                + b'data' + _struct.pack('<I', n) + b'\x00' * n)
+
+    def video(n_frames):
+        out = b''
+        for j in range(n_frames):
+            f = f'frame{j}'.encode()
+            out += _struct.pack('>I', len(f)) + f
+        return out
+
+    imgs = spark.createDataFrame(
+        [(i, b'not a png' if i % 5 == 0 else build_png(f'm{i}'))
+         for i in range(24)], 'id long, payload binary')
+    auds = spark.createDataFrame(
+        [(i, b'garbage' if i % 4 == 0 else wav(8000 + 1000 * (i % 3), 0.25))
+         for i in range(12)], 'id long, payload binary')
+    vids = spark.createDataFrame(
+        [(i, video(4 + i)) for i in range(6)], 'id long, payload binary')
+
+    im = (image_metadata(imgs)
+          .agg(F.count('*').alias('n'),
+               F.sum(F.col('decode_error').isNull().cast('long')).alias('n_ok'),
+               F.coalesce(F.sum('width'), F.lit(0)).alias('checksum'))
+          .collect()[0])
+    au = (audio_metadata(auds)
+          .agg(F.count('*').alias('n'),
+               F.sum(F.col('decode_error').isNull().cast('long')).alias('n_ok'),
+               F.coalesce(F.sum('sample_rate'), F.lit(0)).alias('checksum'))
+          .collect()[0])
+    vi = (video_sampled_frames(vids, every_n=2)
+          .agg(F.countDistinct('id').alias('n'),
+               F.countDistinct('id').alias('n_ok'),
+               F.count('*').alias('checksum'))  # total sampled frames
+          .collect()[0])
+    rows = [('image', im['n'], im['n_ok'], int(im['checksum'])),
+            ('audio', au['n'], au['n_ok'], int(au['checksum'])),
+            ('video', vi['n'], vi['n_ok'], int(vi['checksum']))]
+    return spark.createDataFrame(
+        rows, 'modality string, n_rows long, n_decode_ok long, checksum long')
+
+
+def q_compaction(spark, sf_dir):
+    """Small-file compaction (checkpoint.compact_output; rows-only):
+    three incremental ingest batches fragment the bucketed layout, the
+    compactor rewrites it to ≤1 file per bucket behind a row-count
+    check and an atomic swap; reports rows + the invariants."""
+    import shutil
+    import tempfile
+    from . import checkpoint as cp_mod
+    from .config import EngineConfig
+    from .fixtures.webpages import web_pages_pandas
+    from .pipeline import run_extraction
+    cfg = EngineConfig(shuffle_partitions=8, output_buckets=8)
+    outdir = tempfile.mkdtemp(prefix='pam_q_compact_')
+    try:
+        for start in (0, 100, 200):
+            batch = spark.createDataFrame(web_pages_pandas(40, start=start))
+            run_extraction(spark, batch, outdir, cfg,
+                           dedup_against_output=True)
+        files_before = len(cp_mod.read_output(spark, outdir).inputFiles())
+        stats = cp_mod.compact_output(spark, outdir)
+        n_after = cp_mod.read_output(spark, outdir).count()
+        return spark.createDataFrame(
+            [(stats['rows'], n_after == stats['rows'],
+              stats['files_after'] < files_before,
+              stats['files_after'] <= cfg.output_buckets)],
+            'rows long, rows_preserved boolean, files_reduced boolean, '
+            'files_within_bucket_bound boolean')
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
 
 
 def q_extraction_pipeline(spark, sf_dir):
@@ -1180,6 +1477,7 @@ ORACLES: dict[str, str] = {
         SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
         FROM cent GROUP BY label ORDER BY label
     """,
+    'q_search_pipeline': _search_pipeline_oracle_sql(),
 }
 
 
@@ -1226,11 +1524,18 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_d3_destructive_dedup': q_d3_destructive_dedup,
         'q_a6_topic_type': q_a6_topic_type,
         'q_error_taxonomy': q_error_taxonomy,
+        'q_search_pipeline': q_search_pipeline,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
         'q_extraction_pipeline': q_extraction_pipeline,
         'q_lda_categories': q_lda_categories,
-        'q_search_pipeline': q_search_pipeline,
         'q_lsh_ann_topk': q_lsh_ann_topk,
+        'q_neardup_pr': q_neardup_pr,
+        'q_ivf_ann_topk': q_ivf_ann_topk,
+        'q_stream_ingest': q_stream_ingest,
+        'q_stream_windowed_counts': q_stream_windowed_counts,
+        'q_sessionization': q_sessionization,
+        'q_multimodal_metadata': q_multimodal_metadata,
+        'q_compaction': q_compaction,
     }
