@@ -17,7 +17,13 @@ adversarial case.
 Writes BENCH/SCALING_RUN.md (raw sweep output; BENCH/BASELINE.md is
 the hand-curated analysis and must not be clobbered). Usage:
     python scripts/scaling_bench.py [--rows 80000] [--repeats 2]
-"""
+
+Load-gated (VERDICT r2 #1/#6): each level starts only after a bounded
+wait for the 1-min loadavg to decay below --load-max (our own previous
+level's workers linger in the 1-min figure for ~2 min), and the
+before/after readings for every level are recorded in the artifact so
+a contaminated level is visible instead of masquerading as a scaling
+cliff."""
 
 from __future__ import annotations
 
@@ -92,6 +98,18 @@ def _kernel_rate(n: int = 2000) -> float:
     return n / (time.monotonic() - t0)
 
 
+def _load() -> list[float]:
+    return [round(x, 2) for x in os.getloadavg()]
+
+
+def _wait_for_quiet(max_load: float, retries: int, sleep_s: float) -> list[float]:
+    for _ in range(retries):
+        if os.getloadavg()[0] <= max_load:
+            break
+        time.sleep(sleep_s)
+    return _load()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--rows', type=int, default=80000)
@@ -99,6 +117,9 @@ def main() -> None:
     ap.add_argument('--child-cpus', type=int, default=None)
     ap.add_argument('--corpus', type=str, default=None)
     ap.add_argument('--with-minhash', action='store_true')
+    ap.add_argument('--load-max', type=float, default=1.5)
+    ap.add_argument('--load-retries', type=int, default=10)
+    ap.add_argument('--load-sleep', type=float, default=20)
     args = ap.parse_args()
 
     if args.child_cpus:
@@ -122,6 +143,8 @@ def main() -> None:
     levels = sorted({c for pair in PAIRS for c in pair})
     results: dict[int, dict] = {}
     for cpus in levels:
+        pre = _wait_for_quiet(args.load_max, args.load_retries,
+                              args.load_sleep)
         cmd = [sys.executable, os.path.abspath(__file__),
                '--child-cpus', str(cpus), '--rows', str(args.rows),
                '--repeats', str(args.repeats), '--corpus', corpus_path]
@@ -131,6 +154,8 @@ def main() -> None:
                              cwd=REPO, check=True)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith('{')][-1]
         results[cpus] = json.loads(line)
+        results[cpus]['load_pre'] = pre
+        results[cpus]['load_post'] = _load()
         print(json.dumps(results[cpus]))
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -147,6 +172,22 @@ def main() -> None:
         'pdf / scanned-pdf+OCR / byte-dup / image, 20% hot-host skew).',
         f'Single-core fused-kernel rate: **{kernel_rate:.0f} docs/s** —',
         'the per-worker ideal; N workers × this rate = ideal throughput.',
+        '',
+        '## Per-level ambient-load readings (1/5/15-min loadavg)',
+        '',
+        'Each level is load-gated: it starts only after a bounded wait',
+        'for the 1-min load to fall below the threshold. `pre` is taken',
+        'at level start (ambient + decay of the previous level); `post`',
+        'right after (includes this level\'s own workers). A `pre` well',
+        'above the threshold means the gate timed out — treat that',
+        'level\'s number as a lower bound.',
+        '',
+        '| level | load pre | load post |',
+        '|---|---|---|',
+    ] + [
+        f"| local[{c}] | {results[c]['load_pre']} | {results[c]['load_post']} |"
+        for c in levels
+    ] + [
         '',
         '## Extraction (the north-metric pipeline)',
         '',
