@@ -54,18 +54,25 @@ _RE_STRIP_ALL = re.compile(
 
 def normalize_text(text: str) -> str:
     """T2-T5: lowercase, strip non-Latin scripts / specials / digits,
-    collapse whitespace. (reference text_preprocessor.py:106-119)"""
+    collapse whitespace. (reference text_preprocessor.py:106-119)
+
+    The collapse is ``' '.join(text.split())``, byte-identical to the
+    reference's ``re.sub(r'\\s+', ' ', text).strip()``: regex ``\\s``
+    and ``str.split``'s whitespace table agree on every BMP codepoint
+    (exhaustively checked + 20k-string fuzz, tests/test_kernels.py),
+    and the C-level split is ~2× faster than the regex pass."""
     text = _RE_STRIP_ALL.sub(' ', text.lower())
-    return _RE_WS.sub(' ', text).strip()
+    return ' '.join(text.split())
 
 
 def meaningful_tokens(normalized: str) -> list[str]:
     """T6-T8 on the deterministic fallback path: whitespace split, keep
     tokens with len>=3, not in the frozen stopword set, not all digits.
     (reference text_preprocessor.py:125-139)"""
+    stops = STOP_WORDS  # local binding: one global lookup, not per token
     return [
         tok for tok in normalized.split()
-        if len(tok) >= 3 and tok not in STOP_WORDS and not tok.isdigit()
+        if len(tok) >= 3 and tok not in stops and not tok.isdigit()
     ]
 
 

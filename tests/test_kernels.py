@@ -216,6 +216,26 @@ def test_porter_stemmer_nltk_extensions(word, expected):
     assert porter.stem(word) == expected
 
 
+def test_ws_collapse_split_equals_regex_sub():
+    """normalize_text's ' '.join(split()) collapse must be
+    byte-identical to the reference's re.sub(r'\\s+',' ',t).strip():
+    exhaustive BMP whitespace-table agreement + string fuzz."""
+    import re
+    import random
+    RE_WS = re.compile(r'\s+')
+    for cp in range(0x10000):
+        ch = chr(cp)
+        assert bool(RE_WS.fullmatch(ch)) == (('a' + ch + 'b').split()
+                                             != ['a' + ch + 'b']), hex(cp)
+    rng = random.Random(1)
+    ws = [' ', '\t', '\n', '\r', '\x0b', '\x0c', '\x1c', '\x1d',
+          '\x85', '\xa0', ' ', '　']
+    for _ in range(5000):
+        s = ''.join(rng.choice(ws + list('ab-c_'))
+                    for _ in range(rng.randint(0, 30)))
+        assert RE_WS.sub(' ', s).strip() == ' '.join(s.split()), repr(s)
+
+
 def _tree_shape(node):
     """Serialize an html_extract element tree for equality checks."""
     out = [node.tag]
