@@ -188,3 +188,28 @@ def with_fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:
     return (df
             .withColumn('fp_md5', F.md5(F.encode(norm, 'UTF-8')))
             .withColumn('fp_xx64', F.xxhash64(norm)))
+
+
+def tfidf_terms(df: DataFrame, id_col: str = 'doc_id',
+                text_col: str = 'text', min_token_len: int = 3) -> DataFrame:
+    """Exact-term TF-IDF per (doc, term) — the SQL-checkable sibling of
+    ``categorize.tfidf_features`` (HashingTF+IDF, whose murmur3 buckets
+    have no SQL mirror). Same smoothing as Spark ML's IDF:
+    ``idf = ln((n_docs + 1) / (df + 1))``.
+
+    Plan shape: explode → two narrow aggs (per-(doc,term) tf and
+    per-term df over longs) joined on term; nothing wide shuffles and
+    every stage is codegen + map-side combinable. At corpus scale the
+    term-df table is the only broadcast-unfriendly side — it shuffles
+    on term, which is exactly the partitioning a downstream
+    inverted-index write wants."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                    lambda t: F.length(t) >= min_token_len)
+    ex = df.select(id_col, F.explode(toks).alias('term'))
+    n_docs = df.count()  # one cheap count job; a literal keeps idf codegen'd
+    tf = ex.groupBy(id_col, 'term').agg(F.count('*').alias('tf'))
+    dfreq = (ex.select(id_col, 'term').distinct()
+             .groupBy('term').agg(F.count('*').alias('df_count')))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col('df_count') + 1))
+    return (tf.join(dfreq, on='term')
+            .withColumn('tfidf', F.col('tf') * idf))

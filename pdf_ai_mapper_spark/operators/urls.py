@@ -1,0 +1,64 @@
+"""URL canonicalization + host statistics — the web-corpus hygiene
+operators every Common-Crawl-scale pipeline runs before dedup: the
+same page arrives under ``http://WWW.Site.com:80/a/?utm_source=x#frag``
+and ``https://site.com/a/``, and URL-level dedup / per-host
+aggregation only work on a canonical form.
+
+All native Catalyst expressions (regexp/string ops — whole-stage
+codegen, no Python), so the canonical column can be computed inside
+the scan projection and used for partition routing. Canonical steps
+(each a documented, SQL-mirrorable rule, applied in order):
+
+1. strip the fragment (``#...``);
+2. lowercase the scheme and authority (path/query case preserved);
+3. drop default ports (``:80`` for http, ``:443`` for https);
+4. drop a leading ``www.`` label;
+5. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``),
+   removing the ``?`` when nothing survives;
+6. collapse a trailing ``/`` on a non-root path.
+
+``registered_domain`` is the last two host labels — a documented
+simplification (a real deployment vendors the Public Suffix List;
+two-label grouping is exact for .com/.org/... and merely coarser for
+ccTLD second-level registries like .co.uk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_url(url: Column) -> Column:
+    u = F.regexp_replace(url, r'#.*$', '')                     # 1
+    scheme_auth = F.lower(F.regexp_extract(u, r'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+    rest = F.regexp_replace(u, r'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '')
+    u = F.concat(scheme_auth, rest)                            # 2
+    u = F.regexp_replace(u, r'^(http://[^/?:]*):80(?=[/?]|$)', r'$1')    # 3
+    u = F.regexp_replace(u, r'^(https://[^/?:]*):443(?=[/?]|$)', r'$1')
+    u = F.regexp_replace(u, r'^([a-z][a-z0-9+.-]*://)www\.', r'$1')      # 4
+    u = F.regexp_replace(u, r'([?&])(utm_[^=&]*|gclid|fbclid)=[^&]*', r'$1')  # 5
+    u = F.regexp_replace(u, r'\?&+', '?')
+    u = F.regexp_replace(u, r'&&+', '&')
+    u = F.regexp_replace(u, r'[?&]$', '')
+    u = F.regexp_replace(u, r'(://[^/?]+/.+?)/$', r'$1')       # 6
+    return u
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (no port, no userinfo) of a canonical-ish URL."""
+    h = F.lower(F.regexp_extract(url, r'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:@]*@)?([^/?#:]*)', 2))
+    return F.regexp_replace(h, r'^www\.', '')
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two labels of the host (documented PSL simplification)."""
+    return F.regexp_extract(host_of(url), r'([^.]+\.[^.]+)$', 1)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = 'url',
+                       out_col: str = 'canonical_url') -> DataFrame:
+    return (df
+            .withColumn(out_col, canonical_url(F.col(url_col)))
+            .withColumn('host', host_of(F.col(out_col)))
+            .withColumn('domain', registered_domain(F.col(out_col))))

@@ -663,6 +663,85 @@ def q_ngram_jaccard_exact(spark, sf_dir):
             .orderBy('id_a', 'id_b'))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Exact-term TF-IDF (operators/textstats.tfidf_terms — the
+    SQL-checkable sibling of the HashingTF+IDF featurizer the north
+    star names; Spark ML IDF smoothing ln((N+1)/(df+1))): top-20 terms
+    by corpus-summed tf-idf. The sum is rounded BEFORE the ordering /
+    limit on both sides, so rank-boundary ties break on the rounded
+    value + term and the top-20 SET is engine-independent."""
+    d = _t(spark, sf_dir, 'documents')
+    t = textstats.tfidf_terms(d, 'doc_id', 'text', min_token_len=3)
+    return (t.groupBy('term')
+            .agg(F.max('df_count').cast('long').alias('df_count'),
+                 F.round(F.sum('tfidf'), 3).alias('tfidf_sum'))
+            .orderBy(F.desc('tfidf_sum'), F.asc('term'))
+            .limit(20))
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (operators/asof.asof_join — the
+    union + windowed last(ignorenulls) re-expression; one narrow
+    shuffle, no range-join blowup): every event gains the latest
+    checkpoint row (a deterministic events subset) at or before its
+    timestamp; aggregated per event_type. Oracle: DuckDB's native
+    ASOF LEFT JOIN — a true independent implementation of the
+    semantics."""
+    from .operators.asof import asof_join
+    ev = _t(spark, sf_dir, 'events').select(
+        'event_id', 'ts', 'user_id', 'event_type', 'value')
+    cps = (ev.filter(F.col('event_id') % 7 == 0)
+           .groupBy('user_id', 'ts')
+           .agg(F.max('value').alias('cp_value'))
+           .withColumnRenamed('ts', 'cp_ts'))
+    joined = asof_join(ev, cps, on='user_id',
+                       left_ts='ts', right_ts='cp_ts',
+                       payload_cols=['cp_value'])
+    return (joined.groupBy('event_type')
+            .agg(F.count('*').cast('long').alias('n_events'),
+                 F.sum(F.col('cp_value').isNotNull().cast('long'))
+                 .cast('long').alias('n_matched'),
+                 F.round(F.coalesce(F.sum('cp_value'), F.lit(0.0)), 4)
+                 .alias('total_cp_value'))
+            .orderBy('event_type'))
+
+
+def q_url_canonicalization(spark, sf_dir):
+    """URL canonicalization + per-domain stats (operators/urls — all
+    native regexp/string expressions, codegen'd): messy URL variants
+    (WWW., default ports, utm params, fragments, trailing slash) are
+    synthesized deterministically from doc_id, canonicalized, and
+    grouped by registered domain. The oracle derives the EXPECTED
+    canonical form independently from the same doc_id arithmetic —
+    checking output values, not re-running the transform."""
+    from .operators.urls import with_canonical_url
+    d = _t(spark, sf_dir, 'documents')
+    sid = F.col('doc_id')
+    host = F.concat(F.lit('s'), (sid % 7).cast('string'), F.lit('.'),
+                    F.element_at(F.lit(['example.com', 'sample.org', 'test.net']),
+                                 (sid % 3 + 1).cast('int')))
+    # path modulus chosen so distinct doc_ids COLLIDE onto the same
+    # canonical form through different messy variants (lcm(7,3,10,5) =
+    # 210 < 500 docs → ~2.4 urls per canonical at sf0.01) — the check
+    # proves variants actually merge, not just that strings round-trip
+    path = F.concat(F.lit('/p/'), (sid % 10).cast('string'))
+    v = sid % 5
+    url = (F.when(v == 0, F.concat(F.lit('https://'), host, path))
+           .when(v == 1, F.concat(F.lit('https://WWW.'), F.upper(host),
+                                  F.lit(':443'), path, F.lit('/')))
+           .when(v == 2, F.concat(F.lit('https://'), host, F.lit(':443'), path,
+                                  F.lit('?utm_source=x&utm_campaign=y')))
+           .when(v == 3, F.concat(F.lit('https://'), host, path, F.lit('#frag')))
+           .otherwise(F.concat(F.lit('https://'), host, path,
+                               F.lit('?a=1&utm_medium=z'))))
+    cu = with_canonical_url(d.select('doc_id', url.alias('url')))
+    return (cu.groupBy('domain')
+            .agg(F.count('*').cast('long').alias('n_urls'),
+                 F.countDistinct('canonical_url').cast('long').alias('n_canonical'),
+                 F.countDistinct('host').cast('long').alias('n_hosts'))
+            .orderBy('domain'))
+
+
 # ---- non-SQL-expressible (rows-only checks) -------------------------
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -1478,6 +1557,65 @@ ORACLES: dict[str, str] = {
         FROM cent GROUP BY label ORDER BY label
     """,
     'q_search_pipeline': _search_pipeline_oracle_sql(),
+    'q_tfidf_top_terms': r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> len(x) >= 3)) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_count
+                  FROM toks GROUP BY term),
+        nd AS (SELECT count(*) AS n FROM documents),
+        j AS (SELECT t.term, d.df_count,
+                     t.tf * ln((nd.n + 1.0) / (d.df_count + 1.0)) AS tfidf
+              FROM tf t JOIN dfreq d USING (term), nd)
+        SELECT term, CAST(max(df_count) AS BIGINT) AS df_count,
+               round(sum(tfidf), 3) AS tfidf_sum
+        FROM j GROUP BY term
+        ORDER BY tfidf_sum DESC, term ASC LIMIT 20
+    """,
+    'q_asof_join': """
+        WITH cp AS (
+            SELECT user_id, ts AS cp_ts, max(value) AS cp_value
+            FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts),
+        j AS (
+            SELECT e.event_type, cp.cp_value
+            FROM events e
+            ASOF LEFT JOIN cp
+              ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN cp_value IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               round(coalesce(sum(cp_value), 0), 4) AS total_cp_value
+        FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    # derives the EXPECTED canonical form independently from the same
+    # doc_id arithmetic the Spark side uses to SYNTHESIZE the messy
+    # variants — a value oracle over outputs, not a regex re-run
+    'q_url_canonicalization': """
+        WITH u AS (
+            SELECT doc_id,
+                   's' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+                   CASE doc_id % 3 WHEN 0 THEN 'example.com'
+                                   WHEN 1 THEN 'sample.org'
+                                   ELSE 'test.net' END AS host,
+                   CASE doc_id % 3 WHEN 0 THEN 'example.com'
+                                   WHEN 1 THEN 'sample.org'
+                                   ELSE 'test.net' END AS domain,
+                   '/p/' || CAST(doc_id % 10 AS VARCHAR) AS path,
+                   doc_id % 5 AS v
+            FROM documents),
+        c AS (SELECT domain, host,
+                     'https://' || host || path ||
+                     CASE WHEN v = 4 THEN '?a=1' ELSE '' END AS canonical
+              FROM u)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM c GROUP BY domain ORDER BY domain
+    """,
 }
 
 
@@ -1525,6 +1663,9 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_a6_topic_type': q_a6_topic_type,
         'q_error_taxonomy': q_error_taxonomy,
         'q_search_pipeline': q_search_pipeline,
+        'q_tfidf_top_terms': q_tfidf_top_terms,
+        'q_asof_join': q_asof_join,
+        'q_url_canonicalization': q_url_canonicalization,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,

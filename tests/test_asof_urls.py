@@ -1,0 +1,88 @@
+"""as-of join + URL canonicalization operators (round 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark.operators.asof import asof_join
+from pdf_ai_mapper_spark.operators.urls import with_canonical_url
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_backward_inclusive_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(5)), (3, _ts(9)), (4, _ts(12)), (5, _ts(3))],
+        'event_id long, ts timestamp').withColumn('user_id', F.lit(7))
+    right = spark.createDataFrame(
+        [(7, _ts(5), 50.0), (7, _ts(10), 100.0), (8, _ts(0), 9.0)],
+        'user_id long, cp_ts timestamp, cp_value double')
+    got = {r['event_id']: r['cp_value'] for r in
+           asof_join(left, right, on='user_id',
+                     left_ts='ts', right_ts='cp_ts').collect()}
+    assert got[1] is None          # before any checkpoint
+    assert got[5] is None
+    assert got[2] == 50.0          # inclusive: cp at ts == left ts matches
+    assert got[3] == 50.0          # latest at-or-before, not nearest
+    assert got[4] == 100.0
+    # key isolation: user 8's checkpoint never leaks to user 7
+    assert all(v in (None, 50.0, 100.0) for v in got.values())
+
+
+def test_asof_join_matches_brute_force(spark):
+    import random
+    rng = random.Random(42)
+    left = [(i, rng.randint(0, 4), _ts(rng.randint(0, 23), rng.randint(0, 59)))
+            for i in range(200)]
+    right = {}
+    for _ in range(60):
+        right[(rng.randint(0, 4), _ts(rng.randint(0, 23), rng.randint(0, 59)))] = \
+            round(rng.random() * 100, 3)
+    ldf = spark.createDataFrame(left, 'event_id long, k long, ts timestamp')
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right.items()],
+        'k long, rts timestamp, payload double')
+    got = {r['event_id']: r['payload'] for r in
+           asof_join(ldf, rdf, on='k', left_ts='ts', right_ts='rts').collect()}
+    for eid, k, t in left:
+        cands = [(rt, v) for (rk, rt), v in right.items()
+                 if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, k, t)
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    import pytest
+    l = spark.createDataFrame([(1, _ts(1), 0.0)], 'k long, ts timestamp, p double')
+    r = spark.createDataFrame([(1, _ts(0), 1.0)], 'k long, rts timestamp, p double')
+    with pytest.raises(ValueError, match='collide'):
+        asof_join(l, r, on='k', left_ts='ts', right_ts='rts')
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        # (input, canonical, host, domain)
+        ('https://www.Example.COM:443/a/b/?utm_source=x#frag',
+         'https://example.com/a/b', 'example.com', 'example.com'),
+        ('http://site.org:80/p', 'http://site.org/p', 'site.org', 'site.org'),
+        ('https://a.b.test.net/x?a=1&utm_medium=m&b=2',
+         'https://a.b.test.net/x?a=1&b=2', 'a.b.test.net', 'test.net'),
+        ('https://host.com/', 'https://host.com/', 'host.com', 'host.com'),
+        ('https://host.com/x?gclid=123', 'https://host.com/x',
+         'host.com', 'host.com'),
+        ('https://host.com:8443/x', 'https://host.com:8443/x',
+         'host.com', 'host.com'),  # non-default port kept
+        ('HTTPS://HOST.COM/UPPER/Path', 'https://host.com/UPPER/Path',
+         'host.com', 'host.com'),  # path case preserved
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, *_ ) in enumerate(cases)],
+                               'id long, url string')
+    got = {r['id']: r for r in with_canonical_url(df).collect()}
+    for i, (u, canon, host, domain) in enumerate(cases):
+        assert got[i]['canonical_url'] == canon, (u, got[i]['canonical_url'])
+        assert got[i]['host'] == host, (u, got[i]['host'])
+        assert got[i]['domain'] == domain, (u, got[i]['domain'])
