@@ -66,6 +66,8 @@ HEADLINE_QUERIES = [
     'q_minhash_near_dups',
     'q_simhash_near_dups',
     'q_ngram_jaccard_exact',
+    'q_tfidf_top_terms',
+    'q_asof_join',
 ]
 
 

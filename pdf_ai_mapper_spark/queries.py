@@ -742,6 +742,45 @@ def q_url_canonicalization(spark, sf_dir):
             .orderBy('domain'))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the training-data mixing
+    primitive: per-language quotas selected by a content-independent
+    hash threshold (first 3 hex chars of ``md5(doc_id)`` compared
+    against a per-stratum hex cutoff — fixed-width lowercase hex
+    compares lexicographically AS a number, and md5 is bit-identical
+    in every engine, unlike xxhash64 which DuckDB lacks), so the
+    sample is reproducible across runs/cluster sizes, requires NO
+    shuffle (a scan-level filter Catalyst pushes down), and composes
+    with dedup (same row always picked). Quotas (per 4096): en 2048,
+    de 1024, others 410."""
+    d = _t(spark, sf_dir, 'documents')
+    cutoff = (F.when(F.col('lang') == 'en', '800')
+              .when(F.col('lang') == 'de', '400')
+              .otherwise('19a'))
+    h3 = F.substring(F.md5(F.encode(F.col('doc_id').cast('string'),
+                                    'UTF-8')), 1, 3)
+    picked = d.filter(h3 < cutoff)
+    return (picked.groupBy('lang')
+            .agg(F.count('*').cast('long').alias('n_sampled'),
+                 F.sum('n_chars').cast('long').alias('sampled_chars'))
+            .orderBy('lang'))
+
+
+def q_event_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (monitoring/stats family): p50/p90/p99
+    of event value per event_type via Spark's exact ``percentile``
+    (continuous interpolation) — DuckDB's ``quantile_cont`` implements
+    the same definition, so this is value-oracled, unlike
+    approx_percentile sketches."""
+    e = _t(spark, sf_dir, 'events')
+    return (e.groupBy('event_type')
+            .agg(F.round(F.percentile('value', 0.5), 6).alias('p50'),
+                 F.round(F.percentile('value', 0.9), 6).alias('p90'),
+                 F.round(F.percentile('value', 0.99), 6).alias('p99'),
+                 F.count('*').cast('long').alias('n'))
+            .orderBy('event_type'))
+
+
 # ---- non-SQL-expressible (rows-only checks) -------------------------
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -1616,6 +1655,24 @@ ORACLES: dict[str, str] = {
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         FROM c GROUP BY domain ORDER BY domain
     """,
+    'q_stratified_sample': """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
+              CASE WHEN lang = 'en' THEN '800'
+                   WHEN lang = 'de' THEN '400'
+                   ELSE '19a' END
+        GROUP BY lang ORDER BY lang
+    """,
+    'q_event_percentiles': """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 }
 
 
@@ -1666,6 +1723,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_tfidf_top_terms': q_tfidf_top_terms,
         'q_asof_join': q_asof_join,
         'q_url_canonicalization': q_url_canonicalization,
+        'q_stratified_sample': q_stratified_sample,
+        'q_event_percentiles': q_event_percentiles,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
