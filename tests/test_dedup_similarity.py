@@ -115,6 +115,34 @@ def test_pairwise_cosine_dups_self_consistency(spark):
         assert (r['vec_id'], r['vec_id'] + 1000) in pairs
 
 
+def test_ivf_cell_layout_prunes_partitions(spark):
+    """The IVF scale path: an index written partitionBy('ivf_cell')
+    makes a probe a PARTITION-PRUNED read — the executed plan's scan
+    must carry PartitionFilters on ivf_cell and read only the probed
+    cells' files, which is the whole point of the inverted-file layout
+    at 100 TB."""
+    import shutil
+    import tempfile
+    from pdf_ai_mapper_spark.operators.similarity import ivf_index
+    from pyspark.sql import functions as F
+    vecs = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    indexed, model = ivf_index(vecs, n_lists=8)
+    out = tempfile.mkdtemp(prefix='pam_ivf_')
+    try:
+        indexed.write.partitionBy('ivf_cell').mode('overwrite').parquet(out)
+        probe = spark.read.parquet(out).filter(F.col('ivf_cell').isin([0, 3]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert 'PartitionFilters' in plan and 'ivf_cell' in plan.split(
+            'PartitionFilters')[1][:200], plan[:800]
+        # NB inputFiles() reports the UNPRUNED relation — the pruning
+        # evidence is the PartitionFilters above; semantics check here
+        got_cells = {r['ivf_cell'] for r in probe.select('ivf_cell')
+                     .distinct().collect()}
+        assert got_cells and got_cells <= {0, 3}, got_cells
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from pdf_ai_mapper_spark.operators.similarity import (brute_force_topk,
                                                           ivf_index, ivf_topk)
