@@ -957,9 +957,12 @@ def q_stream_windowed_counts(spark, sf_dir):
 
 def q_sessionization(spark, sf_dir):
     """Stateful streaming sessionization (streaming.sessionize_events,
-    applyInPandasWithState; rows-only): gap-based sessions over the
-    events table run as a real stream; per-user OPEN sessions stay in
-    state by design, so totals cover closed sessions only."""
+    applyInPandasWithState): gap-based sessions over the events table
+    run as a REAL stream, then aggregated. ORACLED: the DuckDB oracle
+    reconstructs the same sessions independently via the classic
+    lag + cumulative-break-sum SQL and drops each user's trailing
+    session (which stays OPEN in the stream's state by design) — a
+    full value-level check of a custom stateful streaming operator."""
     import shutil
     import tempfile
     from .streaming import sessionize_events
@@ -1673,6 +1676,36 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # independent SQL reconstruction of gap-based sessionization: the
+    # streaming applyInPandasWithState operator's output must equal the
+    # classic lag + cumulative-break-sum formulation, minus each user's
+    # trailing session (which stays OPEN in state and is never emitted).
+    # Ties at equal ts are harmless: gap 0 either way, and the reported
+    # aggregates are order-invariant within a session.
+    'q_sessionization': """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts)
+                             > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+            FROM events),
+        g AS (SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM o),
+        s AS (SELECT user_id, grp, count(*) AS n_events
+              FROM g GROUP BY user_id, grp),
+        closed AS (
+            SELECT * FROM (
+                SELECT s.*, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY grp DESC) AS rn
+                FROM s) WHERE rn > 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM closed
+    """,
 }
 
 
@@ -1725,6 +1758,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_url_canonicalization': q_url_canonicalization,
         'q_stratified_sample': q_stratified_sample,
         'q_event_percentiles': q_event_percentiles,
+        'q_sessionization': q_sessionization,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
@@ -1735,7 +1769,6 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_ivf_ann_topk': q_ivf_ann_topk,
         'q_stream_ingest': q_stream_ingest,
         'q_stream_windowed_counts': q_stream_windowed_counts,
-        'q_sessionization': q_sessionization,
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_compaction': q_compaction,
     }
