@@ -992,8 +992,13 @@ def q_multimodal_metadata(spark, sf_dir):
     Arrow-batched mapInPandas stages — per-modality decode-ok/error
     counts plus a deterministic metadata checksum. Payloads are real
     container formats (PNG IHDR, RIFF/WAVE header, length-prefixed
-    frames) built deterministically from doc ids; every 5th image and
-    every 4th audio row is deliberately undecodable."""
+    frames) built deterministically from row ids; every 5th image and
+    every 4th audio row is deliberately undecodable. ORACLED: the
+    DuckDB oracle derives the EXPECTED metadata independently from the
+    construction arithmetic (1×1 8-bit PNGs → width 1 per decoded
+    image; WAV rate 8000+1000·(i%3); ceil((4+i)/2) sampled frames at
+    every_n=2), so the header parsers are value-checked, not just
+    executed."""
     import struct as _struct
     from .fixtures.webpages import build_png
     from .operators.multimodal import (audio_metadata, image_metadata,
@@ -1706,6 +1711,36 @@ ORACLES: dict[str, str] = {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM closed
     """,
+    # expected decode metadata derived INDEPENDENTLY from the fixture
+    # construction arithmetic (no table needed): the PNG/WAV/frame
+    # parsers must return exactly what was encoded
+    'q_multimodal_metadata': """
+        WITH img AS (SELECT unnest(range(24)) AS i),
+             aud AS (SELECT unnest(range(12)) AS i),
+             vid AS (SELECT unnest(range(6)) AS i)
+        SELECT * FROM (
+            SELECT 'image' AS modality,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN i % 5 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_decode_ok,
+                   CAST(sum(CASE WHEN i % 5 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS checksum  -- 1x1 PNGs: width = 1
+            FROM img
+            UNION ALL
+            SELECT 'audio', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN i % 4 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(sum(CASE WHEN i % 4 <> 0
+                            THEN 8000 + 1000 * (i % 3) ELSE 0 END)
+                        AS BIGINT)
+            FROM aud
+            UNION ALL
+            SELECT 'video', CAST(count(*) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum((4 + i + 1) // 2) AS BIGINT)  -- ceil(n/2) frames
+            FROM vid)
+        ORDER BY modality
+    """,
 }
 
 
@@ -1759,6 +1794,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stratified_sample': q_stratified_sample,
         'q_event_percentiles': q_event_percentiles,
         'q_sessionization': q_sessionization,
+        'q_multimodal_metadata': q_multimodal_metadata,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
@@ -1769,6 +1805,5 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_ivf_ann_topk': q_ivf_ann_topk,
         'q_stream_ingest': q_stream_ingest,
         'q_stream_windowed_counts': q_stream_windowed_counts,
-        'q_multimodal_metadata': q_multimodal_metadata,
         'q_compaction': q_compaction,
     }
