@@ -886,6 +886,24 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_ivf_ann_exact(spark, sf_dir):
+    """IVF ANN probed at n_probe = n_lists — every cell scanned, so the
+    result is PROVABLY the exact brute-force top-k (ivf_topk degenerates
+    to brute_force_topk over the whole corpus; similarity.py:185-201).
+    ORACLED with the same exact-cosine SQL as q_emb_cosine_topk: this
+    value-checks the IVF machinery end-to-end — KMeans cell assignment
+    loses no vectors, the probe-union covers the corpus, and the
+    per-cell cosine math matches the exact oracle bit-for-bit. The
+    pruning path (n_probe < n_lists, partition-pruned scan) stays the
+    rows-only q_ivf_ann_topk + the pytest recall/pruning pins."""
+    from .operators.similarity import ivf_index, ivf_topk
+    vecs = _t(spark, sf_dir, 'embeddings')
+    q = vecs.filter(F.col('vec_id') == 0).select('embedding').collect()[0][0]
+    indexed, model = ivf_index(vecs, n_lists=8)
+    return (ivf_topk(indexed, model, [float(x) for x in q], k=10, n_probe=8)
+            .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
+
+
 def q_stream_ingest(spark, sf_dir):
     """Structured Streaming ingest (streaming.ingest_stream; rows-only —
     runs a real availableNow file-source stream through the SAME
@@ -926,9 +944,16 @@ def q_stream_ingest(spark, sf_dir):
 
 def q_stream_windowed_counts(spark, sf_dir):
     """Watermarked event-time windowed aggregation over a real stream
-    (streaming.windowed_host_counts; rows-only): per-(window, host)
-    page counts with hot-host flags, reported as deterministic corpus
-    totals (append mode emits only watermark-finalized windows)."""
+    (streaming.windowed_host_counts): per-(window, host) page counts
+    with hot-host flags, reported as deterministic corpus totals.
+    ORACLED: the DuckDB oracle reconstructs the same 30-minute tumbling
+    windows independently from the documents table (the fixture's
+    warc_ts/host arithmetic — epoch + 17·doc_id seconds, 20% hot-host
+    skew — is pure SQL) and keeps only windows FINALIZED by the stream's
+    watermark (window_end ≤ max(ts) − 10 min; append mode emits exactly
+    those once the final no-data microbatch advances the watermark).
+    Batch-split independent: whatever availableNow's file batching,
+    the post-flush emitted set is the same."""
     import shutil
     import tempfile
     from .fixtures.webpages import web_pages_from_documents
@@ -1711,6 +1736,50 @@ ORACLES: dict[str, str] = {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM closed
     """,
+    # full-probe IVF provably degenerates to exact brute force — same
+    # SQL as q_emb_cosine_topk by construction
+    'q_ivf_ann_exact': """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], q.qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings, q)
+        SELECT vec_id, cos_sim FROM sims
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    # independent reconstruction of the stream's watermark-finalized
+    # tumbling windows from the documents table (fixture arithmetic:
+    # warc_ts = 2025-01-01 + 17·doc_id s; host0 takes every 5th row)
+    'q_stream_windowed_counts': """
+        WITH pages AS (
+            SELECT doc_id,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                       + doc_id * INTERVAL 17 SECOND AS ts,
+                   CASE WHEN doc_id % 5 = 0 THEN 'host0.example.com'
+                        ELSE 'host' || CAST(1 + (doc_id * 13) % 49 AS VARCHAR)
+                             || '.example.com'
+                   END AS host
+            FROM documents
+        ), wm AS (
+            SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM pages
+        ), win AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS wstart, host,
+                   count(*) AS n_pages
+            FROM pages GROUP BY 1, 2
+        ), fin AS (
+            SELECT * FROM win
+            WHERE wstart + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_window_rows,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(sum(n_pages) AS BIGINT) AS total_pages,
+               CAST(sum(CASE WHEN n_pages > 15 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hot
+        FROM fin
+    """,
     # expected decode metadata derived INDEPENDENTLY from the fixture
     # construction arithmetic (no table needed): the PNG/WAV/frame
     # parsers must return exactly what was encoded
@@ -1795,6 +1864,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_event_percentiles': q_event_percentiles,
         'q_sessionization': q_sessionization,
         'q_multimodal_metadata': q_multimodal_metadata,
+        'q_ivf_ann_exact': q_ivf_ann_exact,
+        'q_stream_windowed_counts': q_stream_windowed_counts,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
@@ -1804,6 +1875,5 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_neardup_pr': q_neardup_pr,
         'q_ivf_ann_topk': q_ivf_ann_topk,
         'q_stream_ingest': q_stream_ingest,
-        'q_stream_windowed_counts': q_stream_windowed_counts,
         'q_compaction': q_compaction,
     }
