@@ -137,20 +137,28 @@ def _start_seg_parse(seg: str) -> 'tuple[str, bool] | None':
     so with no quotes present the regex consumes name + rest exactly
     to the first '>' — which is how seg was sliced. Quote-bearing
     tags (a '>' may hide inside) return None → regex path."""
-    try:
-        return _START_SEG_CACHE[seg]
-    except KeyError:
-        pass
-    out = None
-    if '"' not in seg and "'" not in seg:
-        i = 1
-        m = len(seg)
-        while i < m and seg[i] in _NAME_CHARS:
-            i += 1
-        out = (seg[:i].lower(), seg.rstrip().endswith('/'))
-    if len(_START_SEG_CACHE) > 4096:
-        _START_SEG_CACHE.clear()
-    _START_SEG_CACHE[seg] = out
+    out = _START_SEG_CACHE.get(seg)
+    if out is not None:
+        return out
+    if '"' in seg or "'" in seg:
+        # a '>' may hide inside quotes → regex path. NOT cached:
+        # href/src-bearing segs are near-unique per page, and caching
+        # them churned the memo past its reset bound, evicting the hot
+        # pure-name entries every few pages (measured on link-heavy
+        # corpora: the cache hit rate collapsed to ~0)
+        return None
+    i = 1
+    m = len(seg)
+    while i < m and seg[i] in _NAME_CHARS:
+        i += 1
+    out = (seg[:i].lower(), seg.rstrip().endswith('/'))
+    if i >= m - 1:
+        # pure name (or name + '/'): finite tag vocabulary → memoize.
+        # Quote-free attr-bearing segs are parsed each time instead —
+        # the char loop is cheap and they are unbounded-variety.
+        if len(_START_SEG_CACHE) > 4096:
+            _START_SEG_CACHE.clear()
+        _START_SEG_CACHE[seg] = out
     return out
 
 

@@ -26,8 +26,12 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from heapq import nlargest
+from operator import itemgetter
 
 from .stopwords import STOP_WORDS
+
+_phrase_count = itemgetter(1)
 
 # Precompiled — these run per document in the hot path.
 _RE_GREEK = re.compile(r'[Ͱ-Ͽἀ-῿]')
@@ -101,8 +105,14 @@ def extract_key_phrases(tokens: list[str]) -> list[str]:
             a, b, c = tokens[i], tokens[i + 1], tokens[i + 2]
             if len(a) >= 3 and len(b) >= 3 and len(c) >= 3:
                 phrases.append(a + ' ' + b + ' ' + c)
+    # most_common(20)-then-filter(count>=2) ≡ filter-then-nlargest(20):
+    # most_common sorts by count desc (stable), so every count>=2 entry
+    # precedes every count-1 entry — the post-filter keeps exactly the
+    # first min(20, #dups) dup phrases either way. Filtering first
+    # skips the heap pass over the (dominant) count-1 tail.
     counts = Counter(phrases)
-    return [p for p, n_ in counts.most_common(20) if n_ >= 2]
+    dups = [it for it in counts.items() if it[1] >= 2]
+    return [p for p, _ in nlargest(20, dups, key=_phrase_count)]
 
 
 def preprocess_text(text: str) -> str:
