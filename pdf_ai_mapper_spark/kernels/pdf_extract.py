@@ -29,31 +29,41 @@ _ESCAPES = {
 
 
 def _decode_pdf_string(raw: bytes) -> str:
-    """Decode one (…)-literal (without parens) per PDF 32000-1 §7.3.4.2."""
+    """Decode one (…)-literal (without parens) per PDF 32000-1 §7.3.4.2.
+
+    Escape-free literals (the overwhelming majority of real content
+    streams) decode in one C call; otherwise the loop jumps between
+    backslashes with ``find`` instead of walking per byte."""
+    if b'\\' not in raw:
+        return raw.decode('latin-1')
     out = bytearray()
     i = 0
     n = len(raw)
+    find = raw.find
     while i < n:
-        c = raw[i:i + 1]
-        if c == b'\\' and i + 1 < n:
-            nxt = raw[i + 1:i + 2]
-            if nxt in _ESCAPES:
-                out += _ESCAPES[nxt]
-                i += 2
-            elif nxt.isdigit():  # octal \ddd (1-3 digits)
-                j = i + 1
-                while j < min(i + 4, n) and raw[j:j + 1].isdigit():
-                    j += 1
-                out.append(int(raw[i + 1:j], 8) & 0xFF)
-                i = j
-            elif nxt == b'\n':  # line continuation
-                i += 2
-            else:
-                out += nxt
-                i += 2
+        b = find(b'\\', i)
+        if b < 0:
+            out += raw[i:]
+            break
+        out += raw[i:b]
+        if b + 1 >= n:  # trailing lone backslash: kept literally
+            out += b'\\'
+            break
+        nxt = raw[b + 1:b + 2]
+        if nxt in _ESCAPES:
+            out += _ESCAPES[nxt]
+            i = b + 2
+        elif nxt.isdigit():  # octal \ddd (1-3 digits)
+            j = b + 1
+            while j < min(b + 4, n) and raw[j:j + 1].isdigit():
+                j += 1
+            out.append(int(raw[b + 1:j], 8) & 0xFF)
+            i = j
+        elif nxt == b'\n':  # line continuation
+            i = b + 2
         else:
-            out += c
-            i += 1
+            out += nxt
+            i = b + 2
     return out.decode('latin-1')
 
 
