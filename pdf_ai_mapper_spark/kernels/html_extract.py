@@ -319,10 +319,12 @@ def _block_stats(node: _Node) -> tuple[str, int, float]:
     parts: list[str] = []
     link_parts: list[str] = []
     _collect_text(node, parts, link_parts, False)
-    text = ' '.join(''.join(parts).split())
-    link_text = ' '.join(''.join(link_parts).split())
+    text = ' '.join(''.join(parts).split()) if parts else ''
     n = len(text)
-    return text, n, (len(link_text) / n if n else 0.0)
+    if not n or not link_parts:  # link-free blocks skip the second pass
+        return text, n, 0.0
+    link_text = ' '.join(''.join(link_parts).split())
+    return text, n, len(link_text) / n
 
 
 def _iter_blocks(node: _Node, blocks: list) -> None:
