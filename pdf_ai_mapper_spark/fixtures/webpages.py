@@ -310,13 +310,15 @@ def web_pages_df(spark, n_rows: int, num_partitions: int | None = None):
             .mapInPandas(gen, schema=WEB_PAGES_SCHEMA))
 
 
-def web_pages_from_documents(spark, sf_dir: str):
+def web_pages_from_documents(spark, sf_dir: str, docs=None):
     """Wrap the driver's ``documents`` table into north-rule-shaped
     web_pages rows: each document's text becomes the <article> of a
     boilerplate-wrapped HTML page (deterministically, executor-side).
     Ground truth = whitespace-normalized text, so the extraction
-    byte-identity oracle applies to driver data too."""
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    byte-identity oracle applies to driver data too. ``docs`` overrides
+    the table (e.g. a filtered slice for incremental-batch queries)."""
+    if docs is None:
+        docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
 
     def gen(batches):
         import pandas as pd

@@ -79,8 +79,16 @@ def with_status(df: DataFrame) -> DataFrame:
 def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                    cfg: EngineConfig = DEFAULT_CONFIG,
                    run_id: str | None = None,
-                   dedup_against_output: bool = False) -> dict:
-    """Execute (or resume) an extraction run. Returns run stats."""
+                   dedup_against_output: bool = False,
+                   bloom_prefilter: bool = False) -> dict:
+    """Execute (or resume) an extraction run. Returns run stats.
+
+    ``bloom_prefilter`` (incremental mode only): pre-split the batch
+    with a Bloom filter over the committed hash set so definite-new
+    rows bypass the anti-join shuffle entirely — only the (dup_rate +
+    fpp) slice of the batch shuffles. Result is byte-identical to the
+    plain anti-join (operators/bloom.py); on an over-cap corpus the
+    bloom build raises and we fall back to the plain join."""
     run_id = run_id or cp.new_run_id()
     bucket = F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int')
 
@@ -108,9 +116,22 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
             # anti-join only (md5 is cheap; the payload stays local)
             hashes = (committed.select('content_hash').distinct()
                       .withColumnRenamed('content_hash', '__h'))
-            todo_df = (todo_df.withColumn('__h', F.md5(F.col('html')))
-                       .join(hashes, on='__h', how='left_anti')
-                       .drop('__h'))
+            todo_df = todo_df.withColumn('__h', F.md5(F.col('html')))
+            if bloom_prefilter:
+                from .operators.bloom import bloom_split, build_bloom
+                try:
+                    bitmap = build_bloom(hashes, '__h')
+                except ValueError:
+                    bitmap = None  # over the broadcast cap → plain join
+                if bitmap is not None:
+                    fresh, maybe = bloom_split(todo_df, '__h', bitmap)
+                    todo_df = fresh.unionByName(
+                        maybe.join(hashes, on='__h', how='left_anti'))
+                else:
+                    todo_df = todo_df.join(hashes, on='__h', how='left_anti')
+            else:
+                todo_df = todo_df.join(hashes, on='__h', how='left_anti')
+            todo_df = todo_df.drop('__h')
 
     # cheap native pass for per-bucket input counters (url column only —
     # the parquet scan prunes the payload)

@@ -886,6 +886,43 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_bloom_incremental_ingest(spark, sf_dir):
+    """Bloom-prefiltered incremental ingest (operators/bloom.py +
+    run_extraction(bloom_prefilter=True)): batch A (even doc_ids) is
+    committed, then batch B (doc_ids divisible by 3, overlapping A at
+    multiples of 6) ingests through the Bloom split — definite-new
+    rows bypass the anti-join shuffle entirely; maybe-dup rows (true
+    overlaps + ~1% false positives) take the exact anti-join. The
+    filter moves bytes, never answers, so the committed set is exactly
+    A ∪ B. ORACLED: per-lang counts of {doc_id : 2|id or 3|id} derived
+    independently from the documents table."""
+    import shutil
+    import tempfile
+    from . import checkpoint as cp_mod
+    from .config import EngineConfig
+    from .fixtures.webpages import web_pages_from_documents
+    from .pipeline import run_extraction
+    d = _t(spark, sf_dir, 'documents')
+    outdir = tempfile.mkdtemp(prefix='pam_q_bloom_')
+    try:
+        cfg = EngineConfig(shuffle_partitions=8, output_buckets=8)
+        for pred in (F.col('doc_id') % 2 == 0, F.col('doc_id') % 3 == 0):
+            pages = web_pages_from_documents(spark, sf_dir,
+                                             docs=d.filter(pred))
+            run_extraction(spark, pages, outdir, cfg,
+                           dedup_against_output=True, bloom_prefilter=True)
+        out = cp_mod.read_output(spark, outdir)
+        ids = out.select(F.regexp_extract('url', r'/p/(\d+)$', 1)
+                         .cast('long').alias('doc_id'))
+        rows = (ids.join(d.select('doc_id', 'lang'), on='doc_id')
+                .groupBy('lang').agg(F.count('*').cast('long').alias('n'))
+                .orderBy('lang').collect())  # materialize before rmtree
+        return spark.createDataFrame([tuple(r) for r in rows],
+                                     'lang string, n long')
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 def q_ivf_ann_exact(spark, sf_dir):
     """IVF ANN probed at n_probe = n_lists — every cell scanned, so the
     result is PROVABLY the exact brute-force top-k (ivf_topk degenerates
@@ -1736,6 +1773,14 @@ ORACLES: dict[str, str] = {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM closed
     """,
+    # the Bloom filter moves bytes, never answers: the committed set is
+    # exactly batch A ∪ batch B, reconstructed here from doc_id alone
+    'q_bloom_incremental_ingest': """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        GROUP BY lang ORDER BY lang
+    """,
     # full-probe IVF provably degenerates to exact brute force — same
     # SQL as q_emb_cosine_topk by construction
     'q_ivf_ann_exact': """
@@ -1866,6 +1911,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_ivf_ann_exact': q_ivf_ann_exact,
         'q_stream_windowed_counts': q_stream_windowed_counts,
+        'q_bloom_incremental_ingest': q_bloom_incremental_ingest,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,

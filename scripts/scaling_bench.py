@@ -110,6 +110,89 @@ def _wait_for_quiet(max_load: float, retries: int, sleep_s: float) -> list[float
     return _load()
 
 
+def _run_child(cpus: int, rows: int, corpus_path: str, repeats: int,
+               with_minhash: bool = False) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__),
+           '--child-cpus', str(cpus), '--rows', str(rows),
+           '--repeats', str(repeats), '--corpus', corpus_path]
+    if with_minhash:
+        cmd.append('--with-minhash')
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd=REPO, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith('{')][-1]
+    return json.loads(line)
+
+
+def _pair_run(args) -> None:
+    """Interleaved N↔4N pairs (N,4N,N,4N,…), each child load-gated and
+    in a fresh JVM. The paired design cancels slow ambient drift that
+    sequential sweeps alias into the efficiency ratio — per-round
+    efficiency is computed from two adjacent-in-time runs. Appends a
+    section to BENCH/PAIR_RUN.md with per-child load readings."""
+    lo, hi = args.pair
+    tmp = tempfile.mkdtemp(prefix='pam_pairs_')
+    corpus_path = os.path.join(tmp, 'web_pages')
+    sys.path.insert(0, REPO)
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.session import get_spark
+    spark = get_spark(app_name='pair-bench-gen', master='local[16]')
+    web_pages_df(spark, args.rows, num_partitions=64).write.parquet(corpus_path)
+    spark.stop()
+    kernel_rate = _kernel_rate()
+
+    rounds = []
+    try:
+        for r in range(args.rounds):
+            rnd = {}
+            for cpus in (lo, hi):
+                pre = _wait_for_quiet(args.load_max, args.load_retries,
+                                      args.load_sleep)
+                res = _run_child(cpus, args.rows, corpus_path, args.repeats)
+                res['load_pre'] = pre
+                res['load_post'] = _load()
+                rnd[cpus] = res
+                print(json.dumps(res))
+            rnd['efficiency'] = round(
+                rnd[hi]['extraction_docs_per_sec']
+                / rnd[lo]['extraction_docs_per_sec'] / (hi / lo), 3)
+            print(json.dumps({'round': r, 'efficiency': rnd['efficiency']}))
+            rounds.append(rnd)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    effs = sorted(r['efficiency'] for r in rounds)
+    median = effs[len(effs) // 2]
+    lines = [
+        '',
+        f'## Interleaved {lo}↔{hi} pairs — {args.rows} rows, '
+        f'best-of-{args.repeats} per child, load-gated '
+        f'(max {args.load_max})',
+        '',
+        f'Single-core kernel rate this run: {kernel_rate:.0f} docs/s.',
+        f'Median efficiency: **{median:.2f}** '
+        f'(rounds: {", ".join(f"{e:.2f}" for e in effs)}).',
+        '',
+        f'| round | local[{lo}] docs/s (load pre) | '
+        f'local[{hi}] docs/s (load pre) | efficiency |',
+        '|---|---|---|---|',
+    ] + [
+        f"| {i} | {r[lo]['extraction_docs_per_sec']} ({r[lo]['load_pre'][0]}) "
+        f"| {r[hi]['extraction_docs_per_sec']} ({r[hi]['load_pre'][0]}) "
+        f"| {r['efficiency']:.2f} |"
+        for i, r in enumerate(rounds)
+    ]
+    path = os.path.join(REPO, 'BENCH', 'PAIR_RUN.md')
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    header_needed = not os.path.exists(path)
+    with open(path, 'a') as f:
+        if header_needed:
+            f.write('# BENCH/PAIR_RUN — interleaved N↔4N pair evidence\n'
+                    '(auto-generated, appended per run; see '
+                    'BENCH/BASELINE.md for analysis)\n')
+        f.write('\n'.join(lines) + '\n')
+    print(f'appended {path}')
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--rows', type=int, default=80000)
@@ -120,7 +203,16 @@ def main() -> None:
     ap.add_argument('--load-max', type=float, default=1.5)
     ap.add_argument('--load-retries', type=int, default=10)
     ap.add_argument('--load-sleep', type=float, default=20)
+    ap.add_argument('--pair', type=int, nargs=2, default=None,
+                    metavar=('N', 'M'),
+                    help='interleaved pair mode: alternate local[N] / '
+                         'local[M] children for --rounds rounds')
+    ap.add_argument('--rounds', type=int, default=3)
     args = ap.parse_args()
+
+    if args.pair and not args.child_cpus:
+        _pair_run(args)
+        return
 
     if args.child_cpus:
         child(args.child_cpus, args.rows, args.corpus, args.repeats,
@@ -145,15 +237,9 @@ def main() -> None:
     for cpus in levels:
         pre = _wait_for_quiet(args.load_max, args.load_retries,
                               args.load_sleep)
-        cmd = [sys.executable, os.path.abspath(__file__),
-               '--child-cpus', str(cpus), '--rows', str(args.rows),
-               '--repeats', str(args.repeats), '--corpus', corpus_path]
-        if cpus in MINHASH_LEVELS:
-            cmd.append('--with-minhash')
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             cwd=REPO, check=True)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith('{')][-1]
-        results[cpus] = json.loads(line)
+        results[cpus] = _run_child(cpus, args.rows, corpus_path,
+                                   args.repeats,
+                                   with_minhash=cpus in MINHASH_LEVELS)
         results[cpus]['load_pre'] = pre
         results[cpus]['load_post'] = _load()
         print(json.dumps(results[cpus]))
