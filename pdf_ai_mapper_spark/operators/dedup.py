@@ -467,3 +467,74 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
               .select('id_a', 'id_b', 'jaccard'))
     result._persisted_deps = [sh, cand]  # for release() once materialized
     return result
+
+
+# -------------------------------------------- near-dup cluster resolution
+
+def connected_components(pairs: DataFrame, id_a: str = 'id_a',
+                         id_b: str = 'id_b',
+                         max_iter: int = 50) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (node, component)
+    where ``component`` is the minimum node id reachable through the
+    pair graph — the canonical survivor every production dedup keeps
+    while dropping the rest of its cluster (the reference deletes one
+    duplicate at a time, app/api/management.py; at corpus scale the
+    transitive closure is what you actually delete against).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its neighbors' labels over the self-loop-augmented edge
+    table — the standard MapReduce/Pregel formulation (Kiveris et al.
+    2014 survey this family; label propagation is their HASH-MIN
+    baseline). The self-loops make the round ONE join + ONE aggregate
+    that references the previous labels exactly once, so the logical
+    plan grows linearly in rounds (the naive own-vs-neighbor
+    formulation references labels twice per round — exponential plan
+    growth that OOMs the driver in plan stringification long before
+    execution is a problem), and ``localCheckpoint`` every 10 rounds
+    truncates it outright. Converges in O(diameter) rounds; near-dup
+    graphs are hub-shaped (bucket star expansion bounds eccentricity),
+    so the loop is short in practice — the ``max_iter`` guard raises
+    rather than silently returning a partial closure. Per round: one
+    shuffle of the narrow (node, label) table on node id (the
+    persisted edge table reuses its partitioning) and one count()
+    action for convergence.
+
+    Only nodes that appear in ``pairs`` are returned (singletons are
+    their own component trivially)."""
+    src = pairs.select(F.col(id_a).alias('node'), F.col(id_b).alias('peer'))
+    edges = (src.unionByName(src.select(F.col('peer').alias('node'),
+                                        F.col('node').alias('peer')))
+             .distinct())
+    nodes = edges.select('node').distinct()
+    sym = (edges.unionByName(nodes.withColumn('peer', F.col('node')))
+           .persist())  # symmetric + self-loops: min over N(v) ∪ {v}
+
+    labels = nodes.withColumn('component', F.col('node')).persist()
+    labels.count()  # materialize (also forces `pairs` exactly once)
+
+    for it in range(max_iter):
+        new_labels = (sym.alias('e')
+                      .join(labels.alias('l'),
+                            F.col('e.peer') == F.col('l.node'))
+                      .groupBy(F.col('e.node').alias('node'))
+                      .agg(F.min(F.col('l.component')).alias('component')))
+        if (it + 1) % 10 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (new_labels.alias('n')
+                   .join(labels.alias('o'), on='node')
+                   .filter(F.col('n.component') != F.col('o.component'))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        sym.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f'connected_components did not converge in {max_iter} rounds')
+
+    sym.unpersist()
+    labels._persisted_deps = [labels]  # for release() once materialized
+    return labels

@@ -886,6 +886,30 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Transitive closure of the near-dup graph: the oracled exact
+    n-gram-Jaccard pairs (J≥0.5) resolved into duplicate CLUSTERS by
+    dedup.connected_components (iterative min-label propagation —
+    Spark's Pregel-style loop, one narrow shuffle per round). Reports
+    per-cluster (representative, size, id-checksum). ORACLED: DuckDB
+    reconstructs the same pairs (the q_ngram_jaccard_exact SQL) and
+    closes them with a recursive CTE — a full value check of an
+    ITERATIVE graph operator."""
+    from .operators.dedup import connected_components, release
+    d = _t(spark, sf_dir, 'documents')
+    pairs = ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5)
+    cc = connected_components(pairs)
+    rows = (cc.groupBy('component')
+            .agg(F.count('*').cast('long').alias('n_members'),
+                 F.sum('node').cast('long').alias('id_sum'))
+            .orderBy('component').collect())
+    release(cc)
+    release(pairs)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        'component long, n_members long, id_sum long')
+
+
 def q_bloom_incremental_ingest(spark, sf_dir):
     """Bloom-prefiltered incremental ingest (operators/bloom.py +
     run_extraction(bloom_prefilter=True)): batch A (even doc_ids) is
@@ -1773,6 +1797,46 @@ ORACLES: dict[str, str] = {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM closed
     """,
+    # the exact-Jaccard pair CTEs (same as q_ngram_jaccard_exact) closed
+    # transitively by a recursive CTE — min reachable id per node
+    'q_neardup_clusters': r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE []::VARCHAR[] END AS shingles
+            FROM toks
+        ), shne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shne),
+        rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 256),
+        exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM exr a JOIN exr b USING (s) WHERE a.doc_id < b.doc_id),
+        j AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                   (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+            FROM cand JOIN shne sa ON sa.doc_id = id_a
+                      JOIN shne sb ON sb.doc_id = id_b),
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        n AS (SELECT DISTINCT u FROM e),
+        comp(u, m) AS (
+            SELECT u, u FROM n
+            UNION
+            SELECT e.u, c.m FROM e JOIN comp c ON c.u = e.v
+        ),
+        lab AS (SELECT u, min(m) AS component FROM comp GROUP BY u)
+        SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(u) AS BIGINT) AS id_sum
+        FROM lab GROUP BY component ORDER BY component
+    """,
     # the Bloom filter moves bytes, never answers: the committed set is
     # exactly batch A ∪ batch B, reconstructed here from doc_id alone
     'q_bloom_incremental_ingest': """
@@ -1912,6 +1976,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_ivf_ann_exact': q_ivf_ann_exact,
         'q_stream_windowed_counts': q_stream_windowed_counts,
         'q_bloom_incremental_ingest': q_bloom_incremental_ingest,
+        'q_neardup_clusters': q_neardup_clusters,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
