@@ -213,3 +213,35 @@ def tfidf_terms(df: DataFrame, id_col: str = 'doc_id',
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col('df_count') + 1))
     return (tf.join(dfreq, on='term')
             .withColumn('tfidf', F.col('tf') * idf))
+
+
+def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
+                            id_col: str, text_col: str,
+                            bench_text_col: str | None = None,
+                            k: int = 3) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word k-grams it shares with ANY document of a benchmark
+    corpus — the n-gram overlap screen used to scrub eval sets out of
+    training data (the published GPT-3 appendix-C / Llama-2 method uses
+    k≈8-13; k is a parameter here and the fixture scale uses 3).
+
+    Shape: both sides shingle via the native HOF path
+    (dedup.with_shingles — no UDF), the benchmark's DISTINCT shingle
+    set is collapsed to a narrow one-column table and semi-joined
+    against the exploded training shingles. The benchmark side is
+    tiny by construction (eval sets are thousands of docs, the
+    training corpus is billions), so AQE broadcasts it and the
+    training side NEVER shuffles — the whole screen is one map-side
+    pass over the corpus. Returns (id, n_overlap) for contaminated
+    docs only (n_overlap ≥ 1); clean docs are absent.
+    """
+    from .dedup import with_shingles
+    bench_text = bench_text_col or text_col
+    bench_sh = (with_shingles(bench_df.select(bench_text), bench_text, k)
+                .select(F.explode('shingles').alias('sh'))
+                .distinct())
+    train_ex = (with_shingles(train_df.select(id_col, text_col), text_col, k)
+                .select(id_col, F.explode('shingles').alias('sh')))
+    return (train_ex.join(bench_sh, on='sh', how='left_semi')
+            .groupBy(id_col)
+            .agg(F.count('*').cast('long').alias('n_overlap')))

@@ -886,6 +886,22 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination screen (textstats.decontamination_
+    overlap): every 97th document plays the held-out benchmark; the
+    rest is the training corpus. Per contaminated training doc, the
+    count of distinct 3-gram shingles shared with the benchmark —
+    the published GPT-3/Llama n-gram scrub re-expressed as one
+    broadcast semi-join (the training side never shuffles). ORACLED:
+    DuckDB rebuilds both shingle sets and intersects them."""
+    from .operators.textstats import decontamination_overlap
+    d = _t(spark, sf_dir, 'documents')
+    bench = d.filter(F.col('doc_id') % 97 == 0)
+    train = d.filter(F.col('doc_id') % 97 != 0)
+    return (decontamination_overlap(train, bench, 'doc_id', 'text', k=3)
+            .orderBy('doc_id'))
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Transitive closure of the near-dup graph: the oracled exact
     n-gram-Jaccard pairs (J≥0.5) resolved into duplicate CLUSTERS by
@@ -1797,6 +1813,28 @@ ORACLES: dict[str, str] = {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM closed
     """,
+    # both shingle sets rebuilt in SQL and intersected — the benchmark
+    # slice is every 97th doc
+    'q_decontamination': r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE []::VARCHAR[] END AS shingles
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT unnest(shingles) AS s
+                  FROM sh WHERE doc_id % 97 = 0),
+        trainx AS (SELECT doc_id, unnest(shingles) AS s
+                   FROM sh WHERE doc_id % 97 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM trainx JOIN bench USING (s)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     # the exact-Jaccard pair CTEs (same as q_ngram_jaccard_exact) closed
     # transitively by a recursive CTE — min reachable id per node
     'q_neardup_clusters': r"""
@@ -1977,6 +2015,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stream_windowed_counts': q_stream_windowed_counts,
         'q_bloom_incremental_ingest': q_bloom_incremental_ingest,
         'q_neardup_clusters': q_neardup_clusters,
+        'q_decontamination': q_decontamination,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_simhash_near_dups': q_simhash_near_dups,
