@@ -117,10 +117,21 @@ def extract_key_phrases(tokens: list[str]) -> list[str]:
 
 def preprocess_text(text: str) -> str:
     """Full T1-T10 chain. Byte-identical to the reference's
-    deterministic path for any input string."""
+    deterministic path for any input string.
+
+    Fuses T2-T8 into one pass: ``meaningful_tokens(normalize_text(t))``
+    joins the tokens with ' ' only to immediately re-split them —
+    ``' '.join(xs).split() == xs`` for any split() output, so the
+    direct formulation skips one full-string join + split per document
+    (the standalone normalize_text/meaningful_tokens stay for the
+    T-chain parity tests and SQL oracles)."""
     if text.startswith("Error:"):  # T1, reference :98-99
         return text
-    tokens = meaningful_tokens(normalize_text(text))
+    stops = STOP_WORDS
+    tokens = [
+        tok for tok in _RE_STRIP_ALL.sub(' ', text.lower()).split()
+        if len(tok) >= 3 and tok not in stops and not tok.isdigit()
+    ]
     return ' '.join(tokens + extract_key_phrases(tokens))  # T10, :145-147
 
 
