@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     'q_ngram_jaccard_exact',
     'q_tfidf_top_terms',
     'q_asof_join',
+    'q_decontamination',
 ]
 
 
