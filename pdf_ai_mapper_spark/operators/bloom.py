@@ -24,9 +24,11 @@ Construction: standard k-hash Bloom (Bloom 1970, CACM 13(7)) over the
 64-bit xxhash of the key column. Bit positions come from the vendored
 splitmix64 finalizer (similarity._splitmix64) applied to hash XOR
 per-probe seed, masked to a power-of-two bit count — deterministic
-across driver and executors, no RNG. Partial bitmaps are OR-reduced
-mapInPandas→repartition(1)→mapInPandas (a two-level tree), so the
-driver receives ONE bitmap regardless of input partitioning.
+across driver and executors, no RNG. Partial bitmaps (one per
+partition, after a shuffle-free coalesce bounds the count at 64) are
+OR-reduced with ``treeReduce`` so no single task pulls more than
+~8 bitmaps — ~512 MiB per reduce task at the 64 MiB cap, regardless of
+how many splits the committed corpus scanned as.
 
 Sizing: m_bits = next power of two ≥ n·bits_per_key (default 10 →
 fpp ≈ 1%), k = 7. The bitmap must fit in a broadcast (default cap
@@ -111,20 +113,15 @@ def build_bloom(df: DataFrame, key_col: str,
             _set_bits(bitmap, _positions(h, m_bits))
         yield pd.DataFrame({'bitmap': [bitmap.tobytes()]})
 
-    def or_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros(m_bytes, dtype=np.uint8)
-        for pdf in batches:
-            for buf in pdf['bitmap']:
-                acc |= np.frombuffer(buf, dtype=np.uint8)
-        yield pd.DataFrame({'bitmap': [acc.tobytes()]})
-
-    partials = hashes.mapInPandas(part_bitmap, schema='bitmap binary')
-    merged = (partials.repartition(1)
-              .mapInPandas(or_reduce, schema='bitmap binary')
-              .collect())
-    acc = np.zeros(m_bytes, dtype=np.uint8)
-    for row in merged:  # ≥1 row only if the upstream had ≥1 partition
-        acc |= np.frombuffer(row['bitmap'], dtype=np.uint8)
+    # bound the number of full-size partials (coalesce is shuffle-free),
+    # then tree-reduce so no task pulls more than ~branching bitmaps —
+    # a flat repartition(1) OR-reduce would funnel P × m_bytes into ONE
+    # reducer (64 GiB at P=1000 and the cap)
+    partials = (hashes.coalesce(64)
+                .mapInPandas(part_bitmap, schema='bitmap binary'))
+    acc = (partials.rdd
+           .map(lambda row: np.frombuffer(row['bitmap'], dtype=np.uint8))
+           .treeReduce(lambda a, b: np.bitwise_or(a, b), depth=2))
     return acc.tobytes()
 
 
@@ -132,7 +129,10 @@ def might_contain_col(df: DataFrame, key_col: str, bitmap: bytes,
                       out_col: str = '__bloom_maybe') -> DataFrame:
     """Append a boolean column: Bloom membership of ``key_col``.
     The bitmap ships ONCE per executor via an explicit broadcast (not
-    per-task closure capture)."""
+    per-task closure capture). The broadcast handle rides on the result
+    as ``_bloom_broadcasts`` — call :func:`release_blooms` once the
+    result is materialized, or up to ``len(bitmap)`` bytes stay pinned
+    on every executor for the session lifetime."""
     m_bits = len(bitmap) * 8
     bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
@@ -142,7 +142,16 @@ def might_contain_col(df: DataFrame, key_col: str, bitmap: bytes,
         hv = h.to_numpy().astype(np.int64).view(np.uint64)
         return pd.Series(_test_bits(bm, _positions(hv, m_bits)))
 
-    return df.withColumn(out_col, maybe(F.xxhash64(key_col)))
+    out = df.withColumn(out_col, maybe(F.xxhash64(key_col)))
+    out._bloom_broadcasts = [bc]
+    return out
+
+
+def release_blooms(df: DataFrame) -> None:
+    """Unpersist the bitmap broadcasts behind a ``might_contain_col`` /
+    ``bloom_split`` result (mirrors ``dedup.release``)."""
+    for bc in getattr(df, '_bloom_broadcasts', ()):
+        bc.unpersist()
 
 
 def bloom_split(df: DataFrame, key_col: str,
@@ -150,7 +159,18 @@ def bloom_split(df: DataFrame, key_col: str,
     """(definite_new, maybe_present) split of ``df`` by Bloom
     membership of ``key_col``. ``definite_new`` is exact (no false
     negatives by construction); ``maybe_present`` needs the exact
-    join. Both sides keep the original schema."""
+    join. Both sides keep the original schema and carry the broadcast
+    handle for :func:`release_blooms`.
+
+    NB the two branches are filters over ONE tagged plan — a consumer
+    that unions them back and runs multiple actions re-evaluates the
+    source per branch per action unless it persists the tagged frame;
+    ``run_extraction(bloom_prefilter=True)`` does exactly that (the
+    incremental BATCH is the small side — the committed corpus is the
+    side that must never be cached or shuffled)."""
     tagged = might_contain_col(df, key_col, bitmap)
-    return (tagged.filter(~F.col('__bloom_maybe')).drop('__bloom_maybe'),
-            tagged.filter(F.col('__bloom_maybe')).drop('__bloom_maybe'))
+    fresh = tagged.filter(~F.col('__bloom_maybe')).drop('__bloom_maybe')
+    maybe = tagged.filter(F.col('__bloom_maybe')).drop('__bloom_maybe')
+    fresh._bloom_broadcasts = tagged._bloom_broadcasts
+    maybe._bloom_broadcasts = tagged._bloom_broadcasts
+    return fresh, maybe

@@ -502,15 +502,21 @@ def connected_components(pairs: DataFrame, id_a: str = 'id_a',
     Only nodes that appear in ``pairs`` are returned (singletons are
     their own component trivially)."""
     src = pairs.select(F.col(id_a).alias('node'), F.col(id_b).alias('peer'))
+    # persist the symmetric edge table FIRST and derive everything else
+    # from the cache: without it, labels (via nodes via edges) and both
+    # union branches of sym each re-evaluate `pairs` — three runs of a
+    # potentially expensive pair-generating job before the loop starts
     edges = (src.unionByName(src.select(F.col('peer').alias('node'),
                                         F.col('node').alias('peer')))
-             .distinct())
+             .distinct()
+             .persist())
+    edges.count()  # materialize: `pairs` evaluates exactly once
     nodes = edges.select('node').distinct()
     sym = (edges.unionByName(nodes.withColumn('peer', F.col('node')))
            .persist())  # symmetric + self-loops: min over N(v) ∪ {v}
 
     labels = nodes.withColumn('component', F.col('node')).persist()
-    labels.count()  # materialize (also forces `pairs` exactly once)
+    labels.count()
 
     for it in range(max_iter):
         new_labels = (sym.alias('e')
@@ -530,11 +536,13 @@ def connected_components(pairs: DataFrame, id_a: str = 'id_a',
         if changed == 0:
             break
     else:
+        edges.unpersist()
         sym.unpersist()
         labels.unpersist()
         raise RuntimeError(
             f'connected_components did not converge in {max_iter} rounds')
 
+    edges.unpersist()
     sym.unpersist()
     labels._persisted_deps = [labels]  # for release() once materialized
     return labels

@@ -103,6 +103,15 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
     if done and not dedup_against_output:
         todo_df = todo_df.filter(~bucket.isin(sorted(done)))
 
+    cleanup_dfs: list = []  # bloom-path caches/broadcasts, released on exit
+    cleanup_bcs: list = []
+
+    def _release_bloom_state() -> None:
+        for d in cleanup_dfs:
+            d.unpersist()
+        for b in cleanup_bcs:
+            b.unpersist()
+
     if dedup_against_output:
         from pyspark.errors import AnalysisException
         try:
@@ -118,13 +127,26 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                       .withColumnRenamed('content_hash', '__h'))
             todo_df = todo_df.withColumn('__h', F.md5(F.col('html')))
             if bloom_prefilter:
-                from .operators.bloom import bloom_split, build_bloom
+                from .operators.bloom import build_bloom, might_contain_col
                 try:
                     bitmap = build_bloom(hashes, '__h')
                 except ValueError:
                     bitmap = None  # over the broadcast cap → plain join
                 if bitmap is not None:
-                    fresh, maybe = bloom_split(todo_df, '__h', bitmap)
+                    # persist the tagged BATCH once (the small, bounded
+                    # side; the committed corpus stays uncached and
+                    # unshuffled): both union branches and both
+                    # downstream actions (counters + write) would
+                    # otherwise re-scan the input and re-run md5 + the
+                    # bloom UDF per branch per action
+                    tagged = might_contain_col(todo_df, '__h',
+                                               bitmap).persist()
+                    fresh = (tagged.filter(~F.col('__bloom_maybe'))
+                             .drop('__bloom_maybe'))
+                    maybe = (tagged.filter(F.col('__bloom_maybe'))
+                             .drop('__bloom_maybe'))
+                    cleanup_dfs = [tagged]
+                    cleanup_bcs = tagged._bloom_broadcasts
                     todo_df = fresh.unionByName(
                         maybe.join(hashes, on='__h', how='left_anti'))
                 else:
@@ -139,6 +161,7 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                todo_df.select(bucket.alias('bucket'))
                .groupBy('bucket').agg(F.count('*').alias('n')).collect()}
     if not rows_in:
+        _release_bloom_state()
         return {'run_id': run_id, 'buckets': 0, 'rows_in': 0, 'rows_out': 0,
                 'error_rows': 0, 'resumed_skipped_buckets': len(done)}
 
@@ -175,6 +198,7 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
     writer.parquet(cp.data_path(output_path))
 
     vals = obs.get  # blocks until the write job reports its metrics
+    _release_bloom_state()
     entries = [{'run_id': run_id, 'bucket': int(b),
                 'rows_in': int(rows_in.get(b, 0)),
                 'rows_out': int(vals[f'out_{b}']),

@@ -90,3 +90,12 @@ def test_incremental_ingest_identical_with_bloom(spark, tmp_path):
                       .collect()}
     assert outs['plain'] == outs['bloom']
     assert len(outs['plain']) > 120
+
+
+def test_broadcast_handle_rides_and_releases(spark, keys_df):
+    from pdf_ai_mapper_spark.operators.bloom import release_blooms
+    bitmap = build_bloom(keys_df, 'k')
+    fresh, maybe = bloom_split(keys_df, 'k', bitmap)
+    assert fresh._bloom_broadcasts is maybe._bloom_broadcasts
+    fresh.count(), maybe.count()
+    release_blooms(fresh)  # must not raise; executor copies dropped
