@@ -546,3 +546,116 @@ def connected_components(pairs: DataFrame, id_a: str = 'id_a',
     sym.unpersist()
     labels._persisted_deps = [labels]  # for release() once materialized
     return labels
+
+
+# ---------------------------------------------- incremental MinHash index
+
+def minhash_index_update(spark, new_df: DataFrame, index_path: str,
+                         id_col: str, text_col: str, batch_id: str,
+                         num_hashes: int = 64, bands: int = 16, k: int = 3,
+                         jaccard_threshold: float = 0.8,
+                         max_bucket_size: int = 64) -> DataFrame:
+    """Incremental near-dup detection against a PERSISTENT signature
+    index — the production shape at corpus scale, where re-running
+    ``minhash_lsh_pairs`` over 10^12 committed docs per new crawl batch
+    is a non-starter. The new batch alone is signed (map-side only);
+    its band keys semi-select the touched buckets of the stored band
+    table, candidates verify against stored signatures, and the
+    batch's own band rows are appended — so per-batch cost scales with
+    the BATCH (plus touched-bucket fan-out), not the corpus.
+
+    Index layout: parquet at ``index_path``, one row per (id, band)
+    with columns (id, band, band_key, sig), written under
+    ``batch_id=<batch_id>/`` so a crashed-and-retried batch OVERWRITES
+    its own subdir instead of duplicating rows (same idempotence
+    contract as the pipeline's per-batch sink). At 100 TB the table
+    would be Iceberg, bucketed by (band, band_key) so the candidate
+    join co-locates with the index layout.
+
+    Skew guard: only buckets the new batch TOUCHES are read; within a
+    touched bucket the stored members joined to each new doc are
+    capped at ``max_bucket_size`` lowest ids (deterministic) — a
+    template bucket with 10^6 members cannot explode a batch join.
+    Returns (id_a, id_b, jaccard_est) pairs where at least one side is
+    new; on an uncapped-bucket corpus this equals the full-recompute
+    pair set restricted to pairs touching the batch (pinned by
+    tests/test_minhash_index.py)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(new_df, id_col, text_col, num_hashes, k)
+    from pyspark.storagelevel import StorageLevel
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+    band_rows = sig.select(
+        F.col(id_col).alias('id'),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias('band'),
+        'sig',
+    ).select(
+        'id', 'band', 'sig',
+        F.xxhash64(
+            F.col('band'),
+            F.concat_ws(',', F.transform(
+                F.slice('sig', F.col('band') * rows + 1, rows),
+                lambda v: v.cast('string')))).alias('band_key'),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    from pyspark.errors import AnalysisException
+
+    from .. import checkpoint as _cp
+    try:
+        stored = spark.read.parquet(index_path)
+        stored = stored.filter(F.col('batch_id') != batch_id)  # retry safety
+    except AnalysisException as e:
+        # missing path OR an existing-but-empty dir (UNABLE_TO_INFER_
+        # SCHEMA) both mean "no index yet"; anything else must surface
+        if not (_cp.is_missing_path_error(e)
+                or 'UNABLE_TO_INFER_SCHEMA' in str(e)):
+            raise
+        stored = None  # first batch — empty index
+
+    new_keys = band_rows.select('band', 'band_key').distinct()
+    sides = [band_rows.select('id', 'band', 'band_key')]
+    if stored is not None:
+        touched = (stored.join(new_keys, on=['band', 'band_key'],
+                               how='left_semi'))
+        w = Window.partitionBy('band', 'band_key').orderBy('id')
+        touched = (touched
+                   .withColumn('__rn', F.row_number().over(w))
+                   .filter(F.col('__rn') <= max_bucket_size)
+                   .select('id', 'band', 'band_key'))
+        sides.append(touched)
+    all_rows = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+
+    a = band_rows.select(F.col('id').alias('id_a'), 'band', 'band_key')
+    b = all_rows.select(F.col('id').alias('id_b'), 'band', 'band_key')
+    cand = (a.join(b, on=['band', 'band_key'])
+            .filter(F.col('id_a') != F.col('id_b'))
+            .select(F.least('id_a', 'id_b').alias('id_a'),
+                    F.greatest('id_a', 'id_b').alias('id_b'))
+            .dropDuplicates(['id_a', 'id_b']))
+
+    # signature lookup: new-batch sigs from this run, stored sigs from
+    # the index (one row per (id, band) — collapse to one per id)
+    new_sigs = sig.select(F.col(id_col).alias('id'), 'sig')
+    if stored is not None:
+        old_sigs = (stored.groupBy('id')
+                    .agg(F.first('sig').alias('sig')))
+        lookup = new_sigs.unionByName(old_sigs).dropDuplicates(['id'])
+    else:
+        lookup = new_sigs
+    sig_a = lookup.select(F.col('id').alias('id_a'), F.col('sig').alias('sig_a'))
+    sig_b = lookup.select(F.col('id').alias('id_b'), F.col('sig').alias('sig_b'))
+    agree = F.size(F.filter(
+        F.zip_with('sig_a', 'sig_b', lambda x, y: x == y), lambda m: m))
+    result = (cand.join(sig_a, 'id_a').join(sig_b, 'id_b')
+              .withColumn('jaccard_est', agree / F.lit(float(num_hashes)))
+              .filter(F.col('jaccard_est') >= jaccard_threshold)
+              .select('id_a', 'id_b', 'jaccard_est'))
+    result = result.localCheckpoint()  # materialize BEFORE the append below
+
+    # hive-style subdir: batch_id comes back as the inferred partition
+    # column on read, so the files themselves must NOT carry it
+    (band_rows.write.mode('overwrite')
+     .parquet(f'{index_path}/batch_id={batch_id}'))
+    sig.unpersist()
+    band_rows.unpersist()
+    return result

@@ -886,6 +886,37 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash index (dedup.minhash_index_update; rows-only
+    — estimated Jaccard is not SQL, and the full-vs-incremental
+    equivalence is pinned by tests/test_minhash_index.py): even doc_ids
+    arrive as batch 1, odd as batch 2; batch 2 signs ONLY itself and
+    joins the stored band table — per-batch cost scales with the batch,
+    not the corpus. Reports per-batch pair counts, the cross-batch
+    discovery count, and the index size."""
+    import shutil
+    import tempfile
+    from .operators.dedup import minhash_index_update
+    d = _t(spark, sf_dir, 'documents')
+    idx = tempfile.mkdtemp(prefix='pam_q_mhidx_')
+    try:
+        b1 = d.filter(F.col('doc_id') % 2 == 0)
+        b2 = d.filter(F.col('doc_id') % 2 == 1)
+        p1 = minhash_index_update(spark, b1, idx, 'doc_id', 'text',
+                                  'batch-even').collect()
+        p2 = minhash_index_update(spark, b2, idx, 'doc_id', 'text',
+                                  'batch-odd').collect()
+        cross = sum(1 for r in p2
+                    if (r['id_a'] % 2 == 0) != (r['id_b'] % 2 == 0))
+        n_index = spark.read.parquet(idx).count()
+        return spark.createDataFrame(
+            [(len(p1), len(p2), cross, n_index)],
+            'n_pairs_batch1 long, n_pairs_batch2 long, '
+            'n_cross_batch_pairs long, n_index_rows long')
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination screen (textstats.decontamination_
     overlap): every 97th document plays the held-out benchmark; the
@@ -2018,6 +2049,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_decontamination': q_decontamination,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
+        'q_minhash_incremental': q_minhash_incremental,
         'q_simhash_near_dups': q_simhash_near_dups,
         'q_extraction_pipeline': q_extraction_pipeline,
         'q_lda_categories': q_lda_categories,
