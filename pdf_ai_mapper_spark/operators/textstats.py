@@ -245,3 +245,34 @@ def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
     return (train_ex.join(bench_sh, on='sh', how='left_semi')
             .groupBy(id_col)
             .agg(F.count('*').cast('long').alias('n_overlap')))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    alpha: float = 0.5) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical term distribution with Lidstone (additive-α) smoothing —
+    the cheap LM-quality proxy: gibberish and boilerplate-stuffed docs
+    score far below fluent text. (CCNet-style pipelines use a trained
+    KenLM perplexity for this; at corpus bootstrap, the self-unigram
+    score is the standard first pass and needs no external model.)
+
+        p(t) = (tf(t) + α) / (N + α·V)
+        score(doc) = mean over its tokens of ln p(t)
+
+    Shape: one explode, one narrow (term, tf) aggregate, corpus totals
+    N/V as two driver literals (one tiny collect — keeps the scoring
+    expression codegen'd with no cross join), one shuffle join on term
+    (narrow rows), one per-doc aggregate. Nothing wide moves. Returns
+    (id, n_tokens, logprob) with logprob rounded to 6 places."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                    lambda t: t != '')
+    ex = df.select(id_col, F.explode(toks).alias('term'))
+    tf = ex.groupBy('term').agg(F.count('*').alias('tf'))
+    totals = tf.agg(F.sum('tf').alias('n'), F.count('*').alias('v')).collect()[0]
+    n_tokens, vocab = int(totals['n'] or 0), int(totals['v'] or 0)
+    denom = float(n_tokens) + alpha * float(vocab)
+    logp = F.log((F.col('tf') + F.lit(alpha)) / F.lit(denom))
+    return (ex.join(tf, on='term')
+            .groupBy(id_col)
+            .agg(F.count('*').cast('long').alias('n_tokens'),
+                 F.round(F.avg(logp), 6).alias('logprob')))

@@ -886,6 +886,18 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality score (textstats.unigram_logprob): per-doc
+    mean ln p(token) under the corpus's own Lidstone-smoothed unigram
+    distribution — the CCNet-style perplexity-proxy filter signal.
+    Bottom-20 docs by score (the filter's reject candidates). ORACLED:
+    DuckDB reproduces tf/N/V and the smoothed mean exactly."""
+    from .operators.textstats import unigram_logprob
+    d = _t(spark, sf_dir, 'documents')
+    return (unigram_logprob(d, 'doc_id', 'text')
+            .orderBy(F.asc('logprob'), F.asc('doc_id')).limit(20))
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental MinHash index (dedup.minhash_index_update; rows-only
     — estimated Jaccard is not SQL, and the full-vs-incremental
@@ -1844,6 +1856,26 @@ ORACLES: dict[str, str] = {
                CAST(max(n_events) AS BIGINT) AS max_session_events
         FROM closed
     """,
+    # tf/N/V and the Lidstone-smoothed mean reproduced exactly
+    'q_unigram_logprob': r"""
+        WITH ex AS (
+            SELECT doc_id, s.t AS term
+            FROM documents,
+                 LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                                           '\s+')) AS t) s
+            WHERE s.t <> ''
+        ), tf AS (
+            SELECT term, count(*) AS tf FROM ex GROUP BY term
+        ), tot AS (
+            SELECT sum(tf) AS n, count(*) AS v FROM tf
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln((tf.tf + 0.5)
+                            / (tot.n + 0.5 * tot.v))), 6) AS logprob
+        FROM ex JOIN tf USING (term), tot
+        GROUP BY doc_id
+        ORDER BY logprob ASC, doc_id ASC LIMIT 20
+    """,
     # both shingle sets rebuilt in SQL and intersected — the benchmark
     # slice is every 97th doc
     'q_decontamination': r"""
@@ -2047,6 +2079,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_bloom_incremental_ingest': q_bloom_incremental_ingest,
         'q_neardup_clusters': q_neardup_clusters,
         'q_decontamination': q_decontamination,
+        'q_unigram_logprob': q_unigram_logprob,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
