@@ -344,6 +344,45 @@ _SNIPPET_TOKENS = ['data', 'model']  # pinned; phrase = 'data model'
 _SEARCH_QUERY = 'data models'
 
 
+def _pagerank_oracle_sql(iterations: int = 10, num: int = 85,
+                         den: int = 100) -> str:
+    """Replay q_pagerank_centrality's exact integer fixed-point power
+    iteration as unrolled CTEs (DuckDB forbids aggregates inside a
+    recursive CTE term, so the fixed iteration count is unrolled)."""
+    scale = 10 ** 12
+    base = ((den - num) * scale) // den
+    parts = [f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e AS (
+            SELECT doc_id AS src,
+                   (doc_id * 13 + 7) % (SELECT n FROM nn) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+            FROM documents
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+        r{i} AS (
+            SELECT nodes.node,
+                   CAST({base} + ({num} * COALESCE(c.contrib, 0)) // {den}
+                        AS BIGINT) AS rank
+            FROM nodes LEFT JOIN (
+                SELECT dst AS node, sum(rank // outdeg) AS contrib
+                FROM ed JOIN r{i - 1} ON r{i - 1}.node = ed.src
+                GROUP BY dst) c USING (node))""")
+    parts.append(f"""
+        SELECT node, rank FROM r{iterations}
+        ORDER BY rank DESC, node ASC LIMIT 20
+    """)
+    return ''.join(parts)
+
+
 def _search_pipeline_oracle_sql() -> str:
     """Full-pipeline oracle for q_search_pipeline: relevance (substring
     counts + the in-loop +10-per-token phrase bonus), score>0, top-10
@@ -884,6 +923,31 @@ def q_ivf_ann_topk(spark, sf_dir):
     indexed, model = ivf_index(vecs, n_lists=8)
     return (ivf_topk(indexed, model, [float(x) for x in q], k=10, n_probe=4)
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
+
+
+def q_pagerank_centrality(spark, sf_dir):
+    """Link-graph centrality (operators/graph.pagerank): 10 exact
+    integer fixed-point power iterations over a deterministic synthetic
+    link graph derived from doc_ids (each doc links to (13·id+7) mod N
+    and (7·id+3) mod N) — the quality-prior face of corpus ranking.
+    Top-20 by rank. ORACLED: integer arithmetic is bit-identical on
+    any engine, so DuckDB replays the same 10 iterations as unrolled
+    CTEs and the hashes must agree — a full value check of an
+    ITERATIVE fixed-point algorithm (float power iteration could never
+    hash-match across engines)."""
+    from .operators.dedup import release
+    from .operators.graph import pagerank
+    d = _t(spark, sf_dir, 'documents')
+    n = d.count()
+    e1 = d.select(F.col('doc_id').alias('src'),
+                  ((F.col('doc_id') * 13 + 7) % n).alias('dst'))
+    e2 = d.select(F.col('doc_id').alias('src'),
+                  ((F.col('doc_id') * 7 + 3) % n).alias('dst'))
+    pr = pagerank(e1.unionByName(e2), iterations=10)
+    rows = (pr.orderBy(F.desc('rank'), F.asc('node')).limit(20).collect())
+    release(pr)
+    return spark.createDataFrame([tuple(r) for r in rows],
+                                 'node long, rank long')
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -1749,6 +1813,7 @@ ORACLES: dict[str, str] = {
         FROM cent GROUP BY label ORDER BY label
     """,
     'q_search_pipeline': _search_pipeline_oracle_sql(),
+    'q_pagerank_centrality': _pagerank_oracle_sql(),
     'q_tfidf_top_terms': r"""
         WITH toks AS (
             SELECT doc_id,
@@ -2080,6 +2145,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_neardup_clusters': q_neardup_clusters,
         'q_decontamination': q_decontamination,
         'q_unigram_logprob': q_unigram_logprob,
+        'q_pagerank_centrality': q_pagerank_centrality,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

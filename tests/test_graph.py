@@ -1,0 +1,51 @@
+"""Exact fixed-point PageRank (operators/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark.operators.dedup import release
+from pdf_ai_mapper_spark.operators.graph import SCALE, pagerank
+
+
+def _py_pagerank(edges, iterations=10, num=85, den=100):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {n: SCALE for n in nodes}
+    base = ((den - num) * SCALE) // den
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] // out[u]
+        r = {n: base + (num * contrib[n]) // den for n in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, 'src long, dst long')
+    out = pagerank(df, **kw)
+    got = {r['node']: r['rank'] for r in out.collect()}
+    release(out)
+    return got
+
+
+def test_matches_python_reference(spark):
+    # ring + a hub everyone links to + a dangling-ish leaf target
+    edges = ([(i, (i + 1) % 8) for i in range(8)]
+             + [(i, 99) for i in range(8)] + [(99, 0)])
+    assert _run(spark, edges) == _py_pagerank(edges)
+
+
+def test_hub_outranks_ring(spark):
+    edges = [(i, (i + 1) % 8) for i in range(8)] + [(i, 99) for i in range(8)] + [(99, 0)]
+    got = _run(spark, edges)
+    assert got[99] > max(got[i] for i in range(1, 8))
+
+
+def test_partitioning_invariant(spark):
+    edges = [(i, (i * 13 + 7) % 40) for i in range(40)] + \
+            [(i, (i * 7 + 3) % 40) for i in range(40)]
+    df = spark.createDataFrame(edges, 'src long, dst long')
+    a = {r['node']: r['rank'] for r in pagerank(df).collect()}
+    b = {r['node']: r['rank'] for r in pagerank(df.repartition(13)).collect()}
+    assert a == b == _py_pagerank(edges)
