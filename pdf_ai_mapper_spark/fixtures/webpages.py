@@ -349,3 +349,25 @@ def web_pages_from_documents(spark, sf_dir: str, docs=None):
 
     return docs.select('doc_id', 'text', 'lang').mapInPandas(
         gen, schema=WEB_PAGES_SCHEMA)
+
+
+def build_warc(rows, gzip_members: bool = False) -> bytes:
+    """Serialize (url, warc_ts, html_bytes) rows as a WARC 1.0 stream
+    of HTTP-response records (optionally one gzip member per record,
+    the Common Crawl convention) — the write-side twin of
+    sources/warc.py, used by its tests and the driver query."""
+    import gzip as _gz
+    out = []
+    for i, (url, ts, html) in enumerate(rows):
+        http = (b'HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n'
+                + html)
+        head = (f'WARC/1.0\r\n'
+                f'WARC-Type: response\r\n'
+                f'WARC-Target-URI: {url}\r\n'
+                f'WARC-Date: {ts.strftime("%Y-%m-%dT%H:%M:%SZ")}\r\n'
+                f'WARC-Record-ID: <urn:uuid:{i:032x}>\r\n'
+                f'Content-Type: application/http; msgtype=response\r\n'
+                f'Content-Length: {len(http)}\r\n\r\n').encode('latin-1')
+        rec = head + http + b'\r\n\r\n'
+        out.append(_gz.compress(rec) if gzip_members else rec)
+    return b''.join(out)

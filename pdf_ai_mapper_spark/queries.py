@@ -1258,6 +1258,40 @@ def q_multimodal_metadata(spark, sf_dir):
         rows, 'modality string, n_rows long, n_decode_ok long, checksum long')
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC source (sources/warc.py; rows-only — byte identity is not
+    SQL): documents-derived pages serialized as REAL WARC 1.0 segments
+    (one plain, one per-record-gzipped — the Common Crawl convention),
+    read back distributively via binaryFile + mapInPandas, and pushed
+    through the full extraction transform; reports per-url
+    byte-identity against the fixture ground truth."""
+    import shutil
+    import tempfile
+    from .fixtures.webpages import build_warc, web_pages_from_documents
+    from .pipeline import transform
+    from .sources.warc import read_warc
+    d = _t(spark, sf_dir, 'documents').filter(F.col('doc_id') < 200)
+    rows = (web_pages_from_documents(spark, sf_dir, docs=d)
+            .select('url', 'warc_ts', 'html', 'text').collect())
+    tmp = tempfile.mkdtemp(prefix='pam_q_warc_')
+    try:
+        half = len(rows) // 2
+        with open(f'{tmp}/seg1.warc', 'wb') as f:
+            f.write(build_warc([(r['url'], r['warc_ts'], bytes(r['html']))
+                                for r in rows[:half]]))
+        with open(f'{tmp}/seg2.warc.gz', 'wb') as f:
+            f.write(build_warc([(r['url'], r['warc_ts'], bytes(r['html']))
+                                for r in rows[half:]], gzip_members=True))
+        truth = {r['url']: r['text'] for r in rows}
+        out = transform(read_warc(spark, tmp), run_id='warc').collect()
+        n_ok = sum(1 for r in out if r['extracted_text'] == truth[r['url']])
+        return spark.createDataFrame(
+            [(len(rows), len(out), n_ok)],
+            'n_pages long, n_ingested long, n_byte_identical long')
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction (checkpoint.compact_output; rows-only):
     three incremental ingest batches fragment the bucketed layout, the
@@ -2156,5 +2190,6 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_neardup_pr': q_neardup_pr,
         'q_ivf_ann_topk': q_ivf_ann_topk,
         'q_stream_ingest': q_stream_ingest,
+        'q_warc_ingest': q_warc_ingest,
         'q_compaction': q_compaction,
     }
