@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from . import checkpoint as cp
 from .config import DEFAULT_CONFIG, EngineConfig
-from .operators.dedup import anti_join_committed, with_dup_rank
 from .operators.extraction import extracted
 
 OUTPUT_COLUMNS = ['url', 'warc_ts', 'lang', 'doctype', 'content_hash',

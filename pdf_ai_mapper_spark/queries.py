@@ -25,7 +25,7 @@ from .kernels.stopwords import TOPIC_KEYWORDS, sorted_stopwords
 from .operators import textstats
 from .operators.dedup import (dedup_exact, minhash_lsh_pairs,
                               ngram_jaccard_pairs, simhash_near_pairs)
-from .operators.similarity import brute_force_topk, cosine_sim, _as_double
+from .operators.similarity import brute_force_topk
 
 _STOPS = sorted_stopwords()
 _STOPS_SQL = ', '.join(f"'{w}'" for w in _STOPS)

@@ -5,9 +5,6 @@ set for a batch equals the full-recompute pair set restricted to pairs
 touching that batch — and batches are idempotent under retry.
 """
 
-import pytest
-from pyspark.sql import functions as F
-
 from pdf_ai_mapper_spark.operators.dedup import (
     minhash_index_update, minhash_lsh_pairs, release)
 
