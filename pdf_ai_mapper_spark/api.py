@@ -133,10 +133,13 @@ class MapperAPI:
         url order, while ``document_count`` stays the TOTAL — the
         response shape is unchanged and a small corpus (≤ limit) gets
         the exact reference behavior. ``limit=None`` restores the
-        unbounded contract explicitly."""
+        unbounded contract explicitly. A ``truncated`` flag is set
+        whenever ``documents`` carries fewer rows than
+        ``document_count`` so callers can detect a partial listing
+        (ADVICE r3)."""
         docs = self._docs_with_categories()
         response: dict = {'status': 'success', 'document_count': 0,
-                          'documents': []}
+                          'documents': [], 'truncated': False}
         structured = self._structured_list()
         if structured:
             response['structured_categories'] = structured
@@ -150,6 +153,7 @@ class MapperAPI:
         if limit is not None:
             page = page.limit(limit)
         rows = page.collect()
+        response['truncated'] = len(rows) < response['document_count']
         for r in rows:
             response['documents'].append({
                 'id': r['url'],

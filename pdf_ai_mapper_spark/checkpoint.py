@@ -82,6 +82,107 @@ def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
+# -- exactly-once lineage counters for append-mode (incremental) runs --
+#
+# Append-mode writes commit rows in the parquet job; the lineage
+# counters land in a SECOND write (append_checkpoints).  A crash in
+# between leaves rows committed but uncounted — and because the
+# content anti-join makes retries drop already-written rows, the
+# counters would stay wrong forever.  The fix is a tiny intent marker:
+#
+#   write _intents/<run_id>.json  (carries the per-bucket rows_in map)
+#   → parquet append job commits
+#   → append_checkpoints
+#   → remove the marker
+#
+# ``reconcile_intents`` (called at the start of every run) finds
+# orphaned markers and rebuilds the missing checkpoint entries by
+# scanning ONLY the crashed run's rows (run_id + bucket + is_error —
+# three narrow columns, column-pruned).  Normal startup cost is one
+# listdir.  On a real cluster this marker is a row in a driver-side
+# run-state table next to the Iceberg snapshot log.
+
+def intents_path(output_path: str) -> str:
+    return os.path.join(output_path, '_intents')
+
+
+def write_intent(output_path: str, run_id: str,
+                 rows_in: dict[int, int]) -> None:
+    import json
+    d = intents_path(output_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f'.{run_id}.tmp')
+    with open(tmp, 'w') as f:
+        json.dump({'run_id': run_id,
+                   'rows_in': {str(k): int(v) for k, v in rows_in.items()}},
+                  f)
+    os.rename(tmp, os.path.join(d, f'{run_id}.json'))  # atomic publish
+
+
+def clear_intent(output_path: str, run_id: str) -> None:
+    try:
+        os.remove(os.path.join(intents_path(output_path), f'{run_id}.json'))
+    except FileNotFoundError:
+        pass
+
+
+def pending_intents(output_path: str) -> list[dict]:
+    import json
+    d = intents_path(output_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith('.json'):
+            continue
+        with open(os.path.join(d, name)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def reconcile_intents(spark: SparkSession, output_path: str) -> int:
+    """Rebuild lineage entries for runs that crashed between the data
+    append and the checkpoint append.  Returns the number of runs
+    reconciled.  Idempotent: a marker whose entries already exist (the
+    crash hit between append_checkpoints and clear_intent) is simply
+    cleared."""
+    from pyspark.errors import AnalysisException
+    intents = pending_intents(output_path)
+    if not intents:
+        return 0
+
+    def _run_ids(path: str) -> set[str]:
+        try:
+            return {r['run_id'] for r in spark.read.parquet(path)
+                    .select('run_id').distinct().collect()}
+        except AnalysisException as e:
+            if is_missing_path_error(e):
+                return set()
+            raise
+
+    counted = _run_ids(checkpoint_path(output_path))
+    written = _run_ids(data_path(output_path))
+    fixed = 0
+    for intent in intents:
+        rid = intent['run_id']
+        if rid in written and rid not in counted:
+            rows_in = {int(k): v for k, v in intent.get('rows_in', {}).items()}
+            stats = (spark.read.parquet(data_path(output_path))
+                     .filter(F.col('run_id') == rid)
+                     .groupBy('bucket')
+                     .agg(F.count('*').alias('out'),
+                          F.sum(F.col('is_error').cast('long')).alias('err'))
+                     .collect())
+            append_checkpoints(spark, output_path, [
+                {'run_id': rid, 'bucket': int(r['bucket']),
+                 'rows_in': int(rows_in.get(int(r['bucket']), r['out'])),
+                 'rows_out': int(r['out']), 'error_rows': int(r['err'])}
+                for r in stats])
+            fixed += 1
+        clear_intent(output_path, rid)
+    return fixed
+
+
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
     recover_swap(data_path(output_path))
     return spark.read.parquet(data_path(output_path))

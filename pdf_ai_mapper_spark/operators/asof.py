@@ -8,13 +8,17 @@ an O(|L|·|R|) BroadcastNestedLoopJoin per key. The scalable
 re-expression used here is the UNION + windowed ``last(ignorenulls)``
 trick (the standard distributed as-of):
 
-1. stack both tables with a source marker, right-payload columns
-   nulled on the left side;
+1. stack both tables with a source marker; the right side's payload
+   columns ride in a single non-null STRUCT, which is NULL on left
+   rows;
 2. ONE hash shuffle on the join key, sort by (ts, marker) inside each
    partition group;
-3. ``last(payload, ignorenulls=True)`` over the running window carries
-   the latest right payload forward onto every left row;
-4. filter back to left rows.
+3. ``last(payload_struct, ignorenulls=True)`` over the running window
+   carries the latest right row's full payload forward onto every left
+   row — one struct means all payload columns come from the SAME right
+   row, and a right row whose individual payload value is NULL still
+   supersedes older rows (matching DuckDB ASOF);
+4. filter back to left rows and unpack the struct.
 
 Cost: one shuffle of |L|+|R| narrow rows — no join blowup, no skewed
 range intervals; backward-inclusive semantics (a right row with
@@ -50,26 +54,36 @@ def asof_join(left: DataFrame, right: DataFrame,
     if overlap:
         raise ValueError(f'payload columns collide with left: {sorted(overlap)}')
 
+    # All payload columns ride in ONE struct so that (a) they are
+    # guaranteed to come from the same right row, and (b) a right row
+    # whose payload value is legitimately NULL still "wins" — the
+    # struct itself is non-null on every right row, so
+    # last(ignorenulls) never skips past it to an older row's value.
+    r = (right
+         .withColumn('__ts', F.col(right_ts))
+         .withColumn('__src', F.lit(0))
+         .withColumn('__payload',
+                     F.struct(*[F.col(c) for c in payload_cols]))
+         .select(F.col(on), '__ts', '__src', '__payload'))
+    payload_type = r.schema['__payload'].dataType
+
     # marker 0 sorts BEFORE marker 1 at equal ts → right rows at
     # ts_r == ts are visible to the left row (inclusive semantics)
     l = (left
          .withColumn('__ts', F.col(left_ts))
-         .withColumn('__src', F.lit(1)))
-    for c in payload_cols:
-        l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    r = (right
-         .withColumn('__ts', F.col(right_ts))
-         .withColumn('__src', F.lit(0))
-         .select(F.col(on), '__ts', '__src', *payload_cols))
+         .withColumn('__src', F.lit(1))
+         .withColumn('__payload', F.lit(None).cast(payload_type)))
     left_cols = [c for c in left.columns]
-    stacked = l.select(F.col(on), '__ts', '__src', *payload_cols,
+    stacked = l.select(F.col(on), '__ts', '__src', '__payload',
                        *[c for c in left_cols if c not in (on,)]
                        ).unionByName(r, allowMissingColumns=True)
 
     w = (Window.partitionBy(on)
          .orderBy('__ts', '__src')
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in payload_cols:
-        stacked = stacked.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    stacked = stacked.withColumn(
+        '__payload', F.last('__payload', ignorenulls=True).over(w))
     return (stacked.filter(F.col('__src') == 1)
-            .select(*left_cols, *payload_cols))
+            .select(*left_cols,
+                    *[F.col('__payload').getField(c).alias(c)
+                      for c in payload_cols]))

@@ -637,8 +637,12 @@ def minhash_index_update(spark, new_df: DataFrame, index_path: str,
     # the index (one row per (id, band) — collapse to one per id)
     new_sigs = sig.select(F.col(id_col).alias('id'), 'sig')
     if stored is not None:
+        # max_by(batch_id): when the same id was indexed in multiple
+        # batches with different text (re-crawl), deterministically keep
+        # the LATEST batch's signature — F.first() here varied run to
+        # run (ADVICE r3). Contract: batch_ids sort increasing in time.
         old_sigs = (stored.groupBy('id')
-                    .agg(F.first('sig').alias('sig')))
+                    .agg(F.max_by('sig', 'batch_id').alias('sig')))
         lookup = new_sigs.unionByName(old_sigs).dropDuplicates(['id'])
     else:
         lookup = new_sigs

@@ -66,10 +66,17 @@ def pagerank(edges: DataFrame, src: str = 'src', dst: str = 'dst',
                             F.expr('rank div outdeg').alias('c'))
                     .groupBy('node')
                     .agg(F.sum('c').alias('contrib')))
+        # the num·contrib product is widened to DECIMAL(38,0): a hub
+        # absorbing most of the corpus mass drives contrib toward
+        # n·SCALE, and 85·(n·10^12) overflows BIGINT at n ≳ 10^5 with
+        # ANSI mode on (fail-loud mid-iteration).  Decimal keeps the
+        # arithmetic EXACT — same truncation, same bits — so the SQL
+        # oracle is unchanged; `div` on decimals returns BIGINT.
         new_ranks = (nodes.join(contribs, on='node', how='left')
                      .select('node',
                              (base + F.expr(
-                                 f'({damp_num} * coalesce(contrib, 0L)) '
+                                 f'(CAST({damp_num} AS DECIMAL(38,0)) '
+                                 f'* coalesce(contrib, 0L)) '
                                  f'div {damp_den}')).alias('rank')))
         if (it + 1) % 5 == 0:
             new_ranks = new_ranks.localCheckpoint(eager=False)

@@ -91,6 +91,10 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
     run_id = run_id or cp.new_run_id()
     bucket = F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int')
 
+    # heal any prior run that crashed between its data append and its
+    # checkpoint append (exactly-once counters; see cp.reconcile_intents)
+    cp.reconcile_intents(spark, output_path)
+
     # two mutually exclusive recovery mechanisms:
     # - same-input resume (default): skip buckets already committed —
     #   correct only when the input is identical to the crashed run's;
@@ -111,99 +115,116 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
         for b in cleanup_bcs:
             b.unpersist()
 
-    if dedup_against_output:
-        from pyspark.errors import AnalysisException
-        try:
-            committed = cp.read_output(spark, output_path)
-        except AnalysisException as e:
-            if not cp.is_missing_path_error(e):
-                raise  # corrupt/permission-broken output must surface
-            committed = None  # first run — nothing committed yet
-        if committed is not None:
-            # the raw input has no content_hash yet — derive it for the
-            # anti-join only (md5 is cheap; the payload stays local)
-            hashes = (committed.select('content_hash').distinct()
-                      .withColumnRenamed('content_hash', '__h'))
-            todo_df = todo_df.withColumn('__h', F.md5(F.col('html')))
-            if bloom_prefilter:
-                from .operators.bloom import build_bloom, might_contain_col
-                try:
-                    bitmap = build_bloom(hashes, '__h')
-                except ValueError:
-                    bitmap = None  # over the broadcast cap → plain join
-                if bitmap is not None:
-                    # persist the tagged BATCH once (the small, bounded
-                    # side; the committed corpus stays uncached and
-                    # unshuffled): both union branches and both
-                    # downstream actions (counters + write) would
-                    # otherwise re-scan the input and re-run md5 + the
-                    # bloom UDF per branch per action
-                    tagged = might_contain_col(todo_df, '__h',
-                                               bitmap).persist()
-                    fresh = (tagged.filter(~F.col('__bloom_maybe'))
-                             .drop('__bloom_maybe'))
-                    maybe = (tagged.filter(F.col('__bloom_maybe'))
-                             .drop('__bloom_maybe'))
-                    cleanup_dfs = [tagged]
-                    cleanup_bcs = tagged._bloom_broadcasts
-                    todo_df = fresh.unionByName(
-                        maybe.join(hashes, on='__h', how='left_anti'))
+    # everything from the bloom split through the final action runs
+    # under try/finally: any failing action (counters collect, observe,
+    # the write itself) would otherwise leak the persisted tagged batch
+    # and keep the bloom bitmap pinned on every executor for the
+    # session lifetime (ADVICE r3)
+    try:
+        if dedup_against_output:
+            from pyspark.errors import AnalysisException
+            try:
+                committed = cp.read_output(spark, output_path)
+            except AnalysisException as e:
+                if not cp.is_missing_path_error(e):
+                    raise  # corrupt/permission-broken output must surface
+                committed = None  # first run — nothing committed yet
+            if committed is not None:
+                # the raw input has no content_hash yet — derive it for the
+                # anti-join only (md5 is cheap; the payload stays local)
+                hashes = (committed.select('content_hash').distinct()
+                          .withColumnRenamed('content_hash', '__h'))
+                todo_df = todo_df.withColumn('__h', F.md5(F.col('html')))
+                if bloom_prefilter:
+                    from .operators.bloom import build_bloom, might_contain_col
+                    try:
+                        bitmap = build_bloom(hashes, '__h')
+                    except ValueError:
+                        bitmap = None  # over the broadcast cap → plain join
+                    if bitmap is not None:
+                        # persist the tagged BATCH once (the small, bounded
+                        # side; the committed corpus stays uncached and
+                        # unshuffled): both union branches and both
+                        # downstream actions (counters + write) would
+                        # otherwise re-scan the input and re-run md5 + the
+                        # bloom UDF per branch per action
+                        tagged = might_contain_col(todo_df, '__h',
+                                                   bitmap).persist()
+                        fresh = (tagged.filter(~F.col('__bloom_maybe'))
+                                 .drop('__bloom_maybe'))
+                        maybe = (tagged.filter(F.col('__bloom_maybe'))
+                                 .drop('__bloom_maybe'))
+                        cleanup_dfs = [tagged]
+                        cleanup_bcs = tagged._bloom_broadcasts
+                        todo_df = fresh.unionByName(
+                            maybe.join(hashes, on='__h', how='left_anti'))
+                    else:
+                        todo_df = todo_df.join(hashes, on='__h',
+                                               how='left_anti')
                 else:
                     todo_df = todo_df.join(hashes, on='__h', how='left_anti')
-            else:
-                todo_df = todo_df.join(hashes, on='__h', how='left_anti')
-            todo_df = todo_df.drop('__h')
+                todo_df = todo_df.drop('__h')
 
-    # cheap native pass for per-bucket input counters (url column only —
-    # the parquet scan prunes the payload)
-    rows_in = {r['bucket']: r['n'] for r in
-               todo_df.select(bucket.alias('bucket'))
-               .groupBy('bucket').agg(F.count('*').alias('n')).collect()}
-    if not rows_in:
+        # cheap native pass for per-bucket input counters (url column
+        # only — the parquet scan prunes the payload)
+        rows_in = {r['bucket']: r['n'] for r in
+                   todo_df.select(bucket.alias('bucket'))
+                   .groupBy('bucket').agg(F.count('*').alias('n')).collect()}
+        if not rows_in:
+            return {'run_id': run_id, 'buckets': 0, 'rows_in': 0,
+                    'rows_out': 0, 'error_rows': 0,
+                    'resumed_skipped_buckets': len(done)}
+
+        result = transform(todo_df, run_id, cfg)
+
+        # lineage counters ride ON the write job via df.observe() — the
+        # earlier post-write re-scan read the whole output table back
+        # (run_id is not a partition key, so at 100 TB that is a full
+        # footer scan). Per-bucket conditional sums are bounded by
+        # cfg.output_buckets, evaluated map-side at zero extra passes.
+        from pyspark.sql import Observation
+        obs = Observation(f'lineage-{run_id}')
+        buckets_todo = sorted(rows_in)
+        metrics = []
+        for b in buckets_todo:
+            metrics.append(F.sum(F.when(F.col('bucket') == b, 1).otherwise(0))
+                           .cast('long').alias(f'out_{b}'))
+            metrics.append(
+                F.sum(F.when((F.col('bucket') == b) & F.col('is_error'), 1)
+                      .otherwise(0)).cast('long').alias(f'err_{b}'))
+        result = result.observe(obs, metrics[0], *metrics[1:])
+        # write mode per use case:
+        # - resume of the SAME input (default): dynamic partition
+        #   overwrite — a bucket is either committed or fully rewritten,
+        #   crash-safe;
+        # - incremental batches (dedup_against_output): append — new rows
+        #   join existing buckets, and the content anti-join above makes a
+        #   crashed run self-healing (already-written rows are dropped
+        #   from the retry, so the append never duplicates). The intent
+        #   marker written just before the append closes the remaining
+        #   counter gap: a crash after the data commits but before the
+        #   checkpoint append is reconciled at the next run's start.
+        if dedup_against_output:
+            cp.write_intent(output_path, run_id, rows_in)
+        writer = result.write.partitionBy('bucket')
+        if dedup_against_output:
+            writer = writer.mode('append')
+        else:
+            writer = (writer.option('partitionOverwriteMode', 'dynamic')
+                      .mode('overwrite'))
+        writer.parquet(cp.data_path(output_path))
+
+        vals = obs.get  # blocks until the write job reports its metrics
+    finally:
         _release_bloom_state()
-        return {'run_id': run_id, 'buckets': 0, 'rows_in': 0, 'rows_out': 0,
-                'error_rows': 0, 'resumed_skipped_buckets': len(done)}
-
-    result = transform(todo_df, run_id, cfg)
-
-    # lineage counters ride ON the write job via df.observe() — the
-    # earlier post-write re-scan read the whole output table back
-    # (run_id is not a partition key, so at 100 TB that is a full
-    # footer scan). Per-bucket conditional sums are bounded by
-    # cfg.output_buckets, evaluated map-side at zero extra passes.
-    from pyspark.sql import Observation
-    obs = Observation(f'lineage-{run_id}')
-    buckets_todo = sorted(rows_in)
-    metrics = []
-    for b in buckets_todo:
-        metrics.append(F.sum(F.when(F.col('bucket') == b, 1).otherwise(0))
-                       .cast('long').alias(f'out_{b}'))
-        metrics.append(F.sum(F.when((F.col('bucket') == b) & F.col('is_error'), 1)
-                             .otherwise(0)).cast('long').alias(f'err_{b}'))
-    result = result.observe(obs, metrics[0], *metrics[1:])
-    # write mode per use case:
-    # - resume of the SAME input (default): dynamic partition overwrite —
-    #   a bucket is either committed or fully rewritten, crash-safe;
-    # - incremental batches (dedup_against_output): append — new rows
-    #   join existing buckets, and the content anti-join above makes a
-    #   crashed run self-healing (already-written rows are dropped from
-    #   the retry, so the append never duplicates).
-    writer = result.write.partitionBy('bucket')
-    if dedup_against_output:
-        writer = writer.mode('append')
-    else:
-        writer = (writer.option('partitionOverwriteMode', 'dynamic')
-                  .mode('overwrite'))
-    writer.parquet(cp.data_path(output_path))
-
-    vals = obs.get  # blocks until the write job reports its metrics
-    _release_bloom_state()
     entries = [{'run_id': run_id, 'bucket': int(b),
                 'rows_in': int(rows_in.get(b, 0)),
                 'rows_out': int(vals[f'out_{b}']),
                 'error_rows': int(vals[f'err_{b}'])}
                for b in buckets_todo if int(vals[f'out_{b}']) > 0]
     cp.append_checkpoints(spark, output_path, entries)
+    if dedup_against_output:
+        cp.clear_intent(output_path, run_id)
 
     return {
         'run_id': run_id,

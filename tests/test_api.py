@@ -116,3 +116,18 @@ def test_status_pagination_bounds_driver_payload(api):
 def test_categories_default_when_empty(api):
     cats = api.categories()
     assert cats['structured_categories'][0]['display_name'] == 'Uncategorized'
+
+
+def test_status_truncated_flag(api):
+    payloads = set()
+    for i in range(4):
+        p = bytes(page_row(i)['html'])
+        if p in payloads:
+            continue
+        payloads.add(p)
+        api.upload(p, f'page{i}.html')
+    n = len(payloads)
+    assert api.status()['truncated'] is False            # full listing
+    assert api.status(limit=None)['truncated'] is False  # unbounded
+    part = api.status(limit=2)
+    assert part['truncated'] is True and part['document_count'] == n

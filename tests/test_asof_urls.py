@@ -55,6 +55,38 @@ def test_asof_join_matches_brute_force(spark):
         assert got[eid] == want, (eid, k, t)
 
 
+def test_asof_join_null_payload_from_latest_row(spark):
+    """A right row whose payload value is legitimately NULL must still
+    win over older non-null rows, and multi-column payloads must all
+    come from the SAME (latest) right row — DuckDB ASOF semantics
+    (ADVICE r3: per-column last(ignorenulls) mixed rows)."""
+    left = spark.createDataFrame(
+        [(1, _ts(12))], 'event_id long, ts timestamp'
+    ).withColumn('k', F.lit(1))
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0, 'old'),
+         (1, _ts(10), None, 'new')],   # latest row: value NULL, tag set
+        'k long, rts timestamp, cp_value double, tag string')
+    row = asof_join(left, right, on='k',
+                    left_ts='ts', right_ts='rts').collect()[0]
+    # both payload columns from the ts=10 row: NULL value, 'new' tag —
+    # NOT the per-column mix (50.0, 'new')
+    assert row['cp_value'] is None
+    assert row['tag'] == 'new'
+
+
+def test_asof_join_no_match_still_all_null(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(1))], 'event_id long, ts timestamp'
+    ).withColumn('k', F.lit(1))
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0, 'x')],
+        'k long, rts timestamp, cp_value double, tag string')
+    row = asof_join(left, right, on='k',
+                    left_ts='ts', right_ts='rts').collect()[0]
+    assert row['cp_value'] is None and row['tag'] is None
+
+
 def test_asof_join_rejects_payload_collision(spark):
     import pytest
     l = spark.createDataFrame([(1, _ts(1), 0.0)], 'k long, ts timestamp, p double')

@@ -49,3 +49,24 @@ def test_partitioning_invariant(spark):
     a = {r['node']: r['rank'] for r in pagerank(df).collect()}
     b = {r['node']: r['rank'] for r in pagerank(df.repartition(13)).collect()}
     assert a == b == _py_pagerank(edges)
+
+
+def test_hub_in_mass_does_not_overflow_bigint(spark):
+    """110k spokes → one hub concentrates ~1.1e17 of scaled mass;
+    85 * contrib would overflow BIGINT under ANSI mode if the product
+    were computed in long (ADVICE r3).  The decimal-widened product
+    must neither throw nor change the exact integer result."""
+    n = 110_000
+    df = (spark.range(1, n + 1)
+          .select(F.col('id').alias('src'), F.lit(0).alias('dst')))
+    out = pagerank(df, iterations=2)
+    got = {r['node']: r['rank'] for r in out.collect()}
+    release(out)
+    base = (15 * SCALE) // 100
+    # iteration 1: contrib(hub) = n * SCALE (each spoke outdeg 1)
+    hub_it1 = base + (85 * n * SCALE) // 100
+    # iteration 2: hub is dangling (no out-edges) -> spokes get base
+    # only, hub gets base again (its inbound mass now base // 1 each)
+    hub_it2 = base + (85 * n * base) // 100
+    assert got[0] == hub_it2
+    assert got[1] == base

@@ -75,3 +75,27 @@ def test_cross_batch_pairs_found(spark, tmp_path):
     got = {(r['id_a'], r['id_b']) for r in minhash_index_update(
         spark, b2, idx, 'doc_id', 'text', 'b2').collect()}
     assert (0, 1) in got
+
+
+def test_recrawl_uses_latest_batch_signature(spark, tmp_path):
+    """Same id re-indexed with different text (re-crawl): stored-sig
+    collapse must deterministically keep the LATEST batch's signature
+    (max_by batch_id — ADVICE r3; F.first was run-to-run dependent)."""
+    idx = str(tmp_path / 'mh_index')
+    text_v1 = ' '.join(f'old{j}' for j in range(30))
+    text_v2 = ' '.join(f'new{j}' for j in range(30))
+    b1 = spark.createDataFrame([(0, text_v1)], 'doc_id long, text string')
+    b2 = spark.createDataFrame([(0, text_v2)], 'doc_id long, text string')
+    minhash_index_update(spark, b1, idx, 'doc_id', 'text', 'b1').collect()
+    minhash_index_update(spark, b2, idx, 'doc_id', 'text', 'b2').collect()
+
+    # a near-twin of the v2 text must match doc 0 with a HIGH estimate
+    # (vs ~0 against the v1 signature) on every run
+    twin = ' '.join(f'new{j}' for j in range(29)) + ' tail'
+    b3 = spark.createDataFrame([(99, twin)], 'doc_id long, text string')
+    for _ in range(3):
+        got = {(r['id_a'], r['id_b']): r['jaccard_est']
+               for r in minhash_index_update(
+                   spark, b3, idx, 'doc_id', 'text', 'b3').collect()}
+        assert (0, 99) in got
+        assert got[(0, 99)] > 0.5

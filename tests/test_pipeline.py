@@ -157,3 +157,68 @@ def test_swap_survives_stale_old_dir_and_crashed_window(spark, outdir):
     os.rename(data, data + '.compact_old')
     assert cp.read_output(spark, outdir).count() == n  # recovered
     assert os.path.exists(data)
+
+
+def test_crash_between_data_and_checkpoint_append_reconciles(
+        spark, outdir, monkeypatch):
+    """Exactly-once counters for the incremental path (VERDICT r3 #6):
+    kill the run between the parquet append and append_checkpoints,
+    then verify the next run's startup reconcile rebuilds the missing
+    lineage entries from the intent marker + the committed rows."""
+    run_extraction(spark, web_pages_df(spark, 60, num_partitions=4),
+                   outdir, CFG, dedup_against_output=True)
+
+    # crash injection: the data append succeeds, the checkpoint append
+    # dies (matches a driver kill in the gap)
+    real_append = cp.append_checkpoints
+
+    def dying_append(*a, **kw):
+        raise RuntimeError('injected crash before checkpoint append')
+
+    monkeypatch.setattr('pdf_ai_mapper_spark.pipeline.cp.append_checkpoints',
+                        dying_append)
+    with pytest.raises(RuntimeError, match='injected crash'):
+        run_extraction(spark, web_pages_df(spark, 90, num_partitions=4),
+                       outdir, CFG, dedup_against_output=True,
+                       run_id='crashedrun01')
+    monkeypatch.setattr('pdf_ai_mapper_spark.pipeline.cp.append_checkpoints',
+                        real_append)
+
+    # rows committed, counters missing, marker pending
+    assert cp.read_output(spark, outdir).count() == 90
+    cps = spark.read.parquet(cp.checkpoint_path(outdir))
+    assert cps.filter(F.col('run_id') == 'crashedrun01').count() == 0
+    assert [i['run_id'] for i in cp.pending_intents(outdir)] == ['crashedrun01']
+
+    # next run (empty batch) triggers reconcile at startup
+    s = run_extraction(spark, web_pages_df(spark, 90, num_partitions=4),
+                       outdir, CFG, dedup_against_output=True)
+    assert s['rows_in'] == 0
+    assert cp.pending_intents(outdir) == []
+    cps = spark.read.parquet(cp.checkpoint_path(outdir))
+    crashed = cps.filter(F.col('run_id') == 'crashedrun01')
+    agg = crashed.agg(F.sum('rows_in').alias('i'),
+                      F.sum('rows_out').alias('o')).collect()[0]
+    assert agg['i'] == 30 and agg['o'] == 30   # the 30 new rows, exact
+    # global invariant restored: counters sum to committed rows
+    total = cps.agg(F.sum('rows_out').alias('o')).collect()[0]['o']
+    assert total == 90
+
+
+def test_intent_marker_cleared_on_clean_run(spark, outdir):
+    run_extraction(spark, web_pages_df(spark, 30, num_partitions=2),
+                   outdir, CFG, dedup_against_output=True)
+    assert cp.pending_intents(outdir) == []
+
+
+def test_reconcile_idempotent_when_entries_exist(spark, outdir):
+    """Crash AFTER append_checkpoints but before clear_intent: the
+    marker is stale; reconcile must clear it without duplicating
+    entries."""
+    run_extraction(spark, web_pages_df(spark, 30, num_partitions=2),
+                   outdir, CFG, dedup_against_output=True, run_id='rid0')
+    cp.write_intent(outdir, 'rid0', {0: 30})   # stale marker
+    assert cp.reconcile_intents(spark, outdir) == 0
+    assert cp.pending_intents(outdir) == []
+    cps = spark.read.parquet(cp.checkpoint_path(outdir))
+    assert cps.agg(F.sum('rows_out').alias('o')).collect()[0]['o'] == 30
