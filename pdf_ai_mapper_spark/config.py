@@ -25,6 +25,10 @@ class EngineConfig:
     max_pages_for_ocr: int = 5
     pdf_timeout_s: float = 120.0
     image_timeout_s: float = 30.0
+    # 'deterministic' = reference's NLTK-absent path (byte-identity
+    # contract); 'nltk' = reference's NLTK-present stopwords+tokenizer
+    # (kernels/preprocess.py — documented POS-tag delta)
+    preprocess_mode: str = 'deterministic'
 
     # categorization
     lda_topics: int = 8

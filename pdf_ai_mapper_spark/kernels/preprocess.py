@@ -29,7 +29,7 @@ from collections import Counter
 from heapq import nlargest
 from operator import itemgetter
 
-from .stopwords import STOP_WORDS
+from .stopwords import NLTK_STOP_WORDS, STOP_WORDS
 
 _phrase_count = itemgetter(1)
 
@@ -115,24 +115,80 @@ def extract_key_phrases(tokens: list[str]) -> list[str]:
     return [p for p, _ in nlargest(20, dups, key=_phrase_count)]
 
 
-def preprocess_text(text: str) -> str:
+def preprocess_text(text: str, mode: str = 'deterministic') -> str:
     """Full T1-T10 chain. Byte-identical to the reference's
-    deterministic path for any input string.
+    deterministic path for any input string (default mode).
 
     Fuses T2-T8 into one pass: ``meaningful_tokens(normalize_text(t))``
     joins the tokens with ' ' only to immediately re-split them —
     ``' '.join(xs).split() == xs`` for any split() output, so the
     direct formulation skips one full-string join + split per document
     (the standalone normalize_text/meaningful_tokens stay for the
-    T-chain parity tests and SQL oracles)."""
+    T-chain parity tests and SQL oracles).
+
+    ``mode='nltk'`` reproduces the NLTK-PRESENT reference path
+    (text_preprocessor.py:22-27,122-129) — see nltk_tokenize for the
+    derivation and the documented POS-tagging delta."""
     if text.startswith("Error:"):  # T1, reference :98-99
         return text
+    if mode == 'nltk':
+        return preprocess_text_nltk(text)
+    if mode != 'deterministic':
+        raise ValueError(f'unknown preprocess mode: {mode!r}')
     stops = STOP_WORDS
     tokens = [
         tok for tok in _RE_STRIP_ALL.sub(' ', text.lower()).split()
         if len(tok) >= 3 and tok not in stops and not tok.isdigit()
     ]
     return ' '.join(tokens + extract_key_phrases(tokens))  # T10, :145-147
+
+
+# -- NLTK-present mode (reference text_preprocessor.py:22-27,122-129) --
+#
+# When NLTK data exists, the reference diverges from the deterministic
+# path in exactly three places:
+#   1. stopwords: nltk's english list (179 words) replaces the basic
+#      fallback set — ADDITIONAL_STOPWORDS are added either way;
+#   2. tokenization: word_tokenize (punkt sentence split + Treebank
+#      word tokenizer) replaces text.split();
+#   3. POS tags: pos_tag (averaged-perceptron) replaces the all-'NN'
+#      default, and the T7 filter keeps only NN*/JJ*/VB* tags.
+#
+# (1) and (2) are implemented exactly.  For (2) note the input is the
+# ALREADY-CLEANED text — T4 leaves only [\w\s-] characters — and on
+# that alphabet the full published Treebank rule set reduces to ONE
+# active rule, DOUBLE_DASHES (`--` → ` -- `; every other rule matches
+# only punctuation T4 removed), while punkt can never find a sentence
+# boundary without terminal punctuation.  So
+#   word_tokenize(clean) ≡ re.sub('--', ' -- ', clean).split()
+# which is what nltk_tokenize computes.  (3) is NOT reproduced: the
+# perceptron tagger is a trained model, not a published spec, so this
+# mode keeps the all-'NN' default (every token passes the POS test).
+# DELTA vs a real NLTK install: tokens a perceptron would tag outside
+# NN*/JJ*/VB* (adverbs like 'quickly', cardinal words like 'seven')
+# are kept here but dropped there.  Stopwords absorb most closed-class
+# words, so the delta is confined to open-class non-noun/adj/verb
+# tokens.
+
+_RE_DOUBLE_DASH = re.compile(r'--')
+
+
+def nltk_tokenize(normalized: str) -> list[str]:
+    """word_tokenize on T4-cleaned text: the Treebank DOUBLE_DASHES
+    rule then whitespace split (see derivation above)."""
+    return _RE_DOUBLE_DASH.sub(' -- ', normalized).split()
+
+
+def preprocess_text_nltk(text: str) -> str:
+    """T1-T10 with the NLTK-present stopword list and tokenizer."""
+    if text.startswith("Error:"):  # T1
+        return text
+    stops = NLTK_STOP_WORDS
+    tokens = [
+        tok for tok in nltk_tokenize(_RE_STRIP_ALL.sub(' ', text.lower()))
+        if len(tok) >= 3 and tok not in stops and not tok.isdigit()
+    ]
+    return ' '.join(tokens + extract_key_phrases(tokens))
 
 
 def simple_categories(preprocessed: str, top_n: int = 3, min_len: int = 4) -> list[str]:

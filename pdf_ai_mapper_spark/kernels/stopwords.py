@@ -82,6 +82,45 @@ ADDITIONAL_STOPWORDS = frozenset({
 # The deterministic document-preprocessing stopword set (NLTK-absent path).
 STOP_WORDS = frozenset(BASIC_STOPWORDS | ADDITIONAL_STOPWORDS)
 
+# NLTK's published english stopword list (nltk_data
+# corpora/stopwords/english, 179 words — public corpus, transcribed
+# from its spec, NOT read from any nltk installation).  This is what
+# reference text_preprocessor.py:26 loads when NLTK data is present;
+# preprocess_text(mode='nltk') uses it.  The apostrophed entries
+# ("you're", "don't", …) can never match a cleaned token — the T4
+# cleanup strips apostrophes before tokenization — but they are kept
+# verbatim so the set equals the reference's self.stop_words exactly.
+NLTK_ENGLISH_STOPWORDS = frozenset({
+    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves',
+    'you', "you're", "you've", "you'll", "you'd", 'your', 'yours',
+    'yourself', 'yourselves', 'he', 'him', 'his', 'himself', 'she',
+    "she's", 'her', 'hers', 'herself', 'it', "it's", 'its', 'itself',
+    'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which',
+    'who', 'whom', 'this', 'that', "that'll", 'these', 'those', 'am',
+    'is', 'are', 'was', 'were', 'be', 'been', 'being', 'have', 'has',
+    'had', 'having', 'do', 'does', 'did', 'doing', 'a', 'an', 'the',
+    'and', 'but', 'if', 'or', 'because', 'as', 'until', 'while', 'of',
+    'at', 'by', 'for', 'with', 'about', 'against', 'between', 'into',
+    'through', 'during', 'before', 'after', 'above', 'below', 'to',
+    'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over', 'under',
+    'again', 'further', 'then', 'once', 'here', 'there', 'when',
+    'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few',
+    'more', 'most', 'other', 'some', 'such', 'no', 'nor', 'not',
+    'only', 'own', 'same', 'so', 'than', 'too', 'very', 's', 't',
+    'can', 'will', 'just', 'don', "don't", 'should', "should've",
+    'now', 'd', 'll', 'm', 'o', 're', 've', 'y', 'ain', 'aren',
+    "aren't", 'couldn', "couldn't", 'didn', "didn't", 'doesn',
+    "doesn't", 'hadn', "hadn't", 'hasn', "hasn't", 'haven', "haven't",
+    'isn', "isn't", 'ma', 'mightn', "mightn't", 'mustn', "mustn't",
+    'needn', "needn't", 'shan', "shan't", 'shouldn', "shouldn't",
+    'wasn', "wasn't", 'weren', "weren't", 'won', "won't", 'wouldn',
+    "wouldn't",
+})
+
+# The NLTK-present document-preprocessing stopword set
+# (reference text_preprocessor.py:26 + :41-92).
+NLTK_STOP_WORDS = frozenset(NLTK_ENGLISH_STOPWORDS | ADDITIONAL_STOPWORDS)
+
 # Query-side stopwords (reference query_processor.py:22 uses the NLTK
 # english list; the deterministic stand-in is the basic list).
 QUERY_STOP_WORDS = BASIC_STOPWORDS

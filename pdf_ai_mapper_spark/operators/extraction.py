@@ -31,7 +31,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from ..config import DEFAULT_CONFIG
 from ..kernels.extract import extract_text
-from ..kernels.preprocess import preprocess_text
+from ..kernels.preprocess import preprocess_text, preprocess_text_nltk
 
 _PDF_MAGIC = b'%PDF-'
 _PNG_MAGIC = b'\x89PNG\r\n\x1a\n'
@@ -123,8 +123,7 @@ _EXTRACT_STRUCT = StructType([
 ])
 
 
-@pandas_udf(_EXTRACT_STRUCT)
-def extract_preprocess_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+def _make_extract_preprocess_udf(preprocess_mode: str):
     """Fused extract+preprocess kernel returning a struct column.
 
     Fused deliberately: two CHAINED pandas UDFs run as two concurrent
@@ -133,23 +132,34 @@ def extract_preprocess_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFram
     multi-KB extracted text through Arrow twice. Fusing halves worker
     pressure and Arrow bytes (measured: the chained form flatlined
     local[8]→local[32] scaling)."""
-    cfg = DEFAULT_CONFIG
-    budget = cfg.pdf_timeout_s
-    for payloads in batches:
-        ext, pre = [], []
-        for data in payloads:
-            t0 = time.monotonic()
-            text = extract_text(data, cfg)
-            text = _budget_check(text, time.monotonic() - t0, budget)
-            ext.append(text)
-            pre.append(preprocess_text(text))
-        yield pd.DataFrame({'extracted_text': ext, 'preprocessed_text': pre})
+    pre_fn = (preprocess_text_nltk if preprocess_mode == 'nltk'
+              else preprocess_text)
+
+    @pandas_udf(_EXTRACT_STRUCT)
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        cfg = DEFAULT_CONFIG
+        budget = cfg.pdf_timeout_s
+        for payloads in batches:
+            ext, pre = [], []
+            for data in payloads:
+                t0 = time.monotonic()
+                text = extract_text(data, cfg)
+                text = _budget_check(text, time.monotonic() - t0, budget)
+                ext.append(text)
+                pre.append(pre_fn(text))
+            yield pd.DataFrame({'extracted_text': ext,
+                                'preprocessed_text': pre})
+    return _udf
+
+
+extract_preprocess_udf = _make_extract_preprocess_udf('deterministic')
 
 
 def extracted(df: DataFrame,
               payload_col: str = 'html',
               keep_payload: bool = False,
-              partitions: int | None = None) -> DataFrame:
+              partitions: int | None = None,
+              preprocess_mode: str = 'deterministic') -> DataFrame:
     """Input table → + doctype, extracted_text, preprocessed_text,
     content_hash.
 
@@ -162,13 +172,15 @@ def extracted(df: DataFrame,
     own outputs is already uniform. Pass ``partitions`` only when the
     input layout is genuinely pathological (a handful of giant
     unsplittable files)."""
+    fused = (extract_preprocess_udf if preprocess_mode == 'deterministic'
+             else _make_extract_preprocess_udf(preprocess_mode))
     out = with_doctype(df, payload_col)
     if partitions:
         out = out.repartition(partitions, F.pmod(F.xxhash64('url'), F.lit(partitions)))
     out = (
         out
         .withColumn('content_hash', F.md5(F.col(payload_col)))  # D1: F.md5 == hashlib.md5 hex
-        .withColumn('__ep', extract_preprocess_udf(F.col(payload_col)))
+        .withColumn('__ep', fused(F.col(payload_col)))
         .withColumn('extracted_text', F.col('__ep.extracted_text'))
         .withColumn('preprocessed_text', F.col('__ep.preprocessed_text'))
         .drop('__ep')

@@ -39,7 +39,8 @@ def transform(input_df: DataFrame, run_id: str,
     """The pure (no-IO) pipeline body: input web_pages → output rows."""
     out = input_df.withColumn(
         'bucket', F.pmod(F.xxhash64('url'), F.lit(cfg.output_buckets)).cast('int'))
-    out = extracted(out, payload_col='html', partitions=partitions)
+    out = extracted(out, payload_col='html', partitions=partitions,
+                    preprocess_mode=cfg.preprocess_mode)
     # first-seen duplicate flag WITHOUT shuffling the heavy text rows:
     # a narrow (hash, ts, url) aggregation finds each hash's first
     # sighting, joined back on content_hash — AQE broadcasts the agg
