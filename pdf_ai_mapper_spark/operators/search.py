@@ -50,6 +50,97 @@ def _snippet_udf(tokens: list[str], length: int, stride: int):
     return snip
 
 
+# -- native (whole-stage-codegen) relevance + snippet ------------------
+#
+# VERDICT r3 #7: the closure-UDF pair above is rebuilt per query and
+# puts two ArrowEvalPython nodes in every search plan.  For the common
+# case — every stemmed query token is plain ascii [a-z0-9]+ — both
+# kernels are expressible as pure Catalyst columns, value-identical to
+# the Python kernels:
+#
+# - substring count == (len(s) - len(replace(s, tok, ''))) / len(tok)
+#   (str.count and replace both consume non-overlapping occurrences
+#   left-to-right);
+# - the sliding-window argmax is a sequence/transform/aggregate over
+#   window counts with the same strict-> first-max tie-break;
+# - Python's re \s on str is a FIXED character set (not Java's ascii
+#   \s, nor (?U)\s which misses U+001C..1F) — _PY_WS_CLASS transcribes
+#   it, so the whitespace collapse is byte-identical;
+# - F.lower and str.lower() both implement un-localized full Unicode
+#   case mapping (Spark: String.toLowerCase(Locale.ROOT)).
+#
+# Non-ascii tokens fall back to the UDF kernels.
+
+_SIMPLE_TOKEN = __import__('re').compile(r'^[a-z0-9]+$')
+
+# Python re \s (unicode, enumerated exhaustively in test_search_native)
+_PY_WS_CLASS = ('[\\x09-\\x0d\\x1c-\\x1f\\x20\\x85\\xa0\\u1680'
+                '\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]')
+
+
+def _native_ok(tokens: list[str]) -> bool:
+    return all(_SIMPLE_TOKEN.match(t) for t in tokens)
+
+
+def _count_in(col, token: str):
+    """Non-overlapping substring count as a codegen expression."""
+    return ((F.length(col)
+             - F.length(F.replace(col, F.lit(token), F.lit(''))))
+            / F.lit(len(token)))
+
+
+def native_relevance_col(tokens: list[str], text_col: str):
+    """relevance_score (W1) as a pure Catalyst column — Σ token counts
+    plus the reference's in-loop phrase bonus (+10 × n_tokens when the
+    full phrase occurs and there are ≥2 tokens)."""
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit('')))
+    score = _count_in(lower, tokens[0])
+    for t in tokens[1:]:
+        score = score + _count_in(lower, t)
+    if len(tokens) > 1:
+        phrase = ' '.join(tokens)
+        score = score + F.when(lower.contains(F.lit(phrase)),
+                               F.lit(10 * len(tokens))).otherwise(F.lit(0))
+    return score.cast('long')
+
+
+def native_snippet_col(tokens: list[str], text_col: str,
+                       length: int = 200, stride: int = 50):
+    """generate_snippet (W2) as a pure Catalyst column: sliding-window
+    token-count argmax (first strict max), whitespace collapse with the
+    exact Python \\s set, ellipsis affixes."""
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit('')))
+    n = F.length(lower)
+    # python range(0, len - length, stride): empty unless len > length
+    positions = F.when(
+        n > length,
+        F.sequence(F.lit(0), n - F.lit(length + 1), F.lit(stride))
+    ).otherwise(F.array().cast('array<int>'))
+
+    def window_count(i):
+        w = F.substring(lower, i + F.lit(1), F.lit(length))
+        c = _count_in(w, tokens[0])
+        for t in tokens[1:]:
+            c = c + _count_in(w, t)
+        return c
+
+    pairs = F.transform(
+        positions,
+        lambda i: F.struct(i.alias('p'), window_count(i).alias('c')))
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(0).alias('p'), F.lit(0.0).alias('c')),
+        lambda acc, x: F.when(x['c'] > acc['c'], x).otherwise(acc))
+    hit = best['c'] > 0
+    pos = F.when(hit, best['p']).otherwise(F.lit(0))
+    raw = F.substring(lower, pos + F.lit(1), F.lit(length))
+    clean = F.trim(F.regexp_replace(raw, F.lit(_PY_WS_CLASS + '+'),
+                                    F.lit(' ')))
+    clean = F.when(pos > 0, F.concat(F.lit('...'), clean)).otherwise(clean)
+    return F.when(pos + F.lit(length) < n,
+                  F.concat(clean, F.lit('...'))).otherwise(clean)
+
+
 def category_filter(df: DataFrame, categories: list[str] | None,
                     cat_col: str = 'categories') -> DataFrame:
     """F4: keep rows whose category array overlaps the wanted list —
@@ -131,21 +222,34 @@ def search(df: DataFrame, query: str,
                .filter(F.col('content_hash').isNull() | (F.col('dup_rank') == 1))
                .drop('dup_rank'))
 
-    rel = _relevance_udf(tokens)
-    out = out.withColumn('score', rel(F.col(text_col)))
-    out = out.filter(F.col('score') > 0)  # F6 — before the snippet UDF
+    # ascii tokens (the common case after stemming) → fully native
+    # relevance AND snippet: the whole search plan stays inside
+    # whole-stage codegen with ZERO ArrowEvalPython nodes (VERDICT r3
+    # #7); non-ascii tokens fall back to the UDF kernels
+    native = _native_ok(tokens)
+    if native:
+        out = out.withColumn('score', native_relevance_col(tokens, text_col))
+    else:
+        rel = _relevance_udf(tokens)
+        out = out.withColumn('score', rel(F.col(text_col)))
+    out = out.filter(F.col('score') > 0)  # F6 — before the snippet stage
 
-    # top-k FIRST (TakeOrderedAndProject), snippet UDF on the k
-    # survivors only: ranking is (score, url) and never reads the
-    # snippet, so this is result-identical — and at corpus scale it
-    # means k snippet computations instead of one per matching row
+    # top-k FIRST (TakeOrderedAndProject), snippet on the k survivors
+    # only: ranking is (score, url) and never reads the snippet, so
+    # this is result-identical — and at corpus scale it means k snippet
+    # computations instead of one per matching row
     keep = [c for c in ('url', 'categories') if c in out.columns]
     order = [F.desc('score')] + ([F.asc('url')] if 'url' in keep else [])
     top = (out.select(*keep, 'score', text_col)
            .orderBy(*order)
            .limit(k))  # W3 → TakeOrderedAndProject
 
-    snip = _snippet_udf(tokens, cfg.snippet_length, cfg.snippet_stride)
-    return (top.withColumn('snippet', snip(F.col(text_col)))
+    if native:
+        snippet = native_snippet_col(tokens, text_col,
+                                     cfg.snippet_length, cfg.snippet_stride)
+    else:
+        snip = _snippet_udf(tokens, cfg.snippet_length, cfg.snippet_stride)
+        snippet = snip(F.col(text_col))
+    return (top.withColumn('snippet', snippet)
             .select(*keep, 'score', 'snippet')
             .orderBy(*order))
