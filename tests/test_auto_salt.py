@@ -1,0 +1,78 @@
+"""Auto-salting threshold in the extraction repartition (VERDICT r3 #8).
+
+Skew scenario: a hot host re-crawled heavily — 50% of all rows live on
+4 urls of one host, each with a distinct warc_ts. Url-hash
+repartitioning funnels every re-crawl of a url into one task; the
+detector (needs_salt) sees the hot host and widens the key to
+(url, warc_ts). Balance is asserted on per-partition row counts — the
+deterministic proxy for task times (the map stage is row-dominated)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark.fixtures.webpages import page_row
+from pdf_ai_mapper_spark.operators.extraction import extracted, needs_salt
+
+N = 1600
+PARTS = 8
+
+
+def _skewed_df(spark):
+    rows = []
+    for i in range(N):
+        r = page_row(i)
+        if i < N // 2:   # 50% hot host, only 4 distinct urls (re-crawls)
+            url = f'https://hot.example.com/p/{i % 4}'
+        else:
+            url = r['url']
+        rows.append((url, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                     r['html']))
+    return spark.createDataFrame(rows, 'url string, warc_ts timestamp, html binary')
+
+
+def _partition_counts(df):
+    return [r['n'] for r in
+            (df.select(F.spark_partition_id().alias('pid'))
+             .groupBy('pid').agg(F.count('*').alias('n')).collect())]
+
+
+def test_detector_fires_on_hot_host(spark):
+    df = _skewed_df(spark)
+    assert needs_salt(df, threshold=500)
+    assert not needs_salt(df, threshold=10_000)
+
+
+def test_unsalted_repartition_is_skewed_salted_is_balanced(spark):
+    df = _skewed_df(spark)
+
+    unsalted = extracted(df, partitions=PARTS, auto_salt=False)
+    cu = _partition_counts(unsalted)
+    # 4 hot urls x 200 re-crawls each: a hot task carries a full hot
+    # url (+200 rows) on its ~100-row base share; a cold task has only
+    # its base share — a ~3x spread (measured [294..309] vs [105..107])
+    assert max(cu) >= 1.4 * (N / PARTS)
+    assert max(cu) - min(cu) >= 150
+
+    salted = extracted(df, partitions=PARTS, auto_salt=True,
+                       hot_host_threshold=500)
+    cs = _partition_counts(salted)
+    assert len(cs) == PARTS
+    # hash-uniform: every task within 25% of the mean and the spread
+    # collapses
+    assert max(cs) <= 1.25 * (N / PARTS)
+    assert max(cs) - min(cs) <= 100
+    assert max(cs) < max(cu)
+
+
+def test_no_salt_below_threshold_keeps_url_key(spark):
+    """Under the threshold the key stays pure url-hash (co-location of
+    same-url rows preserved for callers that rely on it)."""
+    df = _skewed_df(spark).filter(~F.col('url').contains('hot.example'))
+    out = extracted(df, partitions=PARTS, auto_salt=True,
+                    hot_host_threshold=10_000)
+    # distinct urls: url-hash already uniform; just assert it ran and
+    # produced every row
+    assert out.count() == df.count()
