@@ -100,28 +100,208 @@ def warc_response_rows(data: bytes) -> Iterator[tuple]:
                _http_body(block))
 
 
-def read_warc(spark, path: str):
-    """``*.warc(.gz)`` files under ``path`` → DataFrame(url string,
-    warc_ts timestamp, html binary, lang string) — the engine's input
-    shape minus the fixture-only ground-truth column. ``lang`` is NULL
-    (WARC carries no language; run ``textstats.with_lang_id`` on the
-    extracted text to fill it). One scan task per file (binaryFile
-    source); parsing is an Arrow-batched mapInPandas over whole-file
-    payloads, so the DataFrame feeds ``pipeline.transform`` directly."""
+def _gzip_member_ranges_stream(fh, chunk_size: int = 1 << 20
+                               ) -> list[tuple[int, int]]:
+    """(offset, length) per gzip member, streaming: O(chunk) memory,
+    one decompression pass."""
+    import zlib
+    out: list[tuple[int, int]] = []
+    start = 0   # absolute offset of the current member's first byte
+    fed = 0     # absolute offset one past the last byte fed
+    d = zlib.decompressobj(wbits=31)
+    carry = b''
+    while True:
+        data = carry if carry else fh.read(chunk_size)
+        carry = b''
+        if not data:
+            if fed > start:
+                out.append((start, fed - start))  # truncated tail member
+            return out
+        d.decompress(data)
+        fed += len(data)
+        if d.eof:
+            end = fed - len(d.unused_data)
+            out.append((start, end - start))
+            carry = d.unused_data
+            start = end
+            fed = end
+            d = zlib.decompressobj(wbits=31)
+
+
+def _raw_record_ranges_stream(fh, head_cap: int = 1 << 16
+                              ) -> list[tuple[int, int]]:
+    """(offset, length) per raw WARC record, streaming with seek —
+    blocks are skipped, never buffered."""
+    fh.seek(0, 2)
+    size = fh.tell()
+    starts: list[int] = []
+    pos = 0
+    while pos < size:
+        fh.seek(pos)
+        head = fh.read(head_cap)
+        if not head:
+            break
+        if not head.startswith(b'WARC/'):
+            idx = head.find(b'WARC/')
+            if idx < 0:
+                pos += max(1, len(head) - 4)  # overlap: split magic
+                continue
+            pos += idx
+            fh.seek(pos)
+            head = fh.read(head_cap)
+        he = head.find(_CRLF2)
+        if he < 0:
+            break  # truncated / >64k header: complete records only
+        length = None
+        for ln in head[:he].split(b'\r\n')[1:]:
+            sep = ln.find(b':')
+            if sep > 0 and ln[:sep].strip().lower() == b'content-length':
+                try:
+                    length = int(ln[sep + 1:].strip())
+                except ValueError:
+                    pass
+        if length is None:
+            break
+        starts.append(pos)
+        nxt = pos + he + 4 + length
+        fh.seek(nxt)
+        if fh.read(4) == _CRLF2:
+            nxt += 4
+        pos = nxt
+    return [(s, (starts[i + 1] if i + 1 < len(starts) else size) - s)
+            for i, s in enumerate(starts)]
+
+
+def iter_warc_ranges_stream(fh) -> list[tuple[int, int]]:
+    """(offset, length) per independently-decompressible unit of one
+    WARC stream: gzip members for record-gzip ``.warc.gz`` (the Common
+    Crawl convention — one member per record), raw records otherwise.
+    Lengths TILE the file (each extends to the next unit's offset), so
+    any run of consecutive index rows is a contiguous, parseable byte
+    span.  Bounded memory — a >2 GiB file streams fine (binaryFile
+    caps content at Int.MaxValue, so whole-file loading CANNOT work
+    there; this is the only path)."""
+    magic = fh.read(2)
+    fh.seek(0)
+    if magic == _GZIP_MAGIC:
+        return _gzip_member_ranges_stream(fh)
+    return _raw_record_ranges_stream(fh)
+
+
+def warc_member_ranges(data: bytes) -> list[tuple[int, int]]:
+    """In-memory convenience wrapper over ``iter_warc_ranges_stream``."""
+    import io
+    return iter_warc_ranges_stream(io.BytesIO(data))
+
+
+def build_warc_index(spark, path: str):
+    """Offset-index sidecar: DataFrame(file, offset, length) — one row
+    per gzip member / raw record of every ``*.warc(.gz)`` under
+    ``path``.  One task per file, STREAMING (bounded memory: binaryFile
+    would cap at 2 GiB and buffer whole files; only the path listing
+    comes from it — content is never loaded).  The build reads each
+    file once — the pass Common Crawl amortizes by publishing CDX
+    indexes.  Persist the result next to the data and hand it to
+    ``read_warc(index=...)`` to split big files across tasks."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     files = (spark.read.format('binaryFile')
              .option('pathGlobFilter', '*.warc*')
              .load(path)
-             .select('content'))
+             .select('path'))  # metadata only; content stays on disk
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [r for content in pdf['content']
-                    for r in warc_response_rows(bytes(content))]
+            rows = []
+            for p in pdf['path']:
+                with open(_local_path(p), 'rb') as fh:
+                    rows.extend((p, off, ln)
+                                for off, ln in iter_warc_ranges_stream(fh))
+            yield pd.DataFrame(rows, columns=['file', 'offset', 'length'])
+
+    return files.mapInPandas(gen, 'file string, offset long, length long')
+
+
+def _local_path(file_uri: str) -> str:
+    if ':' in file_uri.split('/', 1)[0]:
+        from urllib.parse import unquote, urlparse
+        return unquote(urlparse(file_uri).path)
+    return file_uri
+
+
+def read_warc(spark, path: str, index=None,
+              target_task_bytes: int = 128 << 20):
+    """``*.warc(.gz)`` files under ``path`` → DataFrame(url string,
+    warc_ts timestamp, html binary, lang string) — the engine's input
+    shape minus the fixture-only ground-truth column. ``lang`` is NULL
+    (WARC carries no language; run ``textstats.with_lang_id`` on the
+    extracted text to fill it).
+
+    Without ``index``: one scan task per file (binaryFile source).
+    Fine for convention-sized (~1 GiB) segments; a single multi-GB
+    file is ONE task and its whole payload sits in one executor's
+    memory — at that shape, pass ``index`` (a ``build_warc_index``
+    DataFrame, or a path to its persisted parquet) and the reader
+    plans contiguous ~``target_task_bytes`` byte spans of WHOLE
+    records/members and reads each span with seek+read — ≥4 tasks per
+    multi-GB file, bounded memory, byte-identical rows.  Local-fs
+    seek+read here; on a real cluster the open() becomes the Hadoop
+    FS / fsspec equivalent (same offsets, same bytes)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if index is None:
+        files = (spark.read.format('binaryFile')
+                 .option('pathGlobFilter', '*.warc*')
+                 .load(path)
+                 .select('content'))
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [r for content in pdf['content']
+                        for r in warc_response_rows(bytes(content))]
+                yield pd.DataFrame(rows, columns=['url', 'warc_ts', 'html'])
+
+        return (files.mapInPandas(
+            parse, schema='url string, warc_ts timestamp, html binary')
+            .withColumn('lang', F.lit(None).cast('string')))
+
+    if isinstance(index, str):
+        index = spark.read.parquet(index)
+
+    # plan contiguous spans: running-sum bucket per file (index lengths
+    # tile the file, so min(offset)+sum(length) is one seekable range
+    # of whole records); the spans table is tiny (total_bytes / target)
+    w = (Window.partitionBy('file').orderBy('offset')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (index
+             .withColumn('__run', F.sum('length').over(w))
+             .withColumn('__task', F.floor((F.col('__run') - F.col('length'))
+                                           / F.lit(int(target_task_bytes))))
+             .groupBy('file', '__task')
+             .agg(F.min('offset').alias('start'),
+                  F.sum('length').alias('nbytes')))
+    # one span per task, EXPLICIT partition count: the span rows are
+    # bytes-sized, so AQE would coalesce an unpinned shuffle into one
+    # partition and a multi-GB file would be read by a single task
+    # (measured). The spans table is total_bytes/target rows — tiny —
+    # so the count + persist here is a driver-scale planning job.
+    spans = spans.persist()
+    n_spans = max(1, spans.count())
+    ws = Window.orderBy('file', '__task')
+    spans = (spans.withColumn('__sid', F.row_number().over(ws))
+             .repartitionByRange(n_spans, '__sid'))
+
+    def read_spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for f, s, b in zip(pdf['file'], pdf['start'], pdf['nbytes']):
+                with open(_local_path(f), 'rb') as fh:
+                    fh.seek(int(s))
+                    rows.extend(warc_response_rows(fh.read(int(b))))
             yield pd.DataFrame(rows, columns=['url', 'warc_ts', 'html'])
 
-    return (files.mapInPandas(
-        parse, schema='url string, warc_ts timestamp, html binary')
+    return (spans.mapInPandas(
+        read_spans, schema='url string, warc_ts timestamp, html binary')
         .withColumn('lang', F.lit(None).cast('string')))
