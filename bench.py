@@ -69,6 +69,7 @@ HEADLINE_QUERIES = [
     'q_tfidf_top_terms',
     'q_asof_join',
     'q_decontamination',
+    'q_search_pipeline',   # round 4: fully native (zero ArrowEvalPython)
 ]
 
 
