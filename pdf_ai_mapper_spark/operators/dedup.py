@@ -663,3 +663,51 @@ def minhash_index_update(spark, new_df: DataFrame, index_path: str,
     sig.unpersist()
     band_rows.unpersist()
     return result
+
+
+def line_dedup(df: DataFrame, id_col: str = 'doc_id',
+               text_col: str = 'text', min_df: int = 2,
+               sep: str = '\n') -> DataFrame:
+    """Cross-document exact line dedup — the CCNet / RefinedWeb
+    boilerplate-removal step: drop every line occurring in >= ``min_df``
+    DISTINCT documents (navigation chrome, cookie banners, repeated
+    footers), preserving the surviving lines' order.
+
+    Scale shape: the heavy original texts never shuffle — only the
+    narrow exploded (id, pos, line) rows do.  Line document-frequency
+    is an exact two-level count-distinct aggregate; the hot
+    (boilerplate) line set joins back as a LEFT ANTI on the line
+    value; the rebuild is ONE per-doc aggregate with an in-array sort
+    (collect_list of (pos, line) structs → array_sort → join), so
+    order restoration costs no extra shuffle.  Documents whose lines
+    are all boilerplate come back with cleaned_text='' rather than
+    disappearing.
+
+    Returns (id_col, n_kept, n_removed, cleaned_text).
+    """
+    lines = F.split(F.col(text_col), sep)
+    ex = df.select(F.col(id_col).alias('__id'),
+                   F.posexplode(lines).alias('__pos', '__line'))
+    hot = (ex.groupBy('__line')
+           .agg(F.count_distinct('__id').alias('__df'))
+           .filter(F.col('__df') >= min_df)
+           .select('__line'))
+    kept = ex.join(hot, on='__line', how='left_anti')
+    rebuilt = (kept.groupBy('__id')
+               .agg(F.count('*').cast('long').alias('n_kept'),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct('__pos', '__line'))),
+                            lambda s: s['__line']),
+                        sep).alias('cleaned_text')))
+    totals = df.select(F.col(id_col).alias('__id'),
+                       F.size(lines).cast('long').alias('__n_total'))
+    return (totals.join(rebuilt, on='__id', how='left')
+            .select(F.col('__id').alias(id_col),
+                    F.coalesce(F.col('n_kept'), F.lit(0)).alias('n_kept'),
+                    (F.col('__n_total')
+                     - F.coalesce(F.col('n_kept'), F.lit(0))
+                     ).alias('n_removed'),
+                    F.coalesce(F.col('cleaned_text'),
+                               F.lit('')).alias('cleaned_text')))

@@ -860,6 +860,28 @@ def q_lda_categories(spark, sf_dir):
             .orderBy('arity'))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document exact line dedup (dedup.line_dedup — the CCNet /
+    RefinedWeb boilerplate-removal step, round 4): documents' text
+    re-laid-out as 4-token lines (construction shared verbatim with
+    the SQL oracle), every line occurring in >= 2 distinct docs
+    removed, order-preserving rebuild. FULL value check including the
+    rebuilt cleaned_text (~11% of lines are cross-doc dups at
+    sf0.01)."""
+    from .operators.dedup import line_dedup
+    k = 4
+    toks = F.split(F.col('text'), ' ')
+    n = F.size(toks)
+    linearr = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast('int') - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k)), ' '))
+    d4 = (_t(spark, sf_dir, 'documents')
+          .select('doc_id', F.array_join(linearr, '\n').alias('text')))
+    return (line_dedup(d4, 'doc_id', 'text', min_df=2)
+            .orderBy('doc_id'))
+
+
 def q_search_pipeline(spark, sf_dir):
     """F7+F8+W1-W3+F6 composed through the REAL search() operator:
     query stem → guard → relevance → score>0 → snippet → top-k
@@ -1856,6 +1878,36 @@ ORACLES: dict[str, str] = {
     'q_search_pipeline': _search_pipeline_oracle_sql(),
     'q_pagerank_centrality': _pagerank_oracle_sql(),
 
+    # line_dedup: the 4-token-line layout is constructed identically on
+    # both sides, then the full dedup (exact distinct-doc frequency,
+    # >=2 removed, ordered rebuild) is value-checked including the
+    # rebuilt text bytes.
+    'q_line_dedup': """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        lin AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS line
+            FROM t, LATERAL (SELECT unnest(range(0,
+                     CAST(ceil(len(toks)/4.0) AS INT))) AS i)
+        ),
+        hot AS (SELECT line FROM lin GROUP BY line
+                HAVING count(DISTINCT doc_id) >= 2),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                FROM lin GROUP BY doc_id),
+        reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+                FROM lin WHERE line NOT IN (SELECT line FROM hot)
+                GROUP BY doc_id)
+        SELECT tot.doc_id,
+               COALESCE(reb.n_kept, 0) AS n_kept,
+               CAST(tot.n_total - COALESCE(reb.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(reb.cleaned_text, '') AS cleaned_text
+        FROM tot LEFT JOIN reb USING (doc_id)
+        ORDER BY doc_id
+    """,
+
     # Golden-histogram oracle: the (arity → n_docs) values below were
     # measured from the seeded LDA run (seed=42, maxIter=10, pinned
     # vocab) and verified parallelism-invariant (see q_lda_categories
@@ -2178,7 +2230,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- reference-parity and operator oracles --------------------
         'q_t2_t5_normalize': q_t2_t5_normalize,
         'q_t7_meaningful_tokens': q_t7_meaningful_tokens,
-        'q_d1_content_hash': q_d1_content_hash,
+        'q_line_dedup': q_line_dedup,
         'q_d2_dedup_first_seen': q_d2_dedup_first_seen,
         'q_w1_relevance_topk': q_w1_relevance_topk,
         'q_w3_topk_events': q_w3_topk_events,
@@ -2221,6 +2273,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_ivf_ann_exact': q_ivf_ann_exact,
         # -- trivial oracles, hash-green in r03, outside the window ---
+        'q_d1_content_hash': q_d1_content_hash,
         'q_url_canonicalization': q_url_canonicalization,
         'q_set_ops': q_set_ops,
         'q_a7_distinct_filter_values': q_a7_distinct_filter_values,

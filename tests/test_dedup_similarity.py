@@ -326,3 +326,46 @@ def test_with_chunks_overlap_semantics(spark):
     import pytest
     with pytest.raises(ValueError):
         with_chunks(df, 'doc_id', 'text', chunk_tokens=4, overlap=4)
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from pdf_ai_mapper_spark.operators.dedup import line_dedup
+    docs = [
+        (1, 'cookie banner\nunique first line\ncookie banner\nfooter text'),
+        (2, 'another doc body\nfooter text\ncookie banner'),
+        (3, 'cookie banner\nfooter text'),          # all boilerplate
+        (4, 'completely unique\ncontent here'),
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in line_dedup(df).collect()}
+    # 'cookie banner' in docs 1,2,3; 'footer text' in 1,2,3 -> removed
+    assert got[1]['cleaned_text'] == 'unique first line'
+    assert got[1]['n_kept'] == 1 and got[1]['n_removed'] == 3
+    assert got[2]['cleaned_text'] == 'another doc body'
+    assert got[3]['cleaned_text'] == '' and got[3]['n_kept'] == 0
+    assert got[4]['cleaned_text'] == 'completely unique\ncontent here'
+    assert got[4]['n_removed'] == 0
+
+
+def test_line_dedup_within_doc_repeats_not_cross_doc(spark):
+    """A line repeated inside ONE doc but nowhere else counts df=1 and
+    survives (CCNet removes cross-document duplicates; within-doc
+    repetition is the repetition_stats signal)."""
+    from pdf_ai_mapper_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(1, 'same line\nsame line\nother'), (2, 'nothing shared')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in line_dedup(df).collect()}
+    assert got[1]['cleaned_text'] == 'same line\nsame line\nother'
+    assert got[1]['n_removed'] == 0
+
+
+def test_line_dedup_preserves_order(spark):
+    from pdf_ai_mapper_spark.operators.dedup import line_dedup
+    n = 30
+    text1 = '\n'.join(['dup'] + [f'line{i}' for i in range(n)] + ['dup'])
+    df = spark.createDataFrame(
+        [(1, text1), (2, 'dup')], 'doc_id long, text string')
+    got = {r['doc_id']: r for r in
+           line_dedup(df.repartition(4)).collect()}
+    assert got[1]['cleaned_text'] == '\n'.join(f'line{i}' for i in range(n))
