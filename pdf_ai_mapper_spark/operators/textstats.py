@@ -276,3 +276,44 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.count('*').cast('long').alias('n_tokens'),
                  F.round(F.avg(logp), 6).alias('logprob')))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: 'dict[str, float] | None' = None,
+               out_col: str = 'split') -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment
+    (round 4) — the split step every training-data pipeline needs, with
+    three properties a naive rand() lacks:
+
+    - STABLE: assignment depends only on the key (url/doc id), so it
+      survives repartition, re-runs, and incremental appends — a doc
+      never migrates between train and test across pipeline versions;
+    - LEAK-RESISTANT: keyed on the grouping unit the caller chooses
+      (e.g. canonical url or domain) so near-dup crawls of one page
+      land in the SAME split;
+    - PORTABLE: md5's hex string read as a base-16 fraction of [0,1)
+      is the sample; split boundaries are 32-digit hex-string
+      thresholds computed with EXACT integer arithmetic, so the whole
+      assignment is one codegen string comparison that any engine with
+      md5 reproduces bit-for-bit (the DuckDB oracle repeats it
+      verbatim — no engine-specific hash anywhere).
+
+    Weights need not be normalized; the last split absorbs rounding.
+    """
+    from fractions import Fraction
+    weights = weights or {'train': 0.8, 'val': 0.1, 'test': 0.1}
+    names = list(weights)
+    total = sum(Fraction(w).limit_denominator(10**9)
+                for w in weights.values())
+    h = F.md5(F.col(key_col).cast('string'))
+    expr = None
+    cum = Fraction(0)
+    for name in names[:-1]:
+        cum += Fraction(weights[name]).limit_denominator(10**9)
+        thr = format(int(cum / total * 16**32), '032x')
+        branch = h < F.lit(thr)
+        expr = (F.when(branch, F.lit(name)) if expr is None
+                else expr.when(branch, F.lit(name)))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

@@ -882,6 +882,22 @@ def q_line_dedup(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (textstats.hash_split,
+    round 4): md5-hex-threshold assignment on a derived doc key —
+    engine-portable by construction, so the oracle repeats the exact
+    CASE expression. id_sum witnesses the ASSIGNMENT, not just the
+    counts."""
+    from .operators.textstats import hash_split
+    d = _t(spark, sf_dir, 'documents').withColumn(
+        'key', F.concat(F.lit('doc-'), F.col('doc_id').cast('string')))
+    return (hash_split(d, 'key')
+            .groupBy('split')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum('doc_id').cast('long').alias('id_sum'))
+            .orderBy('split'))
+
+
 def q_search_pipeline(spark, sf_dir):
     """F7+F8+W1-W3+F6 composed through the REAL search() operator:
     query stem → guard → relevance → score>0 → snippet → top-k
@@ -1878,6 +1894,24 @@ ORACLES: dict[str, str] = {
     'q_search_pipeline': _search_pipeline_oracle_sql(),
     'q_pagerank_centrality': _pagerank_oracle_sql(),
 
+    # hash_split: thresholds are exact-integer-arithmetic hex literals
+    # (4/5 and 9/10 of 16^32); md5 hex compare is engine-portable
+    'q_hash_split': """
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN md5('doc-' || doc_id)
+                             < 'cccccccccccccccccccccccccccccccc'
+                        THEN 'train'
+                        WHEN md5('doc-' || doc_id)
+                             < 'e6666666666666666666666666666666'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY split ORDER BY split
+    """,
+
     # line_dedup: the 4-token-line layout is constructed identically on
     # both sides, then the full dedup (exact distinct-doc frequency,
     # >=2 removed, ordered rebuild) is value-checked including the
@@ -2238,7 +2272,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
         'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
         'q_a3_term_document_frequency': q_a3_term_document_frequency,
-        'q_a8_corpus_stats': q_a8_corpus_stats,
+        'q_hash_split': q_hash_split,
         'q_j1_anti_join': q_j1_anti_join,
         'q_j2_broadcast_join': q_j2_broadcast_join,
         'q_j3_semi_join': q_j3_semi_join,
@@ -2273,6 +2307,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_ivf_ann_exact': q_ivf_ann_exact,
         # -- trivial oracles, hash-green in r03, outside the window ---
+        'q_a8_corpus_stats': q_a8_corpus_stats,
         'q_d1_content_hash': q_d1_content_hash,
         'q_url_canonicalization': q_url_canonicalization,
         'q_set_ops': q_set_ops,

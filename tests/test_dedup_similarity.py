@@ -369,3 +369,30 @@ def test_line_dedup_preserves_order(spark):
     got = {r['doc_id']: r for r in
            line_dedup(df.repartition(4)).collect()}
     assert got[1]['cleaned_text'] == '\n'.join(f'line{i}' for i in range(n))
+
+
+def test_hash_split_fractions_and_stability(spark):
+    from pdf_ai_mapper_spark.operators.textstats import hash_split
+    df = spark.range(20_000).select(
+        F.concat(F.lit('k'), F.col('id').cast('string')).alias('key'))
+    out = hash_split(df, 'key')
+    counts = {r['split']: r['n'] for r in
+              out.groupBy('split').agg(F.count('*').alias('n')).collect()}
+    assert abs(counts['train'] / 20_000 - 0.8) < 0.02
+    assert abs(counts['val'] / 20_000 - 0.1) < 0.01
+    assert abs(counts['test'] / 20_000 - 0.1) < 0.01
+    # stable under repartition: identical assignment
+    a = {r['key']: r['split'] for r in out.collect()}
+    b = {r['key']: r['split'] for r in
+         hash_split(df.repartition(16), 'key').collect()}
+    assert a == b
+
+
+def test_hash_split_unnormalized_weights(spark):
+    from pdf_ai_mapper_spark.operators.textstats import hash_split
+    df = spark.range(10_000).select(F.col('id').cast('string').alias('k'))
+    counts = {r['split']: r['n'] for r in
+              hash_split(df, 'k', weights={'a': 3, 'b': 1})
+              .groupBy('split').agg(F.count('*').alias('n')).collect()}
+    assert abs(counts['a'] / 10_000 - 0.75) < 0.02
+    assert abs(counts['b'] / 10_000 - 0.25) < 0.02
