@@ -22,16 +22,32 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _count_token(text_col: Column, word: str) -> Column:
-    """Whole-word occurrence count via split-by-regex (codegen-friendly;
-    identical semantics to the SQL oracle's split-based count)."""
-    return F.size(F.split(F.concat(F.lit(' '), F.lower(text_col), F.lit(' ')),
-                          f'[^a-z]{word}[^a-z]')) - 1
+def _tokenize(text_col: Column) -> Column:
+    """The shared [^a-z]+ tokenization all marker counts read from.
+    MUST be materialized as its own column before fan-out (see
+    _count_token): lambda-bearing expressions are excluded from
+    codegen subexpression elimination, so 20 inline copies re-split
+    the text 20 times (measured 1.7 s vs 1.0 s at sf0.1 — worse than
+    the old per-marker regex passes)."""
+    return F.split(F.lower(text_col), '[^a-z]+')
 
 
-def lang_scores(text_col: Column) -> dict[str, Column]:
+def _count_token(tokens_col: Column, word: str) -> Column:
+    """Whole-word occurrence count over a materialized token-array
+    column (round 4 re-shape; the SQL oracle repeats it verbatim):
+    one string traversal total + an array equality scan per marker.
+    Also counts adjacent markers correctly — 'the the' is 2; the old
+    separator-consuming regex scored 1."""
+    return F.size(F.filter(tokens_col, lambda t: t == F.lit(word)))
+
+
+def lang_scores(tokens_col: Column) -> dict[str, Column]:
+    """Marker-hit counts per language over a MATERIALIZED token-array
+    column (callers add it with ``_tokenize`` via withColumn first —
+    CollapseProject keeps a non-cheap column referenced this many
+    times as its own projection, so the split runs once per row)."""
     return {
-        lang: sum((_count_token(text_col, w) for w in words), F.lit(0))
+        lang: sum((_count_token(tokens_col, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
 
@@ -40,14 +56,15 @@ def with_lang_id(df: DataFrame, text_col: str = 'text',
                  out_col: str = 'lang_pred') -> DataFrame:
     """Predicted language = argmax marker-hit count, 'und' when all
     zero. Ties break by the fixed order en > de > fr > es."""
-    scores = lang_scores(F.col(text_col))
+    df = df.withColumn('__lang_toks', _tokenize(F.col(text_col)))
+    scores = lang_scores(F.col('__lang_toks'))
     best_lang = F.lit('und')
     best_score = F.lit(0)
     for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
         s = scores[lang]
         best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
         best_score = F.greatest(best_score, s)
-    return df.withColumn(out_col, best_lang)
+    return df.withColumn(out_col, best_lang).drop('__lang_toks')
 
 
 def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:
@@ -60,7 +77,9 @@ def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:
     digit = F.length(F.regexp_replace(t, '[^0-9]', ''))
     toks = F.split(F.trim(t), r'\s+')
     n_tok = F.size(toks)
-    stop_hits = sum((_count_token(t, w) for w in LANG_MARKERS['en']), F.lit(0))
+    df = df.withColumn('__q_toks', _tokenize(t))
+    stop_hits = sum((_count_token(F.col('__q_toks'), w)
+                     for w in LANG_MARKERS['en']), F.lit(0))
     return (df
             .withColumn('n_chars_q', n)
             .withColumn('n_tokens', n_tok)
@@ -72,7 +91,8 @@ def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:
             .withColumn('quality_ok',
                         (F.col('alpha_ratio') > 0.6)
                         & (F.col('digit_ratio') < 0.2)
-                        & (F.col('n_tokens') >= 5)))
+                        & (F.col('n_tokens') >= 5))
+            .drop('__q_toks'))
 
 
 def with_token_counts(df: DataFrame, text_col: str = 'text') -> DataFrame:

@@ -40,8 +40,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _count_token_sql(word: str) -> str:
-    return (f"(len(string_split_regex(' ' || lower(text) || ' ', "
-            f"'[^a-z]{word}[^a-z]')) - 1)")
+    # mirrors textstats._count_token verbatim: one [^a-z]+ tokenization
+    # + equality filter per marker
+    return (f"len(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+            f"t -> t = '{word}'))")
 
 
 # =====================================================================
