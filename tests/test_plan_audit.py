@@ -1,0 +1,94 @@
+"""Physical-plan regression guards (PLANS.md claims, pinned).
+
+Each test asserts a load-bearing property of an executed plan that a
+careless refactor could silently regress: a broadcast that must not
+become a shuffle, a scan-level filter that must not become a shuffle,
+a pipeline that must keep payloads out of every exchange. String
+checks are against Spark 4.1.2's executedPlan formatting (pinned in
+this sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = '/root/testdata/sf0.001'
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_stays_broadcast(spark):
+    import __spark_entry__ as e
+    p = _plan(e.queries()['q_j2_broadcast_join'](spark, SF))
+    assert 'BroadcastHashJoin' in p
+    assert 'SortMergeJoin' not in p
+
+
+def test_decontamination_train_side_never_shuffles(spark):
+    """The benchmark shingle set must broadcast; the training corpus
+    must reach the semi-join without an exchange on its shingles."""
+    import __spark_entry__ as e
+    p = _plan(e.queries()['q_decontamination'](spark, SF))
+    assert 'BroadcastHashJoin' in p and 'LeftSemi' in p
+    assert 'SortMergeJoin' not in p
+
+
+def test_stratified_sample_filter_is_scan_level(spark):
+    """The sampling predicate must sit directly on the FileScan (in
+    DataFilters) — the exchanges in the plan belong to the small
+    reporting aggregate, not to the sample itself."""
+    import __spark_entry__ as e
+    p = _plan(e.queries()['q_stratified_sample'](spark, SF))
+    scan_lines = [ln for ln in p.splitlines() if 'FileScan' in ln]
+    assert scan_lines and 'md5' in scan_lines[0]  # hash filter at scan
+    # no exchange between the filter and the scan: the Filter's child
+    # is the FileScan itself
+    lines = p.splitlines()
+    fidx = next(i for i, ln in enumerate(lines) if 'Filter ' in ln)
+    assert 'FileScan' in lines[fidx + 1]
+
+
+def test_extraction_transform_no_payload_in_exchange(spark):
+    """pipeline.transform: the only shuffle is the narrow content-hash
+    aggregate — html payload and extracted/preprocessed text must
+    never appear in any Exchange's output columns."""
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.pipeline import transform
+    df = transform(web_pages_df(spark, 50, num_partitions=2), 'plan-audit')
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if 'Exchange' in line:
+            assert 'html' not in line
+            assert 'extracted_text' not in line
+            assert 'preprocessed_text' not in line
+
+
+def test_extraction_single_arrow_eval_python(spark):
+    """extract+preprocess must stay FUSED: exactly one ArrowEvalPython
+    node (two chained pandas UDFs double Python workers per task)."""
+    from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
+    from pdf_ai_mapper_spark.operators.extraction import extracted
+    plan = _plan(extracted(web_pages_df(spark, 50, num_partitions=2)))
+    assert plan.count('ArrowEvalPython') == 1
+
+
+def test_scan_prunes_columns_for_narrow_query(spark):
+    """Column pruning reaches the parquet scan: a two-column projection
+    must not read the text payload."""
+    df = (spark.read.parquet(f'{SF}/documents.parquet')
+          .groupBy('lang').agg(F.count('*').alias('n')))
+    qe = df._jdf.queryExecution().toString()
+    assert 'ReadSchema' in qe
+    read_schema = [ln for ln in qe.splitlines() if 'ReadSchema' in ln][-1]
+    assert 'text' not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f'{SF}/events.parquet')
+          .filter(F.col('user_id') == 7).select('event_id'))
+    qe = df._jdf.queryExecution().toString()
+    assert 'PushedFilters: [' in qe
+    pushed = [ln for ln in qe.splitlines() if 'PushedFilters' in ln][-1]
+    assert 'user_id' in pushed
