@@ -884,6 +884,22 @@ def q_line_dedup(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_group_quota(spark, sf_dir):
+    """Per-source row quota (dedup.group_quota, round 4 — crawl
+    balancing): keep the 30 longest docs per source (n_chars desc,
+    doc_id asc tiebreak); per-source survivor counts + id/char sums
+    witness the exact survivor SET."""
+    from .operators.dedup import group_quota
+    d = _t(spark, sf_dir, 'documents')
+    out = group_quota(d, 'source', [('n_chars', 'desc'), ('doc_id', 'asc')],
+                      cap=30)
+    return (out.groupBy('source')
+            .agg(F.count('*').cast('long').alias('n_kept'),
+                 F.sum('doc_id').cast('long').alias('id_sum'),
+                 F.sum('n_chars').cast('long').alias('chars_sum'))
+            .orderBy('source'))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (textstats.hash_split,
     round 4): md5-hex-threshold assignment on a derived doc key —
@@ -1896,6 +1912,20 @@ ORACLES: dict[str, str] = {
     'q_search_pipeline': _search_pipeline_oracle_sql(),
     'q_pagerank_centrality': _pagerank_oracle_sql(),
 
+    'q_group_quota': """
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC)
+                       AS rn
+            FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        FROM ranked WHERE rn <= 30
+        GROUP BY source ORDER BY source
+    """,
+
     # hash_split: thresholds are exact-integer-arithmetic hex literals
     # (4/5 and 9/10 of 16^32); md5 hex compare is engine-portable
     'q_hash_split': """
@@ -2288,7 +2318,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_skew_salted_counts': q_skew_salted_counts,
         'q_w2_search_snippets': q_w2_search_snippets,
         'q_rollup_orders': q_rollup_orders,
-        'q_cube_events': q_cube_events,
+        'q_group_quota': q_group_quota,
         'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
         'q_emb_cosine_dups': q_emb_cosine_dups,
         'q_skew_salted_agg': q_skew_salted_agg,
@@ -2309,6 +2339,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_ivf_ann_exact': q_ivf_ann_exact,
         # -- trivial oracles, hash-green in r03, outside the window ---
+        'q_cube_events': q_cube_events,
         'q_a8_corpus_stats': q_a8_corpus_stats,
         'q_d1_content_hash': q_d1_content_hash,
         'q_url_canonicalization': q_url_canonicalization,
