@@ -425,3 +425,38 @@ def test_group_quota_payload_not_in_window_exchange(spark):
         if 'Exchange hashpartitioning(source' in line:
             assert 'text' not in line
     assert out.count() == 3
+
+
+def test_line_dedup_matches_python_reference_randomized(spark):
+    """Seeded random corpora vs a pure-python reference of the same
+    spec (df = distinct docs containing the line; >= min_df removed;
+    order preserved)."""
+    import random
+
+    from pdf_ai_mapper_spark.operators.dedup import line_dedup
+
+    def py_line_dedup(docs, min_df=2):
+        from collections import defaultdict
+        dfreq = defaultdict(set)
+        for i, t in docs:
+            for ln in t.split('\n'):
+                dfreq[ln].add(i)
+        hot = {ln for ln, s in dfreq.items() if len(s) >= min_df}
+        out = {}
+        for i, t in docs:
+            lines = t.split('\n')
+            kept = [ln for ln in lines if ln not in hot]
+            out[i] = (len(kept), len(lines) - len(kept), '\n'.join(kept))
+        return out
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f'line {w}' for w in 'abcdefgh']   # small: forces dups
+        docs = [(i, '\n'.join(rng.choice(vocab)
+                              for _ in range(rng.randint(1, 6))))
+                for i in range(rng.randint(5, 15))]
+        want = py_line_dedup(docs)
+        df = spark.createDataFrame(docs, 'doc_id long, text string')
+        got = {r['doc_id']: (r['n_kept'], r['n_removed'], r['cleaned_text'])
+               for r in line_dedup(df.repartition(3)).collect()}
+        assert got == want, seed
