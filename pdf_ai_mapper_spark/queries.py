@@ -900,6 +900,25 @@ def q_group_quota(spark, sf_dir):
             .orderBy('source'))
 
 
+def q_substring_duplication(spark, sf_dir):
+    """Exact substring-level duplication measure
+    (dedup.substring_duplication_stats, round 4 — the Lee et al.
+    suffix-array dedup signal at fixed k=8 granularity): per-doc
+    duplicated-window stats, aggregated per source. The Spark side
+    hashes windows before the shuffle (xxhash64); the oracle counts
+    the window STRINGS — equal absent 64-bit collisions (birthday
+    bound ~1e-9 at this scale)."""
+    from .operators.dedup import substring_duplication_stats
+    d = _t(spark, sf_dir, 'documents')
+    stats = substring_duplication_stats(d, 'doc_id', 'text', k=8)
+    return (stats.join(d.select('doc_id', 'source'), on='doc_id')
+            .groupBy('source')
+            .agg(F.sum('n_windows').cast('long').alias('windows'),
+                 F.sum('n_dup_windows').cast('long').alias('dup_windows'),
+                 F.round(F.avg('dup_frac'), 6).alias('avg_dup_frac'))
+            .orderBy('source'))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (textstats.hash_split,
     round 4): md5-hex-threshold assignment on a derived doc key —
@@ -1912,6 +1931,33 @@ ORACLES: dict[str, str] = {
     'q_search_pipeline': _search_pipeline_oracle_sql(),
     'q_pagerank_centrality': _pagerank_oracle_sql(),
 
+    'q_substring_duplication': r"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(lower(text), '\s+') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+              FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2))
+                               AS i)
+              WHERE len(toks) >= 8),
+        freq AS (SELECT win, count(*) AS c FROM w GROUP BY win),
+        per AS (SELECT w.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_windows,
+                       CAST(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_windows
+                FROM w JOIN freq f USING (win) GROUP BY w.doc_id),
+        stats AS (SELECT d.doc_id, d.source,
+                         COALESCE(p.n_windows, 0) AS n_windows,
+                         COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+                         round(COALESCE(p.n_dup_windows, 0) * 1.0
+                               / greatest(COALESCE(p.n_windows, 0), 1), 6)
+                             AS dup_frac
+                  FROM documents d LEFT JOIN per p USING (doc_id))
+        SELECT source, CAST(sum(n_windows) AS BIGINT) AS windows,
+               CAST(sum(n_dup_windows) AS BIGINT) AS dup_windows,
+               round(avg(dup_frac), 6) AS avg_dup_frac
+        FROM stats GROUP BY source ORDER BY source
+    """,
+
     'q_group_quota': """
         WITH ranked AS (
             SELECT source, doc_id, n_chars,
@@ -2307,7 +2353,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_hash_split': q_hash_split,
         'q_j1_anti_join': q_j1_anti_join,
         'q_j2_broadcast_join': q_j2_broadcast_join,
-        'q_j3_semi_join': q_j3_semi_join,
+        'q_substring_duplication': q_substring_duplication,
         'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
         'q_lang_id': q_lang_id,
         'q_quality_scores': q_quality_scores,
@@ -2339,6 +2385,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_ivf_ann_exact': q_ivf_ann_exact,
         # -- trivial oracles, hash-green in r03, outside the window ---
+        'q_j3_semi_join': q_j3_semi_join,
         'q_cube_events': q_cube_events,
         'q_a8_corpus_stats': q_a8_corpus_stats,
         'q_d1_content_hash': q_d1_content_hash,

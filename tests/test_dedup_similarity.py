@@ -460,3 +460,44 @@ def test_line_dedup_matches_python_reference_randomized(spark):
         got = {r['doc_id']: (r['n_kept'], r['n_removed'], r['cleaned_text'])
                for r in line_dedup(df.repartition(3)).collect()}
         assert got == want, seed
+
+
+def test_substring_duplication_known_values(spark):
+    from pdf_ai_mapper_spark.operators.dedup import (
+        substring_duplication_stats)
+    # doc 1: 10 tokens with its 4-token prefix repeated at the end;
+    # doc 2: contains doc 1's prefix; doc 3: all unique; doc 4: short
+    docs = [
+        (1, 'a b c d e f a b c d'),
+        (2, 'x y a b c d z w q r'),
+        (3, 'u1 u2 u3 u4 u5 u6 u7'),
+        (4, 'too short'),
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in
+           substring_duplication_stats(df, k=4).collect()}
+    # doc1 windows (7): abcd bcde cdef defa efab fabc abcd
+    #   -> 'a b c d' occurs 2x in doc1 + 1x in doc2 -> dup
+    assert got[1]['n_windows'] == 7 and got[1]['n_dup_windows'] == 2
+    # doc2 windows (7): xy ab / y a b c / a b c d / b c d z / ...
+    assert got[2]['n_windows'] == 7 and got[2]['n_dup_windows'] == 1
+    assert got[3]['n_windows'] == 4 and got[3]['n_dup_windows'] == 0
+    assert got[4]['n_windows'] == 0 and got[4]['dup_frac'] == 0.0
+
+
+def test_substring_duplication_detects_copied_span(spark):
+    from pdf_ai_mapper_spark.operators.dedup import (
+        substring_duplication_stats)
+    span = ' '.join(f's{i}' for i in range(20))
+    docs = [(1, f'intro words here {span} outro'),
+            (2, f'other page {span} different tail'),
+            (3, 'independent content entirely ' * 5)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r['dup_frac'] for r in
+           substring_duplication_stats(df, k=8).collect()}
+    assert got[1] > 0.5 and got[2] > 0.5   # the copied span dominates
+    assert got[3] > 0.5                     # self-repetition counts too
+    solo = spark.createDataFrame([(9, 'plain unique words ' + ' '.join(
+        f'w{i}' for i in range(30)))], 'doc_id long, text string')
+    assert {r['doc_id']: r['dup_frac'] for r in
+            substring_duplication_stats(solo, k=8).collect()}[9] == 0.0
