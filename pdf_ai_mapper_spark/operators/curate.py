@@ -1,0 +1,95 @@
+"""End-to-end corpus curation: the composition a training-data
+engineer actually runs over the extracted table (round 4).
+
+Every stage is an already-oracled operator; this module is the glue
+that orders them the way the published pipelines do (C4 → CCNet →
+Gopher → RefinedWeb lineage):
+
+    1. quality gate         (textstats.with_quality → quality_ok)
+    2. exact dedup on RAW text (byte-identical re-crawls out FIRST)
+    3. cross-doc line dedup (dedup.line_dedup — boilerplate chrome out)
+    4. exact dedup on CLEANED text (docs that differed only in chrome
+       become byte-equal once it's stripped)
+    5. substring-duplication down-weight signal
+       (dedup.substring_duplication_stats — kept as a COLUMN, not a
+       filter: mixes re-weight, they rarely hard-drop)
+    6. per-source quota     (dedup.group_quota — composition control)
+    7. train/val/test split (textstats.hash_split — keyed on the doc
+       id so near-identical re-crawls of one doc stay in one split)
+
+Stage order is LOAD-BEARING, and the footgun it avoids is real:
+line_dedup drops every line occurring in >= min_df documents — so a
+page crawled twice (byte-identical) pushes ALL its lines to df=2, and
+line dedup at min_df=2 would erase the whole document from BOTH
+copies. Exact dedup must therefore run BEFORE line dedup, and the
+boilerplate threshold must sit above legitimate content multiplicity:
+``line_min_df=None`` (default) resolves to ``max(3, 0.2% of the
+gated doc count)`` — chrome appears on most pages of a template, not
+on two. The quota runs after dedup so surviving slots aren't wasted
+on duplicates; the split comes last so ratios hold on the final mix.
+
+Scale shape: each stage's shuffle story is documented in its own
+module; the composition adds ONE extra driver action (the doc count
+for the threshold) and no new shuffles — it is plan composition, and
+Catalyst pipelines adjacent narrow stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import group_quota, line_dedup, substring_duplication_stats
+from .textstats import hash_split, with_quality
+
+
+def _dedup_exact_on(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """First-seen-wins (min id) exact dedup on md5 of ``col`` — narrow
+    (hash, id) aggregate + semi-join back; text never shuffles."""
+    firsts = (df.groupBy(F.md5(col).alias('__h'))
+              .agg(F.min(id_col).alias('__keep')))
+    return df.join(firsts.select(F.col('__keep').alias(id_col)),
+                   on=id_col, how='left_semi')
+
+
+def curate_corpus(df: DataFrame,
+                  id_col: str = 'doc_id',
+                  text_col: str = 'text',
+                  source_col: str = 'source',
+                  line_min_df: int | None = None,
+                  dup_window: int = 8,
+                  source_cap: int | None = None,
+                  split_weights: 'dict[str, float] | None' = None
+                  ) -> DataFrame:
+    """Quality-gate → exact-dedup → line-dedup → exact-dedup(cleaned)
+    → dup-score → quota → split. Returns the curated table: the input
+    columns plus cleaned_text, n_kept/n_removed (line dedup), dup_frac
+    (substring duplication), and split — one row per surviving
+    document. See the module docstring for why the order matters."""
+    gated = (with_quality(df, text_col)
+             .filter(F.col('quality_ok'))
+             .select(*df.columns))
+    gated = _dedup_exact_on(gated, id_col, text_col)
+
+    if line_min_df is None:
+        # boilerplate = "appears across the template", not "appears
+        # twice": scale the threshold with the corpus (driver action,
+        # one count of the gated narrow side)
+        line_min_df = max(3, int(0.002 * gated.count()))
+
+    cleaned = line_dedup(gated, id_col, text_col, min_df=line_min_df)
+    out = (gated.join(cleaned, on=id_col)
+           .filter(F.length('cleaned_text') > 0))
+    out = _dedup_exact_on(out, id_col, 'cleaned_text')
+
+    dup = substring_duplication_stats(
+        out.select(id_col, F.col('cleaned_text').alias(text_col)),
+        id_col, text_col, k=dup_window).select(id_col, 'dup_frac')
+    out = out.join(dup, on=id_col)
+
+    if source_cap is not None:
+        out = group_quota(out, source_col,
+                          [('dup_frac', 'asc'), (id_col, 'asc')],
+                          cap=source_cap, id_col=id_col)
+
+    return hash_split(out, id_col, weights=split_weights)

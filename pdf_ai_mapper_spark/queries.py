@@ -1374,6 +1374,22 @@ def q_warc_ingest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation (operators/curate.curate_corpus,
+    round 4): quality gate → exact dedup → line dedup → chrome-dedup →
+    dup score → split, composed over the documents table. Rows-only:
+    every stage has its own value oracle (q_quality_scores,
+    q_d2/q_line_dedup, q_substring_duplication, q_group_quota,
+    q_hash_split); this composite checks that the composition runs and
+    is stable."""
+    from .operators.curate import curate_corpus
+    out = curate_corpus(_t(spark, sf_dir, 'documents'))
+    return (out.groupBy('split', 'source')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.round(F.avg('dup_frac'), 6).alias('avg_dup_frac'))
+            .orderBy('split', 'source'))
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction (checkpoint.compact_output; rows-only):
     three incremental ingest batches fragment the bucketed layout, the
@@ -2407,4 +2423,5 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stream_ingest': q_stream_ingest,
         'q_warc_ingest': q_warc_ingest,
         'q_compaction': q_compaction,
+        'q_curation_pipeline': q_curation_pipeline,
     }
