@@ -685,7 +685,11 @@ def line_dedup(df: DataFrame, id_col: str = 'doc_id',
 
     Returns (id_col, n_kept, n_removed, cleaned_text).
     """
-    lines = F.split(F.col(text_col), sep)
+    # F.split takes a Java REGEX while array_join re-joins with the
+    # LITERAL string — quote the separator (\Q...\E, with embedded \E
+    # handled) so a metachar sep ('.', '|') splits on its literal bytes
+    sep_rx = '\\Q' + sep.replace('\\E', '\\E\\\\E\\Q') + '\\E'
+    lines = F.split(F.col(text_col), sep_rx)
     ex = df.select(F.col(id_col).alias('__id'),
                    F.posexplode(lines).alias('__pos', '__line'))
     hot = (ex.groupBy('__line')

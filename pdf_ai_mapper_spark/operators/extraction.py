@@ -132,6 +132,10 @@ def _make_extract_preprocess_udf(preprocess_mode: str):
     multi-KB extracted text through Arrow twice. Fusing halves worker
     pressure and Arrow bytes (measured: the chained form flatlined
     local[8]→local[32] scaling)."""
+    if preprocess_mode not in ('deterministic', 'nltk'):
+        raise ValueError(
+            f'unknown preprocess_mode {preprocess_mode!r}: '
+            "expected 'deterministic' or 'nltk'")
     pre_fn = (preprocess_text_nltk if preprocess_mode == 'nltk'
               else preprocess_text)
 
@@ -161,8 +165,13 @@ def needs_salt(df: DataFrame, threshold: int) -> bool:
     the url column only — a narrow partial-agg job, the payload stays
     in place.  A host over ``threshold`` rows means url-hash
     repartitioning can put re-crawl bursts (many rows, few urls) on one
-    task; the caller then salts the repartition key with warc_ts."""
-    top = (df.groupBy(F.parse_url(F.col('url'), F.lit('HOST')).alias('__h'))
+    task; the caller then salts the repartition key with warc_ts.
+
+    try_parse_url, not parse_url: ANSI mode (on by default) makes
+    parse_url THROW on malformed URLs, and real WARC/crawl input — the
+    use case for auto-salt — routinely contains them; try_parse_url
+    returns NULL and the malformed rows just group together."""
+    top = (df.groupBy(F.try_parse_url(F.col('url'), F.lit('HOST')).alias('__h'))
            .agg(F.count('*').alias('__n'))
            .agg(F.max('__n').alias('m')).collect())
     return bool(top) and (top[0]['m'] or 0) > threshold

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 
 def host_of_url(url: Column) -> Column:
-    return F.parse_url(url, F.lit('HOST'))
+    # try_parse_url: under ANSI mode (default-on) parse_url throws on
+    # malformed URLs; crawl data always has some — NULL host is the
+    # right grouping behavior, not a job abort.
+    return F.try_parse_url(url, F.lit('HOST'))
 
 
 def salted_count(df: DataFrame, key: Column, salt_buckets: int = 16,

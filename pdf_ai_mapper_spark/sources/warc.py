@@ -285,13 +285,18 @@ def read_warc(spark, path: str, index=None,
     # one span per task, EXPLICIT partition count: the span rows are
     # bytes-sized, so AQE would coalesce an unpinned shuffle into one
     # partition and a multi-GB file would be read by a single task
-    # (measured). The spans table is total_bytes/target rows — tiny —
-    # so the count + persist here is a driver-scale planning job.
-    spans = spans.persist()
-    n_spans = max(1, spans.count())
-    ws = Window.orderBy('file', '__task')
-    spans = (spans.withColumn('__sid', F.row_number().over(ws))
-             .repartitionByRange(n_spans, '__sid'))
+    # (measured). The spans table is total_bytes/target rows — tiny by
+    # construction — so collect it and rebuild (one driver-scale
+    # planning job, no persist to leak across repeated read_warc calls
+    # in a long-lived session, no global-sort window).
+    span_rows = sorted(spans.collect(),
+                       key=lambda r: (r['file'], r['__task']))
+    rows = [(r['file'], int(r['start']), int(r['nbytes']), i + 1)
+            for i, r in enumerate(span_rows)]
+    n_spans = max(1, len(rows))
+    spans = (spark.createDataFrame(
+        rows, 'file string, start long, nbytes long, __sid int')
+        .repartitionByRange(n_spans, '__sid'))
 
     def read_spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -76,3 +76,27 @@ def test_no_salt_below_threshold_keeps_url_key(spark):
     # distinct urls: url-hash already uniform; just assert it ran and
     # produced every row
     assert out.count() == df.count()
+
+
+def test_detector_survives_malformed_urls(spark):
+    """ANSI mode makes parse_url THROW on malformed URLs (ADVICE r4):
+    real crawl input always has some — the probe must use try_parse_url
+    and group the null-host rows together instead of aborting the job."""
+    rows = [('not a url at all', dt.datetime(2024, 1, 1), b'<html>x</html>'),
+            ('http://[broken', dt.datetime(2024, 1, 1), b'<html>y</html>'),
+            ('https://ok.example.com/a', dt.datetime(2024, 1, 1),
+             b'<html>z</html>')]
+    df = spark.createDataFrame(
+        rows, 'url string, warc_ts timestamp, html binary')
+    assert not needs_salt(df, threshold=10)   # must not raise
+    assert needs_salt(df, threshold=1)        # 2 null-host rows group
+
+
+def test_unknown_preprocess_mode_raises(spark):
+    """A typo'd preprocess_mode must fail loudly, not silently fall
+    back to the deterministic kernel (ADVICE r4)."""
+    import pytest
+
+    df = _skewed_df(spark).limit(2)
+    with pytest.raises(ValueError, match='preprocess_mode'):
+        extracted(df, preprocess_mode='ntlk')  # the classic typo

@@ -501,3 +501,22 @@ def test_substring_duplication_detects_copied_span(spark):
         f'w{i}' for i in range(30)))], 'doc_id long, text string')
     assert {r['doc_id']: r['dup_frac'] for r in
             substring_duplication_stats(solo, k=8).collect()}[9] == 0.0
+
+
+def test_line_dedup_metachar_separator_is_literal(spark):
+    """sep is a LITERAL string, not a Java regex (ADVICE r4): F.split
+    must be fed the \\Q-quoted form so a '.' separator splits on dots,
+    not on every character."""
+    from pdf_ai_mapper_spark.operators.dedup import line_dedup
+    docs = [
+        (1, 'boiler.unique one.boiler'),
+        (2, 'boiler.unique two'),
+        (3, 'solo text here'),
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in
+           line_dedup(df, min_df=2, sep='.').collect()}
+    assert got[1]['cleaned_text'] == 'unique one'
+    assert got[1]['n_kept'] == 1 and got[1]['n_removed'] == 2
+    assert got[2]['cleaned_text'] == 'unique two'
+    assert got[3]['cleaned_text'] == 'solo text here'
