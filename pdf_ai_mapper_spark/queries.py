@@ -722,12 +722,19 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 def q_asof_join(spark, sf_dir):
     """Backward-inclusive as-of join (operators/asof.asof_join — the
-    union + windowed last(ignorenulls) re-expression; one narrow
-    shuffle, no range-join blowup): every event gains the latest
-    checkpoint row (a deterministic events subset) at or before its
-    timestamp; aggregated per event_type. Oracle: DuckDB's native
-    ASOF LEFT JOIN — a true independent implementation of the
-    semantics."""
+    union + windowed last(ignorenulls) re-expression; one shuffle, no
+    range-join blowup): every event gains the latest checkpoint row
+    (a deterministic events subset) at or before its timestamp;
+    aggregated per event_type. Oracle: DuckDB's native ASOF LEFT JOIN
+    — a true independent implementation of the semantics.
+
+    strategy='inline': events rows are SKINNY (two longs, a double, a
+    short categorical string), so carrying them through the window
+    exchange is cheaper than the narrow form's resolve+join-back
+    (interleaved quiet A/B at sf0.1/local[32]: inline 0.57-0.61 s vs
+    narrow 0.82-0.88 s — the join-back broadcast build is a constant
+    ~0.25 s the skinny payload can't amortize). Wide-left inputs take
+    strategy='narrow' (plan-pinned in test_plan_audit)."""
     from .operators.asof import asof_join
     ev = _t(spark, sf_dir, 'events').select(
         'event_id', 'ts', 'user_id', 'event_type', 'value')
@@ -737,7 +744,7 @@ def q_asof_join(spark, sf_dir):
            .withColumnRenamed('ts', 'cp_ts'))
     joined = asof_join(ev, cps, on='user_id',
                        left_ts='ts', right_ts='cp_ts',
-                       payload_cols=['cp_value'])
+                       payload_cols=['cp_value'], strategy='inline')
     return (joined.groupBy('event_type')
             .agg(F.count('*').cast('long').alias('n_events'),
                  F.sum(F.col('cp_value').isNotNull().cast('long'))

@@ -6,6 +6,8 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from pdf_ai_mapper_spark.operators.asof import asof_join
 from pdf_ai_mapper_spark.operators.urls import with_canonical_url
 
@@ -14,7 +16,8 @@ def _ts(h, m=0):
     return dt.datetime(2024, 1, 1, h, m)
 
 
-def test_asof_join_backward_inclusive_semantics(spark):
+@pytest.mark.parametrize('strategy', ['inline', 'narrow'])
+def test_asof_join_backward_inclusive_semantics(spark, strategy):
     left = spark.createDataFrame(
         [(1, _ts(1)), (2, _ts(5)), (3, _ts(9)), (4, _ts(12)), (5, _ts(3))],
         'event_id long, ts timestamp').withColumn('user_id', F.lit(7))
@@ -23,7 +26,8 @@ def test_asof_join_backward_inclusive_semantics(spark):
         'user_id long, cp_ts timestamp, cp_value double')
     got = {r['event_id']: r['cp_value'] for r in
            asof_join(left, right, on='user_id',
-                     left_ts='ts', right_ts='cp_ts').collect()}
+                     left_ts='ts', right_ts='cp_ts',
+                     strategy=strategy).collect()}
     assert got[1] is None          # before any checkpoint
     assert got[5] is None
     assert got[2] == 50.0          # inclusive: cp at ts == left ts matches
@@ -33,7 +37,8 @@ def test_asof_join_backward_inclusive_semantics(spark):
     assert all(v in (None, 50.0, 100.0) for v in got.values())
 
 
-def test_asof_join_matches_brute_force(spark):
+@pytest.mark.parametrize('strategy', ['inline', 'narrow'])
+def test_asof_join_matches_brute_force(spark, strategy):
     import random
     rng = random.Random(42)
     left = [(i, rng.randint(0, 4), _ts(rng.randint(0, 23), rng.randint(0, 59)))
@@ -47,7 +52,8 @@ def test_asof_join_matches_brute_force(spark):
         [(k, t, v) for (k, t), v in right.items()],
         'k long, rts timestamp, payload double')
     got = {r['event_id']: r['payload'] for r in
-           asof_join(ldf, rdf, on='k', left_ts='ts', right_ts='rts').collect()}
+           asof_join(ldf, rdf, on='k', left_ts='ts', right_ts='rts',
+                     strategy=strategy).collect()}
     for eid, k, t in left:
         cands = [(rt, v) for (rk, rt), v in right.items()
                  if rk == k and rt <= t]
@@ -55,7 +61,8 @@ def test_asof_join_matches_brute_force(spark):
         assert got[eid] == want, (eid, k, t)
 
 
-def test_asof_join_null_payload_from_latest_row(spark):
+@pytest.mark.parametrize('strategy', ['inline', 'narrow'])
+def test_asof_join_null_payload_from_latest_row(spark, strategy):
     """A right row whose payload value is legitimately NULL must still
     win over older non-null rows, and multi-column payloads must all
     come from the SAME (latest) right row — DuckDB ASOF semantics
@@ -67,23 +74,24 @@ def test_asof_join_null_payload_from_latest_row(spark):
         [(1, _ts(5), 50.0, 'old'),
          (1, _ts(10), None, 'new')],   # latest row: value NULL, tag set
         'k long, rts timestamp, cp_value double, tag string')
-    row = asof_join(left, right, on='k',
-                    left_ts='ts', right_ts='rts').collect()[0]
+    row = asof_join(left, right, on='k', left_ts='ts', right_ts='rts',
+                    strategy=strategy).collect()[0]
     # both payload columns from the ts=10 row: NULL value, 'new' tag —
     # NOT the per-column mix (50.0, 'new')
     assert row['cp_value'] is None
     assert row['tag'] == 'new'
 
 
-def test_asof_join_no_match_still_all_null(spark):
+@pytest.mark.parametrize('strategy', ['inline', 'narrow'])
+def test_asof_join_no_match_still_all_null(spark, strategy):
     left = spark.createDataFrame(
         [(1, _ts(1))], 'event_id long, ts timestamp'
     ).withColumn('k', F.lit(1))
     right = spark.createDataFrame(
         [(1, _ts(5), 50.0, 'x')],
         'k long, rts timestamp, cp_value double, tag string')
-    row = asof_join(left, right, on='k',
-                    left_ts='ts', right_ts='rts').collect()[0]
+    row = asof_join(left, right, on='k', left_ts='ts', right_ts='rts',
+                    strategy=strategy).collect()[0]
     assert row['cp_value'] is None and row['tag'] is None
 
 
