@@ -9,15 +9,26 @@ rows as the scale factor's documents table. Corpus is materialized to
 parquet untimed; the timed section is scan → pipeline → full
 materialization via a noop sink (no driver collect).
 
-Self-validating artifact (VERDICT r2 #1): the shared sandbox host's
-ambient load once masqueraded as a 4× engine regression, so the JSON
-now carries the evidence needed to judge its own trustworthiness —
-``os.getloadavg()`` before/after every timed section, the raw
-per-iteration wall-clocks behind each best-of-N number, and the list
-of queries whose warm-up failed (and therefore timed cold). A bounded
-wait-for-quiet loop (``SPARK_GRAFT_LOAD_MAX``, default 2.0 × 3 retries
-× 20 s) delays the timed sections when the 1-minute load is high;
-if the host never quiets, the run proceeds and the readings say so.
+Load-proof harness (round 5; VERDICT r4 #1 — the r4 artifact ran into
+an ambient storm mid-suite and undersold the engine by ~40%):
+
+- Session-start gate (unchanged): bounded wait on the 1-minute loadavg
+  BEFORE our Spark session exists — the only moment that reading is
+  purely ambient.
+- Per-section gate (new): the 1-min loadavg is useless mid-suite (it
+  includes our own 32 worker threads and decays over a minute), but
+  the INSTANTANEOUS runnable count from /proc/loadavg field 4 is
+  ambient-readable whenever this process is idle — our executors have
+  finished by the time we sample. Each timed section waits (bounded)
+  until the mean runnable count (excluding this process) drops under
+  SPARK_GRAFT_RUN_MAX.
+- Whole-suite auto-retry (new): after an attempt, any section whose
+  post-section runnable reading exceeded the sanity bound (2× the
+  gate) marks the attempt dirty; up to SPARK_GRAFT_MAX_ATTEMPTS (3)
+  attempts run, and EVERY attempt's raw numbers ship in the JSON under
+  'attempts' for honesty. Final per-query numbers are the min across
+  all attempts (best-of-N×attempts — same estimator as before, more
+  samples under cleaner conditions).
 """
 
 from __future__ import annotations
@@ -40,14 +51,43 @@ def _load() -> list[float]:
     return [round(x, 2) for x in os.getloadavg()]
 
 
+def _running_now(samples: int = 5, gap_s: float = 0.1) -> float:
+    """Mean instantaneous runnable-process count, EXCLUDING this
+    process (/proc/loadavg field 4 is 'running/total'; we are one of
+    the running). Sampled a few times because the count is a point
+    reading of a bursty quantity."""
+    vals = []
+    for i in range(samples):
+        try:
+            with open('/proc/loadavg') as f:
+                r = int(f.read().split()[3].split('/')[0])
+        except (OSError, ValueError, IndexError):
+            return -1.0   # no /proc (non-Linux): gating disabled
+        vals.append(max(0, r - 1))
+        if i + 1 < samples:
+            time.sleep(gap_s)
+    return round(sum(vals) / len(vals), 2)
+
+
 def _wait_for_quiet(max_load: float, retries: int, sleep_s: float) -> list[float]:
-    """Bounded wait for ambient load to drop below max_load; returns the
-    final reading either way (the artifact records it)."""
+    """Bounded wait for the 1-min AMBIENT loadavg (pre-session only)."""
     for _ in range(retries):
         if os.getloadavg()[0] <= max_load:
             break
         time.sleep(sleep_s)
     return _load()
+
+
+def _gate_section(run_max: float, retries: int, sleep_s: float) -> float:
+    """Bounded wait for the instantaneous runnable count to drop; fine
+    to call mid-suite (our own workers are idle between sections)."""
+    r = _running_now()
+    for _ in range(retries):
+        if r < 0 or r <= run_max:
+            break
+        time.sleep(sleep_s)
+        r = _running_now()
+    return r
 
 
 HEADLINE_QUERIES = [
@@ -73,6 +113,50 @@ HEADLINE_QUERIES = [
 ]
 
 
+def _timed_attempt(spark, cfg, cat, corpus_path, sf_dir,
+                   run_max, gate_retries, gate_sleep, release):
+    """One full pass over the timed sections. Returns per-attempt
+    timings, raw iterations, per-section load/runnable stamps, and the
+    list of sections whose POST reading blew the sanity bound."""
+    from pdf_ai_mapper_spark.pipeline import transform
+
+    sanity = 2 * run_max
+    stamps: dict[str, dict] = {}
+    dirty: list[str] = []
+
+    def section(name, fn, iters=3):
+        pre_run = _gate_section(run_max, gate_retries, gate_sleep)
+        pre = {'load': _load(), 'running': pre_run}
+        times = []
+        for _ in range(iters):
+            t0 = time.monotonic()
+            fn()
+            times.append(round(time.monotonic() - t0, 3))
+        post_run = _running_now()
+        stamps[name] = {'pre': pre,
+                        'post': {'load': _load(), 'running': post_run}}
+        if post_run > sanity or (pre_run >= 0 and pre_run > sanity):
+            dirty.append(name)
+        return times
+
+    pages = spark.read.parquet(corpus_path)
+    ext_iters = section(
+        'extraction_pipeline',
+        lambda: _consume(transform(pages, run_id='bench', cfg=cfg)
+                         .drop('text')))
+    timings = {'extraction_pipeline': min(ext_iters)}
+    raw = {'extraction_pipeline': ext_iters}
+
+    for name in HEADLINE_QUERIES:
+        def run_query(name=name):
+            df = cat[name](spark, sf_dir)
+            df.collect()
+            release(df)   # unpersist; its cost is ~0 vs the query
+        raw[name] = section(name, run_query)
+        timings[name] = min(raw[name])
+    return timings, raw, stamps, dirty
+
+
 def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     from pdf_ai_mapper_spark.config import EngineConfig
     from pdf_ai_mapper_spark.fixtures.webpages import web_pages_df
@@ -84,10 +168,16 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     max_load = float(os.environ.get('SPARK_GRAFT_LOAD_MAX', '2.0'))
     quiet_retries = int(os.environ.get('SPARK_GRAFT_LOAD_RETRIES', '3'))
     quiet_sleep = float(os.environ.get('SPARK_GRAFT_LOAD_SLEEP', '20'))
+    run_max = float(os.environ.get('SPARK_GRAFT_RUN_MAX', '3.0'))
+    gate_retries = int(os.environ.get('SPARK_GRAFT_GATE_RETRIES', '6'))
+    gate_sleep = float(os.environ.get('SPARK_GRAFT_GATE_SLEEP', '10'))
+    max_attempts = int(os.environ.get('SPARK_GRAFT_MAX_ATTEMPTS', '3'))
+
     # gate ONCE here, before our own Spark session exists — this is the
     # only moment the 1-min loadavg is purely AMBIENT; after warm-up it
-    # includes our own 32 worker threads and would gate on ourselves
-    load_readings: dict[str, list[float]] = {
+    # includes our own worker threads (per-section gating below uses
+    # the instantaneous runnable count instead)
+    load_readings: dict = {
         'bench_start_ambient': _wait_for_quiet(max_load, quiet_retries,
                                                quiet_sleep)}
 
@@ -107,11 +197,11 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     # not a cold JVM. Failures are RECORDED (a typo'd query would
     # otherwise silently time cold) ----
     warm_sf = '/root/testdata/sf0.001'
-    cat_warm = catalog()
+    cat = catalog()
     warmup_failures: list[str] = []
     for name in HEADLINE_QUERIES:
         try:
-            df = cat_warm[name](spark, warm_sf)
+            df = cat[name](spark, warm_sf)
             df.collect()
             release(df)  # drop per-call cached signature tables
         except Exception as e:
@@ -131,36 +221,29 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     corpus_path = os.path.join(tmp, 'web_pages')
     web_pages_df(spark, n_corpus, num_partitions=cpus * 2).write.parquet(corpus_path)
 
-    # ---- timed: the north-metric pipeline (best of 3 — the sandbox
-    # host is shared and wall-clock is noisy; min approximates the
-    # steady-state throughput a dedicated cluster would see) ----
-    load_readings['extraction_pre'] = _load()
-    pages = spark.read.parquet(corpus_path)
-    extraction_iters: list[float] = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        _consume(transform(pages, run_id='bench', cfg=cfg)
-                 .drop('text'))
-        extraction_iters.append(round(time.monotonic() - t0, 3))
-    extraction_sec = min(extraction_iters)
-    load_readings['extraction_post'] = _load()
+    # ---- timed attempts: per-section runnable-count gate; retry the
+    # whole suite when any section's post reading blew the sanity
+    # bound. All attempts ship in the JSON. ----
+    attempts = []
+    for attempt in range(max_attempts):
+        timings, raw, stamps, dirty = _timed_attempt(
+            spark, cfg, cat, corpus_path, sf_dir,
+            run_max, gate_retries, gate_sleep, release)
+        attempts.append({'timings': timings, 'raw_iterations': raw,
+                         'section_stamps': stamps,
+                         'dirty_sections': dirty})
+        if not dirty:
+            break
+        print(f'WARN bench attempt {attempt + 1} dirty '
+              f'(ambient storm in {dirty}); '
+              f'{"retrying" if attempt + 1 < max_attempts else "giving up"}',
+              file=sys.stderr)
 
-    timings: dict[str, float] = {'extraction_pipeline': round(extraction_sec, 3)}
-    raw_iters: dict[str, list[float]] = {'extraction_pipeline': extraction_iters}
-
-    load_readings['queries_pre'] = _load()
-    cat = catalog()
-    for name in HEADLINE_QUERIES:
-        iters: list[float] = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            df = cat[name](spark, sf_dir)
-            df.collect()
-            iters.append(round(time.monotonic() - t0, 3))
-            release(df)  # unpersist outside the timed window
-        timings[name] = min(iters)
-        raw_iters[name] = iters
-    load_readings['queries_post'] = _load()
+    # final numbers: min across every attempt (best-of-N×attempts)
+    timings = {q: min(a['timings'][q] for a in attempts)
+               for q in attempts[0]['timings']}
+    extraction_sec = timings['extraction_pipeline']
+    load_readings['final_attempt_stamps'] = attempts[-1]['section_stamps']
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
@@ -173,17 +256,24 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
         'cpus': cpus,
         'extraction_rows': n_corpus,
         'extraction_docs_per_sec': round(n_corpus / extraction_sec, 2),
-        # trustworthiness evidence: 1/5/15-min loadavg around each timed
-        # section + every raw iteration behind the best-of-3 numbers.
-        # bench_start_ambient is the only OUR-LOAD-FREE reading (taken
-        # before the Spark session exists, after the bounded
-        # wait-for-quiet); later stamps include this bench's own worker
-        # threads, so judge ambient from bench_start_ambient and the
-        # 15-min component of the later stamps.
+        # trustworthiness evidence: bench_start_ambient is the only
+        # OUR-LOAD-FREE 1-min loadavg (pre-session, post-gate). Every
+        # timed section carries pre/post stamps of BOTH the loadavg and
+        # the instantaneous runnable count (ambient-readable mid-suite
+        # because our executors are idle at sampling time), per
+        # attempt, plus which sections each attempt flagged dirty.
         'load_readings': load_readings,
-        'raw_iterations': raw_iters,
+        'raw_iterations': {q: [t for a in attempts
+                               for t in a['raw_iterations'][q]]
+                           for q in attempts[0]['raw_iterations']},
+        'attempts': len(attempts),
+        'attempt_details': [{'dirty_sections': a['dirty_sections'],
+                             'timings': a['timings'],
+                             'section_stamps': a['section_stamps']}
+                            for a in attempts],
         'warmup_failures': warmup_failures,
         'load_max_threshold': max_load,
+        'run_max_threshold': run_max,
     }
     if keep_spark is None:
         spark.stop()
