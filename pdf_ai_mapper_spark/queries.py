@@ -270,6 +270,26 @@ def q_quality_scores(spark, sf_dir):
             .orderBy('source'))
 
 
+def q_model_quality_gate(spark, sf_dir):
+    """Model-based quality filter (operators/quality_model, round 5 —
+    the FineWeb-Edu/DCLM stage the heuristic gates approximate): the
+    frozen linear model scores every document as ONE codegen fold over
+    an inlined term→weight map (no shuffle, no Python — plan-pinned in
+    test_quality_model), gate = margin units > 0. Integer-unit weights
+    make per-doc sums EXACT under any addition order, so Spark's
+    ordered fold and DuckDB's unordered SUM agree bit-for-bit; the
+    per-source (n_docs, n_pass, sum_units) triple witnesses every
+    document's exact score sum, not just the gate bit."""
+    from .operators.quality_model import model_quality_units
+    d = model_quality_units(_t(spark, sf_dir, 'documents'))
+    return (d.groupBy('source')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum((F.col('mq_units') > 0).cast('int'))
+                 .cast('long').alias('n_pass'),
+                 F.sum('mq_units').cast('long').alias('sum_units'))
+            .orderBy('source'))
+
+
 def q_token_counts(spark, sf_dir):
     """Token counting: whitespace + BPE-ish subword estimate, corpus
     totals per lang."""
@@ -1660,6 +1680,33 @@ ORACLES: dict[str, str] = {
                    AS n_ok
         FROM q GROUP BY source ORDER BY source
     """,
+    # frozen linear quality model: integer 1e-4-logit weights make the
+    # per-doc sums exact in any addition order (no fp tolerance); the
+    # VALUES list mirrors quality_model.FROZEN_QUALITY_WEIGHTS verbatim
+    'q_model_quality_gate': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, source,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id, any_value(source) AS source,
+                      CAST(-4700 + sum(coalesce(wt, 0)) AS BIGINT) AS units
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN units > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(sum(units) AS BIGINT) AS sum_units
+        FROM sc GROUP BY source ORDER BY source
+    """,
     'q_token_counts': r"""
         SELECT lang,
                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
@@ -2512,7 +2559,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_lang_id': q_lang_id,
         'q_quality_scores': q_quality_scores,
         'q_curation_pipeline': q_curation_pipeline,
-        'q_fingerprint': q_fingerprint,
+        'q_model_quality_gate': q_model_quality_gate,
         'q_emb_cosine_topk': q_emb_cosine_topk,
         'q_emb_centroid_per_label': q_emb_centroid_per_label,
         'q_skew_salted_counts': q_skew_salted_counts,
@@ -2551,6 +2598,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_d3_destructive_dedup': q_d3_destructive_dedup,
         'q_stratified_sample': q_stratified_sample,
         'q_token_counts': q_token_counts,
+        'q_fingerprint': q_fingerprint,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

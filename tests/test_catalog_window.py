@@ -19,8 +19,10 @@ sys.path.insert(0, '/root/repo')
 
 # The intended graded window, in order. Round-5 state: the six round-3
 # flagship oracles first, then reference-parity and operator oracles;
-# q_curation_pipeline (end-to-end composition oracle, round 5) replaced
-# q_token_counts (thin heuristic aggregate, still oracled at 51+).
+# q_curation_pipeline (end-to-end composition oracle) and
+# q_model_quality_gate (frozen linear quality model) replaced
+# q_token_counts and q_fingerprint (thin aggregates, still oracled at
+# 51+).
 GRADED_WINDOW = [
     'q_stream_windowed_counts',
     'q_bloom_incremental_ingest',
@@ -46,7 +48,7 @@ GRADED_WINDOW = [
     'q_lang_id',
     'q_quality_scores',
     'q_curation_pipeline',
-    'q_fingerprint',
+    'q_model_quality_gate',
     'q_emb_cosine_topk',
     'q_emb_centroid_per_label',
     'q_skew_salted_counts',
@@ -97,4 +99,5 @@ def test_out_of_window_oracles_still_covered_internally():
     oracled_outside = [n for n in names[50:] if n in e.oracle_sql()]
     # the known residents: the trivial oracles moved out in rounds 4-5
     assert 'q_token_counts' in oracled_outside
-    assert len(oracled_outside) >= 11
+    assert 'q_fingerprint' in oracled_outside
+    assert len(oracled_outside) >= 12
