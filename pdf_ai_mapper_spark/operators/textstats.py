@@ -8,6 +8,9 @@ equivalent for the DuckDB oracle.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,12 +101,39 @@ def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:
 def with_token_counts(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate: count of
     alternating letter/digit/punct runs (regexp_count), a standard
-    cheap proxy for tokenizer token counts."""
+    cheap proxy for tokenizer token counts. For budgets that must be
+    tokenizer-FAITHFUL, use `with_exact_token_counts` (real merge-loop
+    BPE; this one stays the cheap native fallback)."""
     t = F.col(text_col)
     return (df
             .withColumn('ws_tokens', F.size(F.split(F.trim(t), r'\s+')))
             .withColumn('bpe_ish_tokens',
                         F.regexp_count(t, F.lit(r'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))))
+
+
+def with_exact_token_counts(df: DataFrame, text_col: str = 'text',
+                            out_col: str = 'bpe_tokens') -> DataFrame:
+    """EXACT BPE token counts (kernels/bpe.py: the published merge
+    loop over the pinned in-repo table) — chunking and quota stages
+    key on token budgets at training time, and the regex estimate in
+    `with_token_counts` drifts from any real tokenizer.
+
+    Arrow-batched pandas UDF (the merge loop is genuinely iterative —
+    not expressible as a column expression); the kernel's per-word
+    lru_cache persists across batches inside each Python worker, so
+    Zipf-headed corpora amortize to a dict lookup per word. One
+    ArrowEvalPython stage, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..kernels.bpe import bpe_token_count
+
+    @pandas_udf(LongType())
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: bpe_token_count(t)
+                        if t is not None else None)
+    return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
 # Pinned PII patterns (kept RE2-simple so Spark and DuckDB agree).

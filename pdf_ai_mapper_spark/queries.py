@@ -300,6 +300,23 @@ def q_token_counts(spark, sf_dir):
             .orderBy('lang'))
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """EXACT BPE token counting (kernels/bpe.py + textstats.
+    with_exact_token_counts, round 5): the real merge loop over the
+    pinned table, per-lang corpus totals. Oracle: per-word counts for
+    the corpus lexicon computed by tests/reference_bpe.py (the
+    independent GPT-2-loop transcription), pasted as a VALUES map —
+    any word the map misses NULL-poisons the oracle total, so lexicon
+    drift fails loudly instead of silently passing."""
+    d = textstats.with_exact_token_counts(
+        _t(spark, sf_dir, 'documents'), 'text')
+    return (d.groupBy('lang')
+            .agg(F.sum(F.size(F.split(F.trim(F.col('text')), r'\s+')))
+                 .cast('long').alias('total_ws_tokens'),
+                 F.sum('bpe_tokens').cast('long').alias('total_bpe_exact'))
+            .orderBy('lang'))
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 + xxhash64 of normalized text;
     distinct-fingerprint count per lang."""
@@ -1716,6 +1733,29 @@ ORACLES: dict[str, str] = {
                    AS total_bpe_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    # exact BPE: per-word counts computed by tests/reference_bpe.py
+    # (independent transcription of the public GPT-2 merge loop) over
+    # the fixture lexicon; an unmapped word makes count(*)<>count(n)
+    # and NULLs the total — loud failure on lexicon drift
+    'q_token_counts_bpe': r"""
+        WITH c(w, n) AS (VALUES
+            ('join', 3), ('hash', 3), ('row', 2), ('batch', 2),
+            ('scan', 1), ('column', 4), ('customer', 5), ('filter', 3),
+            ('small', 2), ('slow', 3), ('merge', 2), ('order', 3),
+            ('vector', 5), ('line', 2), ('table', 3), ('data', 3),
+            ('agg', 2), ('value', 3), ('key', 1), ('stream', 5),
+            ('window', 4), ('a', 1), ('spark', 3), ('part', 2),
+            ('group', 3), ('big', 3), ('sort', 3), ('query', 3),
+            ('fast', 3), ('the', 1), ('dup', 2)),
+        tok AS (SELECT lang,
+                       unnest(string_split_regex(trim(text), '\s+')) AS t
+                FROM documents),
+        j AS (SELECT lang, t, c.n FROM tok LEFT JOIN c ON t = c.w)
+        SELECT lang, CAST(count(*) AS BIGINT) AS total_ws_tokens,
+               CAST(CASE WHEN count(*) <> count(n) THEN NULL
+                         ELSE sum(n) END AS BIGINT) AS total_bpe_exact
+        FROM j GROUP BY lang ORDER BY lang
+    """,
     'q_fingerprint': r"""
         SELECT lang,
                CAST(count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
@@ -2562,7 +2602,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_model_quality_gate': q_model_quality_gate,
         'q_emb_cosine_topk': q_emb_cosine_topk,
         'q_emb_centroid_per_label': q_emb_centroid_per_label,
-        'q_skew_salted_counts': q_skew_salted_counts,
+        'q_token_counts_bpe': q_token_counts_bpe,
         'q_w2_search_snippets': q_w2_search_snippets,
         'q_rollup_orders': q_rollup_orders,
         'q_group_quota': q_group_quota,
@@ -2599,6 +2639,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stratified_sample': q_stratified_sample,
         'q_token_counts': q_token_counts,
         'q_fingerprint': q_fingerprint,
+        'q_skew_salted_counts': q_skew_salted_counts,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

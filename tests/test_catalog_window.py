@@ -19,10 +19,12 @@ sys.path.insert(0, '/root/repo')
 
 # The intended graded window, in order. Round-5 state: the six round-3
 # flagship oracles first, then reference-parity and operator oracles;
-# q_curation_pipeline (end-to-end composition oracle) and
-# q_model_quality_gate (frozen linear quality model) replaced
-# q_token_counts and q_fingerprint (thin aggregates, still oracled at
-# 51+).
+# q_curation_pipeline (end-to-end composition oracle),
+# q_model_quality_gate (frozen linear quality model) and
+# q_token_counts_bpe (exact merge-loop BPE) replaced q_token_counts,
+# q_fingerprint and q_skew_salted_counts (thin aggregates — the
+# salting family stays covered in-window by q_skew_salted_agg; all
+# three remain oracled at 51+).
 GRADED_WINDOW = [
     'q_stream_windowed_counts',
     'q_bloom_incremental_ingest',
@@ -51,7 +53,7 @@ GRADED_WINDOW = [
     'q_model_quality_gate',
     'q_emb_cosine_topk',
     'q_emb_centroid_per_label',
-    'q_skew_salted_counts',
+    'q_token_counts_bpe',
     'q_w2_search_snippets',
     'q_rollup_orders',
     'q_group_quota',
@@ -100,4 +102,5 @@ def test_out_of_window_oracles_still_covered_internally():
     # the known residents: the trivial oracles moved out in rounds 4-5
     assert 'q_token_counts' in oracled_outside
     assert 'q_fingerprint' in oracled_outside
-    assert len(oracled_outside) >= 12
+    assert 'q_skew_salted_counts' in oracled_outside
+    assert len(oracled_outside) >= 13
