@@ -1038,6 +1038,61 @@ def q_neardup_pr(spark, sf_dir):
         rows, 'operator string, n_pairs long, precision double, recall double')
 
 
+def q_para_neardup(spark, sf_dir):
+    """Paragraph-level fuzzy dedup (dedup.paragraph_neardup_pairs /
+    paragraph_neardup_rollup, round 5 — RefinedWeb runs line-EXACT and
+    paragraph-FUZZY dedup; this is the fuzzy half, reusing the banded
+    MinHash machinery over composite (doc, para) keys). Documents are
+    re-laid-out as 12-token paragraphs; rows-only (LSH is not SQL —
+    the exact anchor is paragraph n-gram Jaccard, whose doc-level
+    form is the oracled q_ngram_jaccard_exact). Reports P/R against
+    the exact J>=0.5 / J>=0.8 paragraph pair sets plus the roll-up
+    totals."""
+    from .operators.dedup import (explode_paragraphs, ngram_jaccard_pairs,
+                                  paragraph_neardup_pairs,
+                                  paragraph_neardup_rollup)
+    from .operators.dedup import release as _release
+    k = 12
+    toks = F.split(F.col('text'), ' ')
+    n = F.size(toks)
+    linearr = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast('int') - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k)), ' '))
+    d = (_t(spark, sf_dir, 'documents')
+         .select('doc_id', F.array_join(linearr, '\n\n').alias('text')))
+
+    def pset(q):
+        s = {(r['id_a'], r['id_b']) for r in q.collect()}
+        _release(q)
+        return s
+
+    ptext = explode_paragraphs(d).withColumnRenamed('para', 'text')
+    exact_lo = pset(ngram_jaccard_pairs(ptext, 'pid', 'text',
+                                        k=3, threshold=0.5))
+    exact_hi = pset(ngram_jaccard_pairs(ptext, 'pid', 'text',
+                                        k=3, threshold=0.8))
+    pairs_df = paragraph_neardup_pairs(d, jaccard_threshold=0.8)
+    rows = pairs_df.collect()
+    _release(pairs_df)
+    shift = 1 << 20
+    got = {(r['doc_a'] * shift + r['para_a'],
+            r['doc_b'] * shift + r['para_b']) for r in rows}
+    n_cross = sum(1 for r in rows if r['cross_doc'])
+    prec = len(got & exact_lo) / len(got) if got else 1.0
+    rec = len(got & exact_hi) / len(exact_hi) if exact_hi else 1.0
+    roll = paragraph_neardup_rollup(d, jaccard_threshold=0.8)
+    sums = roll.agg(
+        F.sum((F.col('n_dup_paras') > 0).cast('long')).alias('docs_with_dups'),
+        F.sum('n_dup_paras').alias('dup_paras')).collect()[0]
+    _release(roll)
+    return spark.createDataFrame(
+        [(len(got), n_cross, round(prec, 6), round(rec, 6),
+          int(sums['docs_with_dups'] or 0), int(sums['dup_paras'] or 0))],
+        'n_pairs long, n_cross_doc long, precision double, recall double, '
+        'docs_with_dups long, dup_paras long')
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF (inverted-file) ANN top-k (operators/similarity.ivf_index/
     ivf_topk; rows-only — KMeans cells are seeded but not SQL): probe
@@ -2647,6 +2702,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_extraction_pipeline': q_extraction_pipeline,
         'q_lsh_ann_topk': q_lsh_ann_topk,
         'q_neardup_pr': q_neardup_pr,
+        'q_para_neardup': q_para_neardup,
         'q_ivf_ann_topk': q_ivf_ann_topk,
         'q_stream_ingest': q_stream_ingest,
         'q_warc_ingest': q_warc_ingest,

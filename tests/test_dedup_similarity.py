@@ -520,3 +520,109 @@ def test_line_dedup_metachar_separator_is_literal(spark):
     assert got[1]['n_kept'] == 1 and got[1]['n_removed'] == 2
     assert got[2]['cleaned_text'] == 'unique two'
     assert got[3]['cleaned_text'] == 'solo text here'
+
+
+def _para(words):
+    return ' '.join(words)
+
+
+def test_paragraph_rollup_flags_cross_doc_only(spark):
+    """A paragraph shared across two docs marks BOTH docs; a paragraph
+    repeated inside ONE doc does not (cross-doc semantics — in-doc
+    repetition is substring_duplication's signal)."""
+    from pdf_ai_mapper_spark.operators.dedup import (
+        paragraph_neardup_rollup, release)
+    shared = _para([f'alpha{i}' for i in range(12)])
+    selfrep = _para([f'beta{i}' for i in range(12)])
+    docs = [
+        (1, shared + '\n\n' + _para(['solo1'] * 8)),
+        (2, shared + '\n\n' + _para(['solo2'] * 8)),
+        (3, selfrep + '\n\n' + selfrep),            # in-doc repeat only
+        (4, _para([f'gamma{i}' for i in range(12)])),
+        (5, 'short'),                                # under min_tokens
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    out = paragraph_neardup_rollup(df, jaccard_threshold=0.8)
+    got = {r['doc_id']: r for r in out.collect()}
+    release(out)
+    assert got[1]['n_paras'] == 2 and got[1]['n_dup_paras'] == 1
+    assert got[2]['n_paras'] == 2 and got[2]['n_dup_paras'] == 1
+    assert got[1]['dup_para_frac'] == 0.5
+    assert got[3]['n_dup_paras'] == 0      # same-doc pair excluded
+    assert got[3]['n_paras'] == 2
+    assert got[4]['n_dup_paras'] == 0
+    assert got[5]['n_paras'] == 0 and got[5]['dup_para_frac'] == 0.0
+
+
+def test_paragraph_key_roundtrip(spark):
+    from pdf_ai_mapper_spark.operators.dedup import (
+        PARA_SHIFT, para_doc, para_idx, para_key)
+    df = spark.createDataFrame(
+        [(d, i) for d in (0, 1, 7, 12345, (1 << 42))
+         for i in (0, 1, 99, (1 << PARA_SHIFT) - 1)],
+        'doc long, idx long')
+    out = df.select(
+        'doc', 'idx',
+        para_doc(para_key(F.col('doc'), F.col('idx'))).alias('d2'),
+        para_idx(para_key(F.col('doc'), F.col('idx'))).alias('i2'))
+    assert out.filter((F.col('doc') != F.col('d2'))
+                      | (F.col('idx') != F.col('i2'))).count() == 0
+
+
+def test_paragraph_pairs_precision_recall_vs_exact(spark):
+    """Mirror of the doc-level P/R pin: paragraph LSH pairs vs EXACT
+    paragraph n-gram Jaccard over the same exploded paragraphs."""
+    import random
+
+    from pdf_ai_mapper_spark.operators.dedup import (
+        explode_paragraphs, ngram_jaccard_pairs, para_key,
+        paragraph_neardup_pairs, release)
+    rng = random.Random(11)
+    vocab = [f'w{i}' for i in range(60)]
+    base = [rng.choice(vocab) for _ in range(20)]
+    docs = []
+    for d in range(30):
+        paras = []
+        for p in range(3):
+            if d % 6 == 0 and p == 0:
+                paras.append(' '.join(base))           # exact copy: J=1
+            elif d % 3 == 0 and p == 0:
+                # near-copy (1 token changed): J≈0.7 — prober for the
+                # precision side, below the 0.8 recall anchor
+                mut = list(base)
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                paras.append(' '.join(mut))
+            else:
+                paras.append(' '.join(rng.choice(vocab)
+                                      for _ in range(20)))
+        docs.append((d, '\n\n'.join(paras)))
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+
+    paras = explode_paragraphs(df)
+    ptext = paras.withColumnRenamed('para', 'text')
+
+    def pset(q):
+        s = {(r['id_a'], r['id_b']) for r in q.collect()}
+        release(q)
+        return s
+
+    # same anchors as the doc-level pin (q_neardup_pr): precision vs
+    # the J>=0.5 exact set, recall vs the J>=0.8 exact set
+    exact_lo = pset(ngram_jaccard_pairs(ptext, 'pid', 'text',
+                                        k=3, threshold=0.5))
+    exact_hi = pset(ngram_jaccard_pairs(ptext, 'pid', 'text',
+                                        k=3, threshold=0.8))
+    got_pairs = paragraph_neardup_pairs(df, jaccard_threshold=0.8)
+    rows = got_pairs.collect()
+    release(got_pairs)
+    got = set()
+    shift = 1 << 20
+    for r in rows:
+        got.add((r['doc_a'] * shift + r['para_a'],
+                 r['doc_b'] * shift + r['para_b']))
+    assert got, 'LSH found no paragraph pairs'
+    assert exact_hi, 'fixture planted no J>=0.8 pairs'
+    prec = len(got & exact_lo) / len(got)
+    assert prec >= 0.9, (prec, len(got))
+    rec = len(got & exact_hi) / len(exact_hi)
+    assert rec >= 0.8, rec
