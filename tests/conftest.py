@@ -15,3 +15,8 @@ def spark():
     s = get_spark(app_name='pdf-ai-mapper-spark-tests', master='local[4]', cfg=cfg)
     yield s
     s.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: long-running end-to-end tests (spark-submit etc.)')
