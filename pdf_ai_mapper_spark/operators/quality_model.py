@@ -155,6 +155,23 @@ def fit_quality_model(df: DataFrame, label_col: str,
                             regParam=reg_param, maxIter=max_iter,
                             standardization=False)
     model = lr.fit(feats)
+    # Return the model through a save/load roundtrip: the freshly-fit
+    # model carries an in-memory training SUMMARY that references the
+    # live SparkSession, and a session reference inside a later task
+    # closure dies with NotSerializableException(ObservationManager)
+    # (Spark 4.1, surfaces once any Observation has run in the
+    # session). The reload drops the summary — and doubles as a
+    # persistence check on every fit.
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+    tmp = tempfile.mkdtemp(prefix='pam_lr_')
+    try:
+        model.write().overwrite().save(tmp)
+        model = LogisticRegressionModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     coefs = model.coefficients.toArray()
     term_weights = {t: float(c) for t, c in zip(vocab, coefs)
                     if c != 0.0}
