@@ -256,3 +256,130 @@ def pairwise_cosine_dups(df: DataFrame, id_col: str = 'vec_id',
     # unpersist a no-op and leaks the MEMORY_AND_DISK table
     result._persisted_deps = [cached]  # dedup.release() unpersists
     return result
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+def cluster_scoped_cosine_pairs(indexed_df: DataFrame,
+                                id_col: str = 'vec_id',
+                                vec_col: str = 'embedding',
+                                threshold: float = 0.95,
+                                planes: int = 4,
+                                max_bucket_size: int = 64) -> DataFrame:
+    """Within-cluster cosine near-pairs: like ``pairwise_cosine_dups``
+    but blocked on ``(ivf_cell, lsh_bucket)`` — LSH *inside* each
+    KMeans cell, a strictly finer blocking than either alone.
+    SemDeDup's insight is that semantic duplicates land in the same
+    cluster, so cross-cluster pairs need never be considered; the LSH
+    sub-bucket then keeps giant clusters from going quadratic, with
+    the same size cap + star expansion as every pairwise operator
+    here. Input must carry ``ivf_cell`` (from ``ivf_index``)."""
+    from pyspark.storagelevel import StorageLevel
+    b = with_lsh_bucket(indexed_df.select(id_col, vec_col, 'ivf_cell'),
+                        vec_col, planes)
+    cached = (b.select(id_col, 'ivf_cell', 'lsh_bucket')
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    w = Window.partitionBy('ivf_cell', 'lsh_bucket')
+    narrow = (cached
+              .withColumn('__bsz', F.count('*').over(w))
+              .withColumn('__hub', F.min(id_col).over(w)))
+    small = narrow.filter(F.col('__bsz') <= max_bucket_size)
+    big = narrow.filter(F.col('__bsz') > max_bucket_size)
+
+    a = small.select(F.col(id_col).alias('id_a'), 'ivf_cell', 'lsh_bucket')
+    bb = small.select(F.col(id_col).alias('id_b'), 'ivf_cell', 'lsh_bucket')
+    dense = (a.join(bb, on=['ivf_cell', 'lsh_bucket'])
+             .filter(F.col('id_a') < F.col('id_b'))
+             .select('id_a', 'id_b'))
+    star = (big.filter(F.col(id_col) != F.col('__hub'))
+            .select(F.col('__hub').alias('id_a'),
+                    F.col(id_col).alias('id_b')))
+    pairs = dense.unionByName(star).dropDuplicates(['id_a', 'id_b'])
+
+    va = indexed_df.select(F.col(id_col).alias('id_a'),
+                           F.col(vec_col).alias('v_a'))
+    vb = indexed_df.select(F.col(id_col).alias('id_b'),
+                           F.col(vec_col).alias('v_b'))
+    result = (pairs.join(va, 'id_a').join(vb, 'id_b')
+              .withColumn('cos_sim', F.round(
+                  cosine_sim(_as_double(F.col('v_a')),
+                             _as_double(F.col('v_b'))), 6))
+              .filter(F.col('cos_sim') >= threshold)
+              .select('id_a', 'id_b', 'cos_sim'))
+    result._persisted_deps = [cached]
+    return result
+
+
+def semantic_dedup(df: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.95,
+                   id_col: str = 'vec_id', vec_col: str = 'embedding',
+                   seed: int = 42, planes: int = 4,
+                   max_bucket_size: int = 64) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    dedup that catches paraphrases exact/fuzzy TEXT dedup cannot.
+
+    1. KMeans the embeddings into ``n_clusters`` cells (seeded;
+       reuses ``ivf_index``, so the clustering doubles as an ANN
+       index).
+    2. Within each cell, find pairs with cosine ≥ ``threshold``
+       (LSH-sub-bucketed, capped — never all-pairs).
+    3. Resolve pairs into duplicate GROUPS via connected components
+       (``dedup.connected_components`` — the shared min-label
+       propagation loop).
+    4. Per group keep ONE member — the paper's rule: the item with the
+       LOWEST cosine to its cluster centroid (keep the least
+       prototypical example; prototypical near-dups add the least
+       diversity), ties broken by min id.
+
+    Returns one row per input vector: (id, ivf_cell, centroid_sim,
+    sem_group, keep) — ``sem_group`` is the component representative
+    id (== own id for non-duplicated vectors), ``keep`` marks the
+    survivor set. Filter on keep for the deduplicated corpus.
+
+    Scale shape: clustering is pyspark.ml KMeans (sampled init + one
+    pass per iteration); pair discovery shuffles only narrow
+    (id, cell, bucket) rows; components shuffle (node, label) pairs;
+    the centroid join broadcasts k rows. The embedding column never
+    rides any exchange. Call ``dedup.release()`` on the result after
+    materializing."""
+    from .dedup import connected_components, release as _release
+
+    indexed, model = ivf_index(df, n_lists=n_clusters, id_col=id_col,
+                               vec_col=vec_col, seed=seed)
+    spark = df.sparkSession
+    centers = [(i, [float(x) for x in c])
+               for i, c in enumerate(model.clusterCenters())]
+    cdf = F.broadcast(spark.createDataFrame(
+        centers, f'ivf_cell int, __centroid array<double>'))
+    # centroid_sim in the same space the paper uses (normalized):
+    # ivf_index normalized the vectors before KMeans, so centroids
+    # live on (near) the unit sphere; cosine vs the raw vector is
+    # norm-invariant anyway
+    scored = (indexed.join(cdf, on='ivf_cell')
+              .withColumn('centroid_sim', F.round(
+                  cosine_sim(_as_double(F.col(vec_col)),
+                             F.col('__centroid')), 6))
+              .drop('__centroid'))
+
+    pairs = cluster_scoped_cosine_pairs(
+        indexed, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        planes=planes, max_bucket_size=max_bucket_size)
+    comp = connected_components(pairs, 'id_a', 'id_b')
+
+    labeled = (scored.join(
+        comp.withColumnRenamed('node', id_col), on=id_col, how='left')
+        .withColumn('sem_group',
+                    F.coalesce('component', F.col(id_col))))
+    # keep rule: argmin centroid_sim per group, min-id tie-break —
+    # a rank over the NARROW (group, sim, id) projection
+    w = Window.partitionBy('sem_group').orderBy(
+        F.col('centroid_sim').asc(), F.col(id_col).asc())
+    narrow = (labeled.select(id_col, 'sem_group', 'centroid_sim')
+              .withColumn('__rk', F.row_number().over(w))
+              .select(id_col, (F.col('__rk') == 1).alias('keep')))
+    out = (labeled.join(narrow, on=id_col)
+           .select(id_col, 'ivf_cell', 'centroid_sim', 'sem_group',
+                   'keep'))
+    out._persisted_deps = getattr(pairs, '_persisted_deps', [])
+    return out

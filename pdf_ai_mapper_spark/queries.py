@@ -1093,6 +1093,44 @@ def q_para_neardup(spark, sf_dir):
         'docs_with_dups long, dup_paras long')
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup, round 5 — Abbas et al.
+    2023: embedding-space dedup that catches paraphrases text dedup
+    cannot): KMeans cells → within-cell LSH-sub-bucketed cosine pairs
+    → connected components → keep the least-prototypical member per
+    group. Runs over the embeddings table unioned with an
+    exactly-duplicated slice (the q_emb_cosine_dups construction).
+
+    ORACLED despite the seeded KMeans, because on this fixture the
+    result is provably assignment-INDEPENDENT: identical vectors land
+    in the same cell and LSH sub-bucket whatever the clustering, the
+    fixture's max natural cosine (~0.51, pinned by q_emb_cosine_dups'
+    exact-equality oracle) is far below the 0.995 threshold so the
+    pair set is exactly the planted identities, identical vectors tie
+    on centroid_sim so the keep rule degenerates to min-id, and
+    max_bucket_size sits above the corpus so every bucket takes the
+    dense branch (star pairs only guarantee hub adjacency). The SQL
+    side needs only the construction arithmetic."""
+    from .operators.dedup import release as _release
+    from .operators.similarity import semantic_dedup
+    vecs = _t(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
+    dup = (vecs.filter(F.col('vec_id') % 5 == 0)
+           .withColumn('vec_id', F.col('vec_id') + 100000))
+    both = vecs.unionByName(dup)
+    out = semantic_dedup(both, n_clusters=8, threshold=0.995,
+                         max_bucket_size=100000)
+    agg = out.agg(
+        F.count('*').cast('long').alias('n_vecs'),
+        F.count_distinct('sem_group').cast('long').alias('n_groups'),
+        F.sum((~F.col('keep')).cast('long')).cast('long').alias('n_removed'),
+        F.sum(F.when(F.col('keep'), F.col('vec_id'))).cast('long')
+        .alias('survivor_id_sum')).collect()
+    _release(out)
+    return spark.createDataFrame(agg,
+                                 'n_vecs long, n_groups long, '
+                                 'n_removed long, survivor_id_sum long')
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF (inverted-file) ANN top-k (operators/similarity.ivf_index/
     ivf_topk; rows-only — KMeans cells are seeded but not SQL): probe
@@ -1788,6 +1826,20 @@ ORACLES: dict[str, str] = {
                    AS total_bpe_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    # SemDeDup: the construction arithmetic IS the oracle — the planted
+    # duplicate slice is removed (min-id survivors), nothing else is
+    # (max natural cosine ~0.51 << 0.995, pinned by q_emb_cosine_dups)
+    'q_semantic_dedup': """
+        SELECT CAST(count(*)
+                    + sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_vecs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(sum(vec_id) AS BIGINT) AS survivor_id_sum
+        FROM embeddings
+    """,
+
     # exact BPE: per-word counts computed by tests/reference_bpe.py
     # (independent transcription of the public GPT-2 merge loop) over
     # the fixture lexicon; an unmapped word makes count(*)<>count(n)
@@ -2647,7 +2699,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
         'q_a3_term_document_frequency': q_a3_term_document_frequency,
         'q_hash_split': q_hash_split,
-        'q_j1_anti_join': q_j1_anti_join,
+        'q_semantic_dedup': q_semantic_dedup,
         'q_j2_broadcast_join': q_j2_broadcast_join,
         'q_substring_duplication': q_substring_duplication,
         'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
@@ -2695,6 +2747,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_token_counts': q_token_counts,
         'q_fingerprint': q_fingerprint,
         'q_skew_salted_counts': q_skew_salted_counts,
+        'q_j1_anti_join': q_j1_anti_join,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

@@ -21,10 +21,12 @@ sys.path.insert(0, '/root/repo')
 # flagship oracles first, then reference-parity and operator oracles;
 # q_curation_pipeline (end-to-end composition oracle),
 # q_model_quality_gate (frozen linear quality model) and
-# q_token_counts_bpe (exact merge-loop BPE) replaced q_token_counts,
-# q_fingerprint and q_skew_salted_counts (thin aggregates — the
-# salting family stays covered in-window by q_skew_salted_agg; all
-# three remain oracled at 51+).
+# q_token_counts_bpe (exact merge-loop BPE) and q_semantic_dedup
+# (SemDeDup with an assignment-independent construction oracle)
+# replaced q_token_counts, q_fingerprint, q_skew_salted_counts and
+# q_j1_anti_join (thin aggregates / a 0-row check — the salting
+# family stays covered in-window by q_skew_salted_agg; all four
+# remain oracled at 51+).
 GRADED_WINDOW = [
     'q_stream_windowed_counts',
     'q_bloom_incremental_ingest',
@@ -43,7 +45,7 @@ GRADED_WINDOW = [
     'q_a1_wordfreq_top3',
     'q_a3_term_document_frequency',
     'q_hash_split',
-    'q_j1_anti_join',
+    'q_semantic_dedup',
     'q_j2_broadcast_join',
     'q_substring_duplication',
     'q_tpch_q1_pricing_summary',
@@ -103,4 +105,5 @@ def test_out_of_window_oracles_still_covered_internally():
     assert 'q_token_counts' in oracled_outside
     assert 'q_fingerprint' in oracled_outside
     assert 'q_skew_salted_counts' in oracled_outside
-    assert len(oracled_outside) >= 13
+    assert 'q_j1_anti_join' in oracled_outside
+    assert len(oracled_outside) >= 14

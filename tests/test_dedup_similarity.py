@@ -626,3 +626,76 @@ def test_paragraph_pairs_precision_recall_vs_exact(spark):
     assert prec >= 0.9, (prec, len(got))
     rec = len(got & exact_hi) / len(exact_hi)
     assert rec >= 0.8, rec
+
+
+def _semdedup_fixture(spark):
+    """Three well-separated 8-dim clusters; exact-duplicate groups
+    inside two of them (exact duplicates guarantee same KMeans cell
+    and same LSH sub-bucket, so the blocked pair search provably sees
+    them)."""
+    import random
+    rng = random.Random(5)
+    rows = []
+    centers = [[10, 0, 0, 0, 0, 0, 0, 0],
+               [0, 10, 0, 0, 0, 0, 0, 0],
+               [0, 0, 10, 0, 0, 0, 0, 0]]
+    vid = 0
+    groups = []
+    for ci, c in enumerate(centers):
+        # one duplicated vector, multiplicity 3 / 2 / 1 per cluster
+        dup = [x + rng.uniform(-0.5, 0.5) for x in c]
+        mult = 3 - ci
+        g = []
+        for _ in range(mult):
+            rows.append((vid, [float(x) for x in dup]))
+            g.append(vid)
+            vid += 1
+        if mult > 1:
+            groups.append(tuple(g))
+        for _ in range(3):   # distinct members
+            rows.append((vid, [float(x + rng.uniform(-1.5, 1.5))
+                               for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, 'vec_id long, embedding array<double>'), groups
+
+
+def test_semantic_dedup_groups_and_keep_rule(spark):
+    from pdf_ai_mapper_spark.operators.dedup import release
+    from pdf_ai_mapper_spark.operators.similarity import semantic_dedup
+    df, groups = _semdedup_fixture(spark)
+    out = semantic_dedup(df, n_clusters=3, threshold=0.999, seed=42)
+    rows = {r['vec_id']: r for r in out.collect()}
+    release(out)
+    assert len(rows) == df.count()            # one row per vector
+    # each planted exact-duplicate set resolves to ONE group with ONE
+    # survivor
+    for g in groups:
+        labels = {rows[v]['sem_group'] for v in g}
+        assert len(labels) == 1, g
+        kept = [v for v in g if rows[v]['keep']]
+        assert len(kept) == 1, g
+        # keep rule: argmin (centroid_sim, id) within the group
+        want = min(g, key=lambda v: (rows[v]['centroid_sim'], v))
+        assert kept[0] == want, (g, kept, want)
+    # non-duplicated vectors: own group, kept
+    planted = {v for g in groups for v in g}
+    for v, r in rows.items():
+        if v not in planted:
+            assert r['sem_group'] == v and r['keep'], v
+    # survivor count = total - (multiplicities - 1)
+    n_keep = sum(1 for r in rows.values() if r['keep'])
+    assert n_keep == len(rows) - sum(len(g) - 1 for g in groups)
+
+
+def test_semantic_dedup_no_dups_keeps_everything(spark):
+    from pdf_ai_mapper_spark.operators.dedup import release
+    from pdf_ai_mapper_spark.operators.similarity import semantic_dedup
+    import random
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    out = semantic_dedup(df, n_clusters=4, threshold=0.9999, seed=42)
+    got = out.collect()
+    release(out)
+    assert all(r['keep'] for r in got)
+    assert all(r['sem_group'] == r['vec_id'] for r in got)
