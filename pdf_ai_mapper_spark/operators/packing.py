@@ -1,0 +1,103 @@
+"""Sequence packing — the training-export stage: concatenate document
+token streams in a deterministic order and chop the stream into
+fixed-length context windows (the GPT-style "concat and chop" packing
+every pretraining run performs before batching).
+
+The core primitive is a GLOBAL prefix sum over a 100 TB table, and
+the naive formulation — ``sum().over(Window.orderBy(id))`` with no
+partitionBy — plans as ``Exchange SinglePartition``: the entire
+corpus funnels through ONE task (plan-asserted in
+tests/test_packing.py as the anti-pattern). The scalable form is the
+classic two-phase distributed scan:
+
+1. ``repartitionByRange(order_col)`` — partitions hold contiguous,
+   ordered key ranges (partition id increases with the key);
+2. within-partition running sums via a window PARTITIONED BY the
+   physical partition id — embarrassingly parallel;
+3. per-partition totals collapse to P driver-scale rows; their
+   exclusive running total (computed on the driver) broadcasts back
+   and joins on partition id.
+
+Exactness does not depend on WHERE the range boundaries fall — any
+ordered partitioning yields the same global offsets — but the
+boundaries must be THE SAME in the partials job and the main job, so
+the repartitioned table is persisted across the two (range
+partitioning samples its split points; a recompute could resample).
+Callers release() the result after materializing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_offset(df: DataFrame, order_col: str, value_col: str,
+                       out_col: str = 'offset',
+                       partitions: int | None = None) -> DataFrame:
+    """Exclusive global running total of ``value_col`` in ``order_col``
+    order (the first row's offset is 0). One range shuffle + one
+    driver-scale collect of P partial sums; no single-partition stage.
+
+    Contract: ``order_col`` must be unique (it defines the stream
+    order) and ``value_col`` non-negative."""
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = df.repartitionByRange(
+        *( [partitions] if partitions else [] ), F.col(order_col))
+    ranged = ranged.withColumn('__pid', F.spark_partition_id())
+    # persisted: the partials job and the main job MUST see identical
+    # range boundaries (repartitionByRange samples split points)
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+
+    partials = (ranged.groupBy('__pid')
+                .agg(F.sum(value_col).alias('__psum'))
+                .collect())
+    running = 0
+    rows = []
+    for r in sorted(partials, key=lambda r: r['__pid']):
+        rows.append((int(r['__pid']), int(running)))
+        running += int(r['__psum'] or 0)
+    spark = df.sparkSession
+    offsets = F.broadcast(spark.createDataFrame(
+        rows or [(0, 0)], '__pid int, __base long'))
+
+    w = (Window.partitionBy('__pid').orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (ranged
+           .withColumn('__run', F.sum(value_col).over(w))
+           .join(offsets, on='__pid')
+           .withColumn(out_col,
+                       (F.col('__base') + F.col('__run')
+                        - F.col(value_col)).cast('long'))
+           .drop('__pid', '__run', '__base'))
+    out._persisted_deps = [ranged]
+    return out
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   seq_len: int, order_col: str | None = None) -> DataFrame:
+    """Assign every document its position in the packed token stream:
+    adds ``offset`` (exclusive prefix sum of ``tokens_col`` in
+    ``order_col`` order), ``first_seq`` / ``last_seq`` (the context
+    windows the document's tokens land in, [offset, offset+tokens)),
+    and ``n_seqs_spanned`` (0 for empty documents). A document with
+    ``last_seq > first_seq`` crosses a context boundary and gets
+    truncated attention there — the packing-quality signal training
+    pipelines track. Total sequence count for the corpus is
+    ``ceil(total_tokens / seq_len)``."""
+    if seq_len <= 0:
+        raise ValueError(f'seq_len must be positive, got {seq_len}')
+    order_col = order_col or id_col
+    out = with_global_offset(df, order_col, tokens_col)
+    t = F.col(tokens_col)
+    first = F.floor(F.col('offset') / F.lit(seq_len)).cast('long')
+    last = F.floor((F.col('offset') + t - 1) / F.lit(seq_len)).cast('long')
+    res = (out
+           .withColumn('first_seq', F.when(t > 0, first))
+           .withColumn('last_seq', F.when(t > 0, last))
+           .withColumn('n_seqs_spanned',
+                       F.when(t > 0, last - first + 1)
+                       .otherwise(F.lit(0)).cast('long')))
+    res._persisted_deps = getattr(out, '_persisted_deps', [])
+    return res

@@ -1131,6 +1131,30 @@ def q_semantic_dedup(spark, sf_dir):
                                  'n_removed long, survivor_id_sum long')
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training export (operators/packing,
+    round 5 — GPT-style concat-and-chop): every document's position
+    in the packed token stream at seq_len=512, via the two-phase
+    distributed prefix sum (range shuffle + per-partition windows +
+    broadcast partial offsets — NO single-partition stage,
+    plan-pinned in test_packing). Oracle: DuckDB's cumulative-sum
+    window reproduces the offsets exactly; per-doc
+    first/last/spanned-sequence columns witness the full assignment."""
+    from .operators.dedup import release as _release
+    from .operators.packing import pack_sequences
+    d = (_t(spark, sf_dir, 'documents')
+         .select('doc_id',
+                 F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                 .cast('long').alias('toks')))
+    packed = pack_sequences(d, 'doc_id', 'toks', seq_len=512)
+    out = (packed.select('doc_id', 'offset', 'first_seq', 'last_seq',
+                         'n_seqs_spanned')
+           .orderBy('doc_id'))
+    rows = out.collect()
+    _release(packed)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF (inverted-file) ANN top-k (operators/similarity.ivf_index/
     ivf_topk; rows-only — KMeans cells are seeded but not SQL): probe
@@ -1826,6 +1850,30 @@ ORACLES: dict[str, str] = {
                    AS total_bpe_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    # sequence packing: the two-phase distributed prefix sum must equal
+    # the single cumulative-sum window (integer arithmetic — exact)
+    'q_pack_sequences': r"""
+        WITH t AS (SELECT doc_id,
+                          len(string_split_regex(trim(text), '\s+'))
+                              AS toks
+                   FROM documents),
+        c AS (SELECT doc_id, toks,
+                     sum(toks) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - toks AS off
+              FROM t)
+        SELECT doc_id, CAST(off AS BIGINT) AS "offset",
+               CASE WHEN toks > 0
+                    THEN CAST(off // 512 AS BIGINT) END AS first_seq,
+               CASE WHEN toks > 0
+                    THEN CAST((off + toks - 1) // 512 AS BIGINT)
+                    END AS last_seq,
+               CAST(CASE WHEN toks > 0
+                         THEN (off + toks - 1) // 512 - off // 512 + 1
+                         ELSE 0 END AS BIGINT) AS n_seqs_spanned
+        FROM c ORDER BY doc_id
+    """,
+
     # SemDeDup: the construction arithmetic IS the oracle — the planted
     # duplicate slice is removed (min-id survivors), nothing else is
     # (max natural cosine ~0.51 << 0.995, pinned by q_emb_cosine_dups)
@@ -2693,7 +2741,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_line_dedup': q_line_dedup,
         'q_d2_dedup_first_seen': q_d2_dedup_first_seen,
         'q_w1_relevance_topk': q_w1_relevance_topk,
-        'q_w3_topk_events': q_w3_topk_events,
+        'q_pack_sequences': q_pack_sequences,
         'q_w5_first_event_per_user': q_w5_first_event_per_user,
         'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
         'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
@@ -2748,6 +2796,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_fingerprint': q_fingerprint,
         'q_skew_salted_counts': q_skew_salted_counts,
         'q_j1_anti_join': q_j1_anti_join,
+        'q_w3_topk_events': q_w3_topk_events,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

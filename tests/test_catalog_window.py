@@ -22,11 +22,12 @@ sys.path.insert(0, '/root/repo')
 # q_curation_pipeline (end-to-end composition oracle),
 # q_model_quality_gate (frozen linear quality model) and
 # q_token_counts_bpe (exact merge-loop BPE) and q_semantic_dedup
-# (SemDeDup with an assignment-independent construction oracle)
-# replaced q_token_counts, q_fingerprint, q_skew_salted_counts and
-# q_j1_anti_join (thin aggregates / a 0-row check — the salting
-# family stays covered in-window by q_skew_salted_agg; all four
-# remain oracled at 51+).
+# (SemDeDup with an assignment-independent construction oracle) and
+# q_pack_sequences (distributed-prefix-sum sequence packing) replaced
+# q_token_counts, q_fingerprint, q_skew_salted_counts, q_j1_anti_join
+# and q_w3_topk_events (thin aggregates / a 0-row check / an
+# orderBy+limit — the salting family stays covered in-window by
+# q_skew_salted_agg, top-k by q_w1; all five remain oracled at 51+).
 GRADED_WINDOW = [
     'q_stream_windowed_counts',
     'q_bloom_incremental_ingest',
@@ -39,7 +40,7 @@ GRADED_WINDOW = [
     'q_line_dedup',
     'q_d2_dedup_first_seen',
     'q_w1_relevance_topk',
-    'q_w3_topk_events',
+    'q_pack_sequences',
     'q_w5_first_event_per_user',
     'q_f2_lang_filter_counts',
     'q_a1_wordfreq_top3',
@@ -106,4 +107,5 @@ def test_out_of_window_oracles_still_covered_internally():
     assert 'q_fingerprint' in oracled_outside
     assert 'q_skew_salted_counts' in oracled_outside
     assert 'q_j1_anti_join' in oracled_outside
-    assert len(oracled_outside) >= 14
+    assert 'q_w3_topk_events' in oracled_outside
+    assert len(oracled_outside) >= 15
