@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import group_quota, line_dedup, substring_duplication_stats
+from .quality_model import model_quality_units
 from .textstats import hash_split, with_quality
 
 
@@ -59,16 +60,29 @@ def curate_corpus(df: DataFrame,
                   line_min_df: int | None = None,
                   dup_window: int = 8,
                   source_cap: int | None = None,
-                  split_weights: 'dict[str, float] | None' = None
+                  split_weights: 'dict[str, float] | None' = None,
+                  model_gate_units: int | None = None
                   ) -> DataFrame:
-    """Quality-gate → exact-dedup → line-dedup → exact-dedup(cleaned)
-    → dup-score → quota → split. Returns the curated table: the input
-    columns plus cleaned_text, n_kept/n_removed (line dedup), dup_frac
-    (substring duplication), and split — one row per surviving
-    document. See the module docstring for why the order matters."""
+    """Quality-gate → [model-quality gate] → exact-dedup → line-dedup
+    → exact-dedup(cleaned) → dup-score → quota → split. Returns the
+    curated table: the input columns plus cleaned_text,
+    n_kept/n_removed (line dedup), dup_frac (substring duplication),
+    and split — one row per surviving document. See the module
+    docstring for why the order matters.
+
+    ``model_gate_units`` (round 5, optional): also require the frozen
+    linear quality model's margin (quality_model.model_quality_units)
+    above the given units threshold — the FineWeb-Edu/DCLM-style
+    model stage, placed WITH the heuristic gate (both are pure
+    row-local filters on raw text; running them before any dedup
+    means the expensive stages never see rejected rows)."""
     gated = (with_quality(df, text_col)
              .filter(F.col('quality_ok'))
              .select(*df.columns))
+    if model_gate_units is not None:
+        gated = (model_quality_units(gated, text_col)
+                 .filter(F.col('mq_units') > model_gate_units)
+                 .select(*df.columns))
     gated = _dedup_exact_on(gated, id_col, text_col)
 
     if line_min_df is None:

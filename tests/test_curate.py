@@ -85,3 +85,24 @@ def test_curate_corpus_split_stable_across_runs(spark):
     b = {r['doc_id']: r['split'] for r in
          curate_corpus(df.repartition(4), line_min_df=3).collect()}
     assert a == b
+
+
+def test_curate_corpus_model_gate_filters(spark):
+    """The optional frozen-model gate (round 5) drops low-margin docs
+    before any dedup stage; None (default) keeps behavior identical."""
+    rows = [
+        # analytic lexicon, clears the frozen model's -4700 intercept
+        (0, ' '.join(['query merge vector stream scan sort'] * 6), 's'),
+        # filler lexicon: negative margin, heuristics alone pass it
+        (1, ' '.join(['slow dup the a small slow dup the a word'] * 6), 's'),
+        # 770 units/repeat × 7 = 5390 > 4700 intercept
+        (2, ' '.join(['window table column batch filter join'] * 7), 's'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string, source string')
+    base = {r['doc_id'] for r in
+            curate_corpus(df, line_min_df=99).collect()}
+    gated = {r['doc_id'] for r in
+             curate_corpus(df, line_min_df=99,
+                           model_gate_units=0).collect()}
+    assert base == {0, 1, 2}
+    assert gated == {0, 2}          # the filler doc is gated out
