@@ -17,18 +17,30 @@ an ambient storm mid-suite and undersold the engine by ~40%):
   purely ambient.
 - Per-section gate (new): the 1-min loadavg is useless mid-suite (it
   includes our own 32 worker threads and decays over a minute), but
-  the INSTANTANEOUS runnable count from /proc/loadavg field 4 is
-  ambient-readable whenever this process is idle — our executors have
-  finished by the time we sample. Each timed section waits (bounded)
-  until the mean runnable count (excluding this process) drops under
-  SPARK_GRAFT_RUN_MAX.
+  TWO signals are ambient-readable whenever this process is idle: the
+  instantaneous runnable count (/proc/loadavg field 4, gate
+  SPARK_GRAFT_RUN_MAX) and the ambient busy-core average over a short
+  idle window (/proc/stat busy-jiffies delta, gate
+  SPARK_GRAFT_BUSY_MAX) — the second catches steadily-busy
+  competitors that point-in-time runnable samples keep missing
+  (measured: a run with every runnable sample clean still came out
+  1.8× slow; its busy-core stamps would have shown the eater).
+- Reference probe (the detector of last resort): outside-the-container
+  contention is invisible to EVERY /proc signal available here
+  (loadavg is host-wide but /proc/stat is container-scoped; runs with
+  every stamp clean still measured 1.8-2.3× slow), but it must also
+  slow a fixed CPU workload. Each section brackets itself with an
+  8-process busy-loop probe; the best rate ever seen (persisted in
+  BENCH/probe_calibration.json) is the host's quiet capacity, and a
+  reading under SPARK_GRAFT_PROBE_MIN_FRAC (0.75) of it marks the
+  section dirty after a bounded re-wait.
 - Whole-suite auto-retry (new): after an attempt, any section whose
-  post-section runnable reading exceeded the sanity bound (2× the
-  gate) marks the attempt dirty; up to SPARK_GRAFT_MAX_ATTEMPTS (3)
-  attempts run, and EVERY attempt's raw numbers ship in the JSON under
-  'attempts' for honesty. Final per-query numbers are the min across
-  all attempts (best-of-N×attempts — same estimator as before, more
-  samples under cleaner conditions).
+  readings blew the sanity bounds (2× the runnable/busy gates, or the
+  probe floor) marks the attempt dirty; up to SPARK_GRAFT_MAX_ATTEMPTS
+  (3) attempts run, and EVERY attempt's raw numbers ship in the JSON
+  under 'attempts' for honesty. Final per-query numbers are the min
+  across all attempts (best-of-N×attempts — same estimator as before,
+  more samples under cleaner conditions).
 """
 
 from __future__ import annotations
@@ -69,6 +81,82 @@ def _running_now(samples: int = 5, gap_s: float = 0.1) -> float:
     return round(sum(vals) / len(vals), 2)
 
 
+def _busy_jiffies() -> int:
+    try:
+        with open('/proc/stat') as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # busy = everything except idle (field 4) and iowait (field 5)
+        return sum(vals) - vals[3] - vals[4]
+    except (OSError, ValueError, IndexError):
+        return -1
+
+
+def _ambient_busy_cores(window_s: float = 0.4) -> float:
+    """Average number of cores busy in /proc/stat over a short window
+    while THIS process is idle. Catches steadily-busy competitors
+    VISIBLE to this kernel view that point-in-time runnable samples
+    miss. Caveat (measured): /proc/stat here appears CONTAINER-scoped
+    while loadavg is host-wide (a 2.4 1-min load read 0.0 busy
+    cores), so outside-the-container contention escapes this signal —
+    that is what the reference probe below is for. -1 when /proc/stat
+    is unavailable."""
+    b0 = _busy_jiffies()
+    if b0 < 0:
+        return -1.0
+    time.sleep(window_s)
+    b1 = _busy_jiffies()
+    hz = os.sysconf('SC_CLK_TCK') if hasattr(os, 'sysconf') else 100
+    return round(max(0, b1 - b0) / (hz * window_s), 2)
+
+
+def _probe_worker(duration_s: float) -> int:
+    end = time.perf_counter() + duration_s
+    x = 0
+    n = 0
+    while time.perf_counter() < end:
+        for i in range(10_000):
+            x += i * i
+        n += 10_000
+    return n
+
+
+def _parallel_probe(nproc: int = 8, duration_s: float = 0.2) -> float:
+    """Aggregate iterations/sec of ``nproc`` concurrent busy-loop
+    processes — a REFERENCE WORKLOAD whose quiet-time throughput is a
+    physical constant of the host. This is the detector of last
+    resort: hypervisor-level time-sharing is invisible to every /proc
+    signal in this sandbox (loadavg is host-wide but /proc/stat is
+    container-scoped — a run with every runnable/busy stamp clean
+    still measured 2.3× slow), but it MUST slow this probe by the
+    same mechanism. Returns -1 when multiprocessing is unavailable."""
+    try:
+        import concurrent.futures as cf
+        t0 = time.perf_counter()
+        with cf.ProcessPoolExecutor(max_workers=nproc) as ex:
+            total = sum(ex.map(_probe_worker, [duration_s] * nproc))
+        wall = time.perf_counter() - t0
+        return round(total / wall, 0)
+    except Exception:
+        return -1.0
+
+
+def _load_probe_calibration(path: str) -> float:
+    try:
+        with open(path) as f:
+            return float(json.load(f)['best_probe_rate'])
+    except Exception:
+        return 0.0
+
+
+def _store_probe_calibration(path: str, rate: float) -> None:
+    try:
+        with open(path, 'w') as f:
+            json.dump({'best_probe_rate': rate}, f)
+    except OSError:
+        pass
+
+
 def _wait_for_quiet(max_load: float, retries: int, sleep_s: float) -> list[float]:
     """Bounded wait for AMBIENT quiet (pre-session only). Gates on the
     1-min loadavg AND on the 5-min staying under 1.5× the bound — a
@@ -84,16 +172,19 @@ def _wait_for_quiet(max_load: float, retries: int, sleep_s: float) -> list[float
     return _load()
 
 
-def _gate_section(run_max: float, retries: int, sleep_s: float) -> float:
-    """Bounded wait for the instantaneous runnable count to drop; fine
-    to call mid-suite (our own workers are idle between sections)."""
-    r = _running_now()
+def _gate_section(run_max: float, retries: int, sleep_s: float,
+                  busy_max: float) -> 'tuple[float, float]':
+    """Bounded wait until BOTH mid-suite ambient signals clear: the
+    instantaneous runnable count AND the ambient busy-core average
+    (each readable while our own workers are idle). Returns the final
+    (runnable, busy_cores) pair either way."""
+    r, b = _running_now(), _ambient_busy_cores()
     for _ in range(retries):
-        if r < 0 or r <= run_max:
+        if (r < 0 or r <= run_max) and (b < 0 or b <= busy_max):
             break
         time.sleep(sleep_s)
-        r = _running_now()
-    return r
+        r, b = _running_now(), _ambient_busy_cores()
+    return r, b
 
 
 HEADLINE_QUERIES = [
@@ -120,28 +211,63 @@ HEADLINE_QUERIES = [
 
 
 def _timed_attempt(spark, cfg, cat, corpus_path, sf_dir,
-                   run_max, gate_retries, gate_sleep, release):
+                   run_max, gate_retries, gate_sleep, busy_max,
+                   probe_state, release):
     """One full pass over the timed sections. Returns per-attempt
-    timings, raw iterations, per-section load/runnable stamps, and the
-    list of sections whose POST reading blew the sanity bound."""
+    timings, raw iterations, per-section load/runnable/busy/probe
+    stamps, and the list of sections whose readings blew the sanity
+    bounds."""
     from pdf_ai_mapper_spark.pipeline import transform
 
     sanity = 2 * run_max
+    busy_sanity = 2 * busy_max
     stamps: dict[str, dict] = {}
     dirty: list[str] = []
 
+    def probe_gate():
+        """Reference-probe check with bounded re-wait; returns the
+        final (rate, ok). Self-calibrating: the best rate ever seen is
+        the host's quiet capacity (persisted across runs, so the floor
+        tightens over successive invocations even when calibration and
+        contention overlap within one run). Retries capped below the
+        section gate's — 20 sections × 2 probes must not stack
+        multi-minute waits."""
+        probe_retries = min(gate_retries, 3)
+        for attempt in range(probe_retries + 1):
+            rate = _parallel_probe()
+            if rate < 0:
+                return rate, True
+            if rate > probe_state['best']:
+                probe_state['best'] = rate
+                _store_probe_calibration(probe_state['path'], rate)
+            if (probe_state['best'] <= 0
+                    or rate >= probe_state['frac'] * probe_state['best']):
+                return rate, True
+            if attempt < probe_retries:
+                time.sleep(gate_sleep)
+        return rate, False
+
     def section(name, fn, iters=3):
-        pre_run = _gate_section(run_max, gate_retries, gate_sleep)
-        pre = {'load': _load(), 'running': pre_run}
+        pre_run, pre_busy = _gate_section(run_max, gate_retries,
+                                          gate_sleep, busy_max)
+        pre_rate, pre_ok = probe_gate()
+        pre = {'load': _load(), 'running': pre_run,
+               'busy_cores': pre_busy, 'probe_rate': pre_rate}
         times = []
         for _ in range(iters):
             t0 = time.monotonic()
             fn()
             times.append(round(time.monotonic() - t0, 3))
-        post_run = _running_now()
+        post_run, post_busy = _running_now(), _ambient_busy_cores()
+        post_rate, post_ok = probe_gate()
         stamps[name] = {'pre': pre,
-                        'post': {'load': _load(), 'running': post_run}}
-        if post_run > sanity or (pre_run >= 0 and pre_run > sanity):
+                        'post': {'load': _load(), 'running': post_run,
+                                 'busy_cores': post_busy,
+                                 'probe_rate': post_rate}}
+        if (post_run > sanity or (pre_run >= 0 and pre_run > sanity)
+                or post_busy > busy_sanity
+                or (pre_busy >= 0 and pre_busy > busy_sanity)
+                or not pre_ok or not post_ok):
             dirty.append(name)
         return times
 
@@ -175,6 +301,12 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     quiet_retries = int(os.environ.get('SPARK_GRAFT_LOAD_RETRIES', '8'))
     quiet_sleep = float(os.environ.get('SPARK_GRAFT_LOAD_SLEEP', '30'))
     run_max = float(os.environ.get('SPARK_GRAFT_RUN_MAX', '3.0'))
+    busy_max = float(os.environ.get('SPARK_GRAFT_BUSY_MAX', '4.0'))
+    probe_frac = float(os.environ.get('SPARK_GRAFT_PROBE_MIN_FRAC', '0.75'))
+    calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'BENCH', 'probe_calibration.json')
+    probe_state = {'best': _load_probe_calibration(calib_path),
+                   'path': calib_path, 'frac': probe_frac}
     gate_retries = int(os.environ.get('SPARK_GRAFT_GATE_RETRIES', '6'))
     gate_sleep = float(os.environ.get('SPARK_GRAFT_GATE_SLEEP', '10'))
     max_attempts = int(os.environ.get('SPARK_GRAFT_MAX_ATTEMPTS', '3'))
@@ -234,7 +366,8 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
     for attempt in range(max_attempts):
         timings, raw, stamps, dirty = _timed_attempt(
             spark, cfg, cat, corpus_path, sf_dir,
-            run_max, gate_retries, gate_sleep, release)
+            run_max, gate_retries, gate_sleep, busy_max, probe_state,
+            release)
         attempts.append({'timings': timings, 'raw_iterations': raw,
                          'section_stamps': stamps,
                          'dirty_sections': dirty})
@@ -280,6 +413,9 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
         'warmup_failures': warmup_failures,
         'load_max_threshold': max_load,
         'run_max_threshold': run_max,
+        'busy_max_threshold': busy_max,
+        'probe_min_frac': probe_frac,
+        'probe_best_rate': probe_state['best'],
     }
     if keep_spark is None:
         spark.stop()
