@@ -254,19 +254,36 @@ def _timed_attempt(spark, cfg, cat, corpus_path, sf_dir,
         pre = {'load': _load(), 'running': pre_run,
                'busy_cores': pre_busy, 'probe_rate': pre_rate}
         times = []
+        iter_amb = []
         for _ in range(iters):
             t0 = time.monotonic()
             fn()
             times.append(round(time.monotonic() - t0, 3))
+            # Trailing ambient read per ITERATION (cheap: no probe) —
+            # section-boundary gates miss storms that live and die
+            # inside the section (measured: a 3-iteration triple of
+            # 4.6/13.3/9.2 s against a 2.9 s quiet band shipped with
+            # every boundary stamp clean).
+            iter_amb.append((_running_now(samples=2, gap_s=0.05),
+                             _ambient_busy_cores(0.2)))
         post_run, post_busy = _running_now(), _ambient_busy_cores()
         post_rate, post_ok = probe_gate()
         stamps[name] = {'pre': pre,
+                        'iter_ambient': [{'running': r, 'busy_cores': b}
+                                         for r, b in iter_amb],
                         'post': {'load': _load(), 'running': post_run,
                                  'busy_cores': post_busy,
                                  'probe_rate': post_rate}}
+        # The reported number is min(times): only the min-achieving
+        # iteration's trailing ambient read decides iteration-level
+        # dirtiness — a storm in a non-min iteration never touches
+        # what ships.
+        best_r, best_b = iter_amb[times.index(min(times))]
         if (post_run > sanity or (pre_run >= 0 and pre_run > sanity)
                 or post_busy > busy_sanity
                 or (pre_busy >= 0 and pre_busy > busy_sanity)
+                or best_r > sanity
+                or (best_b >= 0 and best_b > busy_sanity)
                 or not pre_ok or not post_ok):
             dirty.append(name)
         return times

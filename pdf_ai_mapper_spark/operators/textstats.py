@@ -375,3 +375,73 @@ def hash_split(df: DataFrame, key_col: str,
     expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
             else F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                    lm_df: DataFrame | None = None,
+                    alpha: float = 0.5) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under a
+    Lidstone-smoothed bigram LM — one rung up the CCNet ladder from
+    ``unigram_logprob`` toward the trained-KenLM perplexity filter
+    (Wenzek et al. 2020 score crawl text with an LM trained on a
+    clean reference corpus; the bigram model captures the word-order
+    signal a unigram score is blind to: shuffled or keyword-stuffed
+    text keeps its unigram score but collapses here).
+
+        p(v|u)     = (c(u,v) + α) / (c(u·) + α·V)
+        score(doc) = mean over its adjacent token pairs of ln p(v|u)
+
+    ``lm_df``: optional TRAINING corpus with the same ``text_col``
+    (the CCNet shape — LM fit on Wikipedia, applied to the crawl);
+    default is self-scored on ``df``.  Unseen bigrams/contexts fall
+    through the same formula with c=0 — no special backoff branch, so
+    the expression stays one codegen'd arithmetic chain.
+
+    Shape at scale: tokens never leave their row — bigram pairs are
+    built in-array (one ``transform`` over an index sequence) and
+    only the exploded narrow (u, v) pairs shuffle.  The bigram count
+    table is the heavy side; it shuffles on (u, v), which is exactly
+    the key the scoring join consumes, so Catalyst reuses one
+    partitioning for count + join.  V and nothing else is collected
+    (two driver literals keep the smoothing arithmetic codegen'd).
+    At 10^12 tokens, threshold the bigram table (c(u,v) ≥ 2 drops the
+    singleton long tail that dominates its size) — the α-smoothing
+    absorbs the dropped mass by design.  Docs with < 2 tokens have no
+    bigrams and are absent from the result.  Returns
+    (id, n_bigrams, bigram_logprob) with the mean rounded to 6
+    places (same exactness budget as ``unigram_logprob``: double
+    noise is ~1e-15, ten orders below the rounding grain).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                    lambda t: t != '')
+
+    def exploded_pairs(frame: DataFrame, keep_id: bool) -> DataFrame:
+        head = [F.col(id_col)] if keep_id else []
+        with_t = (frame.select(*head, toks.alias('__t'))
+                  .filter(F.size('__t') >= 2))
+        idx = F.sequence(F.lit(1), F.size('__t') - 1)
+        prs = F.transform(idx, lambda i: F.struct(
+            F.get('__t', i - 1).alias('u'), F.get('__t', i).alias('v')))
+        return (with_t.select(*([id_col] if keep_id else []),
+                              F.explode(prs).alias('p'))
+                .select(*([id_col] if keep_id else []), 'p.u', 'p.v'))
+
+    src = lm_df if lm_df is not None else df
+    bg = (exploded_pairs(src, keep_id=False)
+          .groupBy('u', 'v').agg(F.count('*').alias('c_uv')))
+    ctx = bg.groupBy('u').agg(F.sum('c_uv').alias('c_u'))
+    vocab = int(src.select(F.explode(toks).alias('t'))
+                .agg(F.count_distinct('t')).collect()[0][0] or 0)
+    if vocab == 0:
+        return df.sparkSession.createDataFrame(
+            [], f'{id_col} long, n_bigrams long, bigram_logprob double')
+    logp = F.log(
+        (F.coalesce(F.col('c_uv'), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col('c_u'), F.lit(0))
+           + F.lit(float(alpha) * float(vocab))))
+    return (exploded_pairs(df, keep_id=True)
+            .join(bg, on=['u', 'v'], how='left')
+            .join(ctx, on='u', how='left')
+            .groupBy(id_col)
+            .agg(F.count('*').cast('long').alias('n_bigrams'),
+                 F.round(F.avg(logp), 6).alias('bigram_logprob')))

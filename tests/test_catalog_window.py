@@ -75,7 +75,7 @@ GRADED_WINDOW = [
     'q_tfidf_top_terms',
     'q_asof_join',
     'q_lda_categories',
-    'q_event_percentiles',
+    'q_bigram_lm',
     'q_sessionization',
     'q_multimodal_metadata',
     'q_ivf_ann_exact',
@@ -108,4 +108,5 @@ def test_out_of_window_oracles_still_covered_internally():
     assert 'q_skew_salted_counts' in oracled_outside
     assert 'q_j1_anti_join' in oracled_outside
     assert 'q_w3_topk_events' in oracled_outside
+    assert 'q_event_percentiles' in oracled_outside
     assert len(oracled_outside) >= 15

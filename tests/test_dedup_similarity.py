@@ -699,3 +699,61 @@ def test_semantic_dedup_no_dups_keeps_everything(spark):
     release(out)
     assert all(r['keep'] for r in got)
     assert all(r['sem_group'] == r['vec_id'] for r in got)
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    """Self-scored bigram LM vs a pure-python transcription of the
+    Lidstone formula; single-token docs absent; whitespace runs
+    collapse identically."""
+    import math
+    from collections import Counter
+
+    from pdf_ai_mapper_spark.operators.textstats import bigram_lm_score
+
+    docs = [(1, 'the cat sat on the mat'), (2, 'the cat sat'),
+            (3, 'colorless green ideas sleep furiously'),
+            (4, 'single'), (5, '  the   mat  ')]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    out = {r['doc_id']: r for r in
+           bigram_lm_score(df, 'doc_id', 'text').collect()}
+
+    toks = {i: t.lower().split() for i, t in docs}
+    bg: Counter = Counter()
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            bg[(a, b)] += 1
+    ctx: Counter = Counter()
+    for (a, _), c in bg.items():
+        ctx[a] += c
+    v, alpha = len(vocab), 0.5
+
+    assert 4 not in out          # no bigrams -> absent
+    for i, t in toks.items():
+        if len(t) < 2:
+            continue
+        ref = [math.log((bg[(a, b)] + alpha) / (ctx[a] + alpha * v))
+               for a, b in zip(t, t[1:])]
+        assert out[i]['n_bigrams'] == len(ref)
+        assert out[i]['bigram_logprob'] == round(sum(ref) / len(ref), 6)
+
+
+def test_bigram_lm_external_lm_unseen_bigrams(spark):
+    """CCNet shape: LM fit on a clean corpus, applied to other text.
+    Unseen bigram + unseen context costs ln(alpha / (alpha * V)) =
+    ln(1/V) through the same smoothing arithmetic (no backoff branch)."""
+    import math
+
+    from pdf_ai_mapper_spark.operators.textstats import bigram_lm_score
+
+    lm = spark.createDataFrame(
+        [(1, 'the cat sat on the mat'), (2, 'the cat sat')],
+        'doc_id long, text string')
+    target = spark.createDataFrame(
+        [(9, 'colorless green ideas sleep furiously')],
+        'doc_id long, text string')
+    row = bigram_lm_score(target, 'doc_id', 'text', lm_df=lm).collect()[0]
+    v = len({'the', 'cat', 'sat', 'on', 'mat'})   # distinct LM tokens
+    assert row['n_bigrams'] == 4
+    assert row['bigram_logprob'] == round(math.log(1.0 / v), 6)
