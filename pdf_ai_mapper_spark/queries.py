@@ -1219,6 +1219,21 @@ def q_bigram_lm(spark, sf_dir):
             .orderBy(F.asc('bigram_logprob'), F.asc('doc_id')).limit(20))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir, round 5 — Xie et
+    al. 2023): target = every 5th English doc (the curated sample),
+    raw = the rest; hashed-{uni,bi}gram bucket models (md5-hex
+    buckets, engine-portable), Lidstone log-ratio weights, Gumbel
+    top-25 under the derandomized md5-keyed noise. ORACLED: DuckDB
+    rebuilds the exact bucketing, both smoothed models, the summed
+    log-ratio AND the Gumbel keys digit-for-digit."""
+    from .operators.dsir import dsir_select
+    d = _t(spark, sf_dir, 'documents')
+    tgt = d.filter((F.col('lang') == 'en') & (F.col('doc_id') % 5 == 0))
+    raw = d.join(tgt.select('doc_id'), 'doc_id', 'left_anti')
+    return dsir_select(raw, tgt, 25)
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental MinHash index (dedup.minhash_index_update; rows-only
     — estimated Jaccard is not SQL, and the full-vs-incremental
@@ -2607,6 +2622,72 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY bigram_logprob ASC, doc_id ASC LIMIT 20
     """,
+    # DSIR rebuilt end-to-end: md5-hex bucketing of {uni,bi}grams,
+    # both Lidstone bucket models over the fixed 16^3 space, summed
+    # log-ratio, and the derandomized Gumbel key from the same
+    # md5(seed|id) 24-bit dyadic uniform
+    'q_dsir_select': r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ), ng AS (
+            SELECT doc_id, lang,
+                   list_concat(t,
+                       CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                       ELSE []::VARCHAR[] END) AS ngrams
+            FROM toks
+        ), bx AS (
+            SELECT doc_id, lang, substr(md5(x), 1, 3) AS bucket
+            FROM (SELECT doc_id, lang, unnest(ngrams) AS x FROM ng)
+        ),
+        tgt AS (SELECT bucket FROM bx
+                WHERE lang = 'en' AND doc_id % 5 = 0),
+        rawx AS (SELECT doc_id, bucket FROM bx
+                 WHERE NOT (lang = 'en' AND doc_id % 5 = 0)),
+        ct AS (SELECT bucket, count(*) AS c_t FROM tgt GROUP BY bucket),
+        cr AS (SELECT bucket, count(*) AS c_r FROM rawx GROUP BY bucket),
+        nt AS (SELECT count(*) AS n_t FROM tgt),
+        nr AS (SELECT count(*) AS n_r FROM rawx),
+        lam AS (
+            SELECT bucket,
+                   ln((coalesce(c_t, 0) + 0.5) / (nt.n_t + 0.5 * 4096))
+                 - ln((coalesce(c_r, 0) + 0.5) / (nr.n_r + 0.5 * 4096))
+                       AS lam
+            FROM ct FULL OUTER JOIN cr USING (bucket), nt, nr
+        ), w AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   round(sum(lam), 6) AS dsir_logw,
+                   sum(lam) AS logw_raw
+            FROM rawx JOIN lam USING (bucket)
+            GROUP BY doc_id
+        ), gum AS (
+            SELECT doc_id, n_feats, dsir_logw, logw_raw,
+                   substr(md5('dsir|' || doc_id::VARCHAR), 1, 6) AS h6
+            FROM w
+        ), key AS (
+            SELECT doc_id, n_feats, dsir_logw,
+                   round(logw_raw + (-ln(-ln((
+                       (strpos('0123456789abcdef', substr(h6,1,1)) - 1)
+                           * 1048576.0
+                     + (strpos('0123456789abcdef', substr(h6,2,1)) - 1)
+                           * 65536.0
+                     + (strpos('0123456789abcdef', substr(h6,3,1)) - 1)
+                           * 4096.0
+                     + (strpos('0123456789abcdef', substr(h6,4,1)) - 1)
+                           * 256.0
+                     + (strpos('0123456789abcdef', substr(h6,5,1)) - 1)
+                           * 16.0
+                     + (strpos('0123456789abcdef', substr(h6,6,1)) - 1)
+                     + 0.5) / 16777216.0))), 6) AS gumbel_key
+            FROM gum
+        )
+        SELECT doc_id, n_feats, dsir_logw, gumbel_key
+        FROM key ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25
+    """,
     # both shingle sets rebuilt in SQL and intersected — the benchmark
     # slice is every 97th doc
     'q_decontamination': r"""
@@ -2842,6 +2923,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_skew_salted_counts': q_skew_salted_counts,
         'q_j1_anti_join': q_j1_anti_join,
         'q_w3_topk_events': q_w3_topk_events,
+        'q_dsir_select': q_dsir_select,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
