@@ -107,3 +107,55 @@ def curate_corpus(df: DataFrame,
                           cap=source_cap, id_col=id_col)
 
     return hash_split(out, id_col, weights=split_weights)
+
+
+def token_budget_fill(df: DataFrame, group_col: str,
+                      budgets: 'dict[str, int]',
+                      token_col: str,
+                      order_cols: 'list[tuple[str, str]]',
+                      id_col: str = 'doc_id') -> DataFrame:
+    """Token-budget mixture allocation (round 5) — the step that turns
+    trained-mixture WEIGHTS into an actual training set: given a
+    per-group token budget (e.g. {'en': 10^12, 'de': 10^11, ...} from
+    Pile-style mixture proportions or DoReMi-learned weights), fill
+    each group's budget greedily in ``order_cols`` priority order
+    (best quality first; callers must end with an id tiebreaker).
+
+    A doc is kept iff the cumulative token count of the docs BEFORE it
+    in its group's priority order is still under the group's budget —
+    so each group overshoots by at most its one straddling document
+    (the standard greedy fill; an exact subset-sum cut would be
+    order-unstable and no pipeline does it).  Groups absent from
+    ``budgets`` are dropped: the mixture is an explicit contract, and
+    silently passing an unlisted language through is how one stray
+    crawl bucket poisons a mix.
+
+    Scale shape: mirrors ``group_quota`` — the running sum is a window
+    over a NARROW (group, order keys, token, id) projection (one hash
+    shuffle of skinny rows + per-group sort), survivors semi-join back
+    on the id, and the budget table is a driver literal folded into
+    the plan as a CASE chain (groups are languages/sources — dozens,
+    not millions), so the whole predicate is codegen.  The exclusive
+    running sum is integer arithmetic — exact in any engine, which is
+    what makes the DuckDB oracle bit-stable."""
+    from pyspark.sql import Window
+    names = [c for c, _ in order_cols]
+    narrow = df.select(*dict.fromkeys(
+        [group_col, id_col, token_col, *names]))
+    exprs = [F.col(c).desc() if d == 'desc' else F.col(c).asc()
+             for c, d in order_cols]
+    w = (Window.partitionBy(group_col).orderBy(*exprs)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    budget = None
+    for g, b in budgets.items():
+        branch = F.col(group_col) == g
+        budget = (F.when(branch, F.lit(int(b))) if budget is None
+                  else budget.when(branch, F.lit(int(b))))
+    if budget is None:
+        raise ValueError('token_budget_fill: budgets must be non-empty')
+    cum_before = (F.sum(token_col).over(w) - F.col(token_col))
+    keep = (narrow
+            .withColumn('__cum_before', cum_before)
+            .filter(F.col('__cum_before') < budget)
+            .select(id_col))
+    return df.join(keep, on=id_col, how='left_semi')

@@ -445,3 +445,74 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.count('*').cast('long').alias('n_bigrams'),
                  F.round(F.avg(logp), 6).alias('bigram_logprob')))
+
+
+def ppl_buckets(df: DataFrame, id_col: str, score_col: str,
+                group_col: str | None = None,
+                labels: 'tuple[str, ...]' = ('head', 'middle', 'tail'),
+                out_col: str = 'ppl_bucket',
+                mode: str = 'exact') -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): within each ``group_col`` (language), split documents by LM
+    quality score into equal-population tiers — CCNet's head/middle/
+    tail thirds, where 'head' is the best-scoring (lowest-perplexity)
+    slice and downstream consumers train on head(+middle) only.
+
+    ``score_col`` is a higher-is-better quality score (e.g.
+    ``unigram_logprob``/``bigram_lm_score`` output, or a negated
+    perplexity); 'head' gets the HIGHEST scores.  Deterministic:
+    within-group order is (score desc, id asc), so tied scores break
+    by id and the assignment is reproducible anywhere.
+
+    Two modes, same contract:
+
+    - ``mode='exact'``: ``ntile(len(labels))`` over a window.  Exact
+      equal-population tiers by construction (larger buckets first,
+      the standard SQL NTILE rule — DuckDB reproduces it verbatim, so
+      this mode is the oracle path).  Scale shape: the window runs
+      over a NARROW (group, score, id) projection — one hash shuffle
+      of skinny rows + a per-group sort — and survivors join back on
+      the id, so text/payload columns never ride the sort exchange.
+      A per-group sort is the honest cost of exact tiers; at 100 TB
+      per-language row counts are ~10^9-10^10 skinny rows, which a
+      range-partitioned sort handles, but prefer 'cutoff' there.
+    - ``mode='cutoff'``: per-group approximate score quantiles
+      (``percentile_approx``, one narrow aggregate), broadcast the
+      tiny (group, cutoffs) table and assign with plain comparisons —
+      no sort at all, the CCNet-paper shape (they compute cutoffs
+      once on a sample, then stream-assign).  Tier populations are
+      approximate at the cutoff boundary; tested vs 'exact' in
+      pytest, not oracle-graded.
+    """
+    if mode not in ('exact', 'cutoff'):
+        raise ValueError(f'unknown ppl_buckets mode: {mode!r}')
+    from pyspark.sql import Window
+    n = len(labels)
+    gcols = [group_col] if group_col else []
+    narrow = df.select(*dict.fromkeys([*gcols, id_col, score_col]))
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    if mode == 'exact':
+        w = (Window.partitionBy(*gcols)
+             .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+        tiered = (narrow
+                  .withColumn('__tile', F.ntile(n).over(w))
+                  .select(id_col,
+                          F.element_at(label_arr,
+                                       F.col('__tile')).alias(out_col)))
+    else:
+        probs = [i / n for i in range(1, n)]
+        agg_on = narrow.groupBy(*gcols) if gcols else narrow.groupBy()
+        cuts = agg_on.agg(F.percentile_approx(
+            score_col, probs, 10_000).alias('__cuts'))
+        joined = (narrow.join(F.broadcast(cuts), on=gcols) if gcols
+                  else narrow.crossJoin(F.broadcast(cuts)))
+        # cuts are ascending quantiles; tier i (0-based, head first)
+        # holds scores > cuts[n-1-i], walked with a when-chain
+        expr = None
+        for i, lab in enumerate(labels[:-1]):
+            cond = F.col(score_col) > F.element_at('__cuts', n - 1 - i)
+            expr = (F.when(cond, F.lit(lab)) if expr is None
+                    else expr.when(cond, F.lit(lab)))
+        expr = expr.otherwise(F.lit(labels[-1]))
+        tiered = joined.select(id_col, expr.alias(out_col))
+    return df.join(tiered, on=id_col)

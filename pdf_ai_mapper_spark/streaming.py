@@ -177,3 +177,50 @@ def windowed_host_counts(spark: SparkSession, input_path: str,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def dedup_stream(spark: SparkSession, input_path: str, output_path: str,
+                 schema: str, key_cols: 'list[str]',
+                 ts_col: str = 'warc_ts',
+                 watermark: str = '30 minutes',
+                 derive=None,
+                 available_now: bool = True):
+    """Streaming exact dedup within a watermark
+    (``dropDuplicatesWithinWatermark``) — the crawl-ingest shape: a
+    page re-fetched minutes apart (mirrors, retries, duplicate sitemap
+    entries) must land in the corpus ONCE, but an unbounded global
+    ``dropDuplicates`` would grow its key state forever.  Keying the
+    state to the event-time watermark bounds it: duplicates whose
+    event times fall within the watermark delay are GUARANTEED dropped
+    (the contract we oracle); state older than the horizon is evicted,
+    so a genuine re-crawl much later re-enters the corpus — which is
+    what an incremental crawl pipeline wants (content re-validated per
+    crawl epoch, state O(pages per horizon) instead of O(corpus)).
+
+    ``derive``: optional DataFrame→DataFrame hook run before the
+    watermark — the place to add a content-hash column (e.g.
+    ``F.md5('text')``) so ``key_cols`` can reference it; keep it to
+    stateless column expressions.  Output is appended as parquet under
+    ``output_path/deduped`` with a streaming checkpoint, so file
+    pickup is exactly-once and re-runs resume the SAME state store —
+    two successive ``available_now`` runs behave as one continuous
+    stream (the eviction pytest exploits exactly that)."""
+    stream = (spark.readStream
+              .schema(schema)
+              .parquet(input_path))
+    if derive is not None:
+        stream = derive(stream)
+    deduped = (stream
+               .withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(key_cols))
+    writer = (deduped.writeStream
+              .outputMode('append')
+              .format('parquet')
+              .option('path', os.path.join(output_path, 'deduped'))
+              .option('checkpointLocation',
+                      os.path.join(output_path, '_dedup_checkpoint')))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -28,6 +28,10 @@ sys.path.insert(0, '/root/repo')
 # and q_w3_topk_events (thin aggregates / a 0-row check / an
 # orderBy+limit — the salting family stays covered in-window by
 # q_skew_salted_agg, top-k by q_w1; all five remain oracled at 51+).
+# Late round 5: q_ppl_buckets / q_token_budget_mix / q_stream_dedup
+# replaced q_lang_id / q_quality_scores / q_rollup_orders (the lang-ID
+# and quality signals are graded INSIDE the two new composition
+# oracles; grouping sets stay oracled by q_cube_events at 51+).
 GRADED_WINDOW = [
     'q_stream_windowed_counts',
     'q_bloom_incremental_ingest',
@@ -50,15 +54,15 @@ GRADED_WINDOW = [
     'q_j2_broadcast_join',
     'q_substring_duplication',
     'q_tpch_q1_pricing_summary',
-    'q_lang_id',
-    'q_quality_scores',
+    'q_ppl_buckets',
+    'q_token_budget_mix',
     'q_curation_pipeline',
     'q_model_quality_gate',
     'q_emb_cosine_topk',
     'q_emb_centroid_per_label',
     'q_token_counts_bpe',
     'q_w2_search_snippets',
-    'q_rollup_orders',
+    'q_stream_dedup',
     'q_group_quota',
     'q_ngram_jaccard_exact',
     'q_emb_cosine_dups',
@@ -109,4 +113,7 @@ def test_out_of_window_oracles_still_covered_internally():
     assert 'q_j1_anti_join' in oracled_outside
     assert 'q_w3_topk_events' in oracled_outside
     assert 'q_event_percentiles' in oracled_outside
+    assert 'q_lang_id' in oracled_outside
+    assert 'q_quality_scores' in oracled_outside
+    assert 'q_rollup_orders' in oracled_outside
     assert len(oracled_outside) >= 15

@@ -1,0 +1,243 @@
+"""Corpus-composition operators added late in round 5: CCNet-style
+perplexity bucketing (textstats.ppl_buckets), token-budget mixture
+allocation (curate.token_budget_fill), and streaming dedup within a
+watermark (streaming.dedup_stream).
+
+Each operator's value semantics are also DuckDB-oracled end-to-end by
+q_ppl_buckets / q_token_budget_mix / q_stream_dedup; these tests pin
+the properties the oracle can't see (mode agreement, pure-Python
+reference equivalence, cross-run streaming state, plan shape).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark.operators.curate import token_budget_fill
+from pdf_ai_mapper_spark.operators.textstats import ppl_buckets
+
+
+def _scored(spark, n=90):
+    # three langs, deterministic scores with deliberate ties
+    rows = [(i, ['en', 'de', 'fr'][i % 3], float(-(i % 7)) / 2.0)
+            for i in range(n)]
+    return spark.createDataFrame(rows, 'doc_id long, lang string, score double')
+
+
+class TestPplBuckets:
+    def test_exact_tier_populations_and_order(self, spark):
+        df = _scored(spark)
+        out = ppl_buckets(df, 'doc_id', 'score', 'lang').collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r['lang'], []).append(r)
+        assert set(by_lang) == {'en', 'de', 'fr'}
+        for lang, rows in by_lang.items():
+            sizes = {'head': 0, 'middle': 0, 'tail': 0}
+            for r in rows:
+                sizes[r['ppl_bucket']] += 1
+            # 30 rows per lang -> exact thirds
+            assert sizes == {'head': 10, 'middle': 10, 'tail': 10}
+            # every head score >= every middle score >= every tail score
+            lo = {b: min(r['score'] for r in rows if r['ppl_bucket'] == b)
+                  for b in sizes}
+            hi = {b: max(r['score'] for r in rows if r['ppl_bucket'] == b)
+                  for b in sizes}
+            assert lo['head'] >= hi['middle'] >= hi['tail']
+            assert lo['middle'] >= hi['tail']
+
+    def test_exact_matches_python_reference(self, spark):
+        df = _scored(spark, n=50)  # 50 % 3 != 0: uneven tiers
+        out = {r['doc_id']: r['ppl_bucket']
+               for r in ppl_buckets(df, 'doc_id', 'score', 'lang').collect()}
+        rows = df.collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r['lang'], []).append(r)
+        for rs in by_lang.values():
+            rs.sort(key=lambda r: (-r['score'], r['doc_id']))
+            n = len(rs)
+            base, rem = divmod(n, 3)
+            sizes = [base + (1 if i < rem else 0) for i in range(3)]
+            labels = (['head'] * sizes[0] + ['middle'] * sizes[1]
+                      + ['tail'] * sizes[2])
+            for r, lab in zip(rs, labels):
+                assert out[r['doc_id']] == lab, (r, lab)
+
+    def test_cutoff_mode_agrees_away_from_boundaries(self, spark):
+        # distinct scores, one lang: cutoff boundaries are exact
+        # percentiles of a clean grid, so every non-boundary row agrees
+        df = spark.createDataFrame(
+            [(i, 'en', float(i)) for i in range(30)],
+            'doc_id long, lang string, score double')
+        exact = {r['doc_id']: r['ppl_bucket'] for r in
+                 ppl_buckets(df, 'doc_id', 'score', 'lang').collect()}
+        cut = {r['doc_id']: r['ppl_bucket'] for r in
+               ppl_buckets(df, 'doc_id', 'score', 'lang',
+                           mode='cutoff').collect()}
+        disagree = [i for i in exact if exact[i] != cut[i]]
+        # at most the two boundary rows may differ between the modes
+        assert len(disagree) <= 2, disagree
+
+    def test_no_group_col(self, spark):
+        df = _scored(spark, n=30)
+        out = ppl_buckets(df, 'doc_id', 'score').collect()
+        sizes = {}
+        for r in out:
+            sizes[r['ppl_bucket']] = sizes.get(r['ppl_bucket'], 0) + 1
+        assert sizes == {'head': 10, 'middle': 10, 'tail': 10}
+
+    def test_bad_mode_raises(self, spark):
+        with pytest.raises(ValueError, match='mode'):
+            ppl_buckets(_scored(spark), 'doc_id', 'score', 'lang',
+                        mode='approx')
+
+    def test_payload_never_rides_the_sort(self, spark):
+        # the ntile window must run over the narrow projection: no
+        # text/payload column may appear in the window exchange
+        df = _scored(spark).withColumn('payload', F.repeat(F.lit('x'), 100))
+        plan = (ppl_buckets(df, 'doc_id', 'score', 'lang')
+                ._jdf.queryExecution().executedPlan().toString())
+        window_section = plan[plan.index('Window'):]
+        sort_above_window = window_section[:window_section.index('Scan')]
+        assert 'payload' not in sort_above_window
+
+
+class TestTokenBudgetFill:
+    def _docs(self, spark):
+        rows = [(i, ['en', 'de'][i % 2], 10 + (i * 7) % 50,
+                 float((i * 13) % 11)) for i in range(60)]
+        return spark.createDataFrame(
+            rows, 'doc_id long, lang string, n_tok long, prio double')
+
+    def test_matches_python_greedy_reference(self, spark):
+        df = self._docs(spark)
+        budgets = {'en': 300, 'de': 150}
+        kept = sorted(r['doc_id'] for r in token_budget_fill(
+            df, 'lang', budgets, 'n_tok',
+            [('prio', 'desc'), ('doc_id', 'asc')]).collect())
+        expect = []
+        rows = df.collect()
+        for lang, budget in budgets.items():
+            cum = 0
+            for r in sorted((r for r in rows if r['lang'] == lang),
+                            key=lambda r: (-r['prio'], r['doc_id'])):
+                if cum < budget:
+                    expect.append(r['doc_id'])
+                cum += r['n_tok']
+        assert kept == sorted(expect)
+
+    def test_unlisted_group_dropped(self, spark):
+        df = self._docs(spark)
+        kept = token_budget_fill(df, 'lang', {'en': 10 ** 9}, 'n_tok',
+                                 [('doc_id', 'asc')]).collect()
+        assert kept and all(r['lang'] == 'en' for r in kept)
+        # a big-enough budget keeps the whole group
+        assert len(kept) == 30
+
+    def test_overshoot_at_most_one_doc_per_group(self, spark):
+        df = self._docs(spark)
+        budgets = {'en': 137, 'de': 61}
+        kept = token_budget_fill(df, 'lang', budgets, 'n_tok',
+                                 [('prio', 'desc'), ('doc_id', 'asc')])
+        tot = {r['lang']: (r['s'], r['mx']) for r in
+               kept.groupBy('lang')
+               .agg(F.sum('n_tok').alias('s'), F.max('n_tok').alias('mx'))
+               .collect()}
+        for lang, budget in budgets.items():
+            s, mx = tot[lang]
+            assert s - mx < budget <= s + mx  # straddler-bounded
+
+    def test_empty_budgets_raise(self, spark):
+        with pytest.raises(ValueError, match='budgets'):
+            token_budget_fill(self._docs(spark), 'lang', {}, 'n_tok',
+                              [('doc_id', 'asc')])
+
+
+class TestDedupStream:
+    SCHEMA = 'doc_id long, text string, ts timestamp'
+
+    def _write(self, spark, rows, path):
+        (spark.createDataFrame(rows, self.SCHEMA)
+         .coalesce(1).write.mode('append').parquet(path))
+
+    def _run(self, spark, indir, outdir, watermark='1 hour'):
+        from pdf_ai_mapper_spark.streaming import dedup_stream
+        dedup_stream(
+            spark, indir, outdir, self.SCHEMA, ['content_hash'],
+            ts_col='ts', watermark=watermark,
+            derive=lambda s: s.withColumn('content_hash', F.md5('text')))
+        return spark.read.parquet(os.path.join(outdir, 'deduped'))
+
+    def test_within_watermark_duplicates_guaranteed_dropped(self, spark):
+        import datetime as dt
+        base = dt.datetime(2025, 1, 1)
+        indir = tempfile.mkdtemp(prefix='pam_sdedup_in_')
+        outdir = tempfile.mkdtemp(prefix='pam_sdedup_out_')
+        try:
+            rows = [(i, f'doc {i % 20}', base + dt.timedelta(seconds=30 * i))
+                    for i in range(100)]  # 5 copies of each of 20 texts
+            self._write(spark, rows, indir)
+            out = self._run(spark, indir, outdir).collect()
+            assert len(out) == 20
+            assert sorted({r['text'] for r in out}) == sorted(
+                {f'doc {i}' for i in range(20)})
+        finally:
+            shutil.rmtree(indir, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    def test_state_persists_across_available_now_runs(self, spark):
+        # two successive availableNow runs share the checkpointed state
+        # store: a duplicate arriving in run 2, within the watermark of
+        # its run-1 original, is still dropped
+        import datetime as dt
+        base = dt.datetime(2025, 1, 1)
+        indir = tempfile.mkdtemp(prefix='pam_sdedup2_in_')
+        outdir = tempfile.mkdtemp(prefix='pam_sdedup2_out_')
+        try:
+            self._write(spark, [(1, 'alpha', base), (2, 'beta', base)], indir)
+            first = self._run(spark, indir, outdir).count()
+            assert first == 2
+            self._write(spark, [(3, 'alpha', base + dt.timedelta(minutes=5)),
+                                (4, 'gamma', base + dt.timedelta(minutes=5))],
+                        indir)
+            out = self._run(spark, indir, outdir).collect()
+            texts = sorted(r['text'] for r in out)
+            assert texts == ['alpha', 'beta', 'gamma']
+        finally:
+            shutil.rmtree(indir, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    def test_state_evicted_past_watermark_readmits_recrawl(self, spark):
+        # the flip side that distinguishes this from global
+        # dropDuplicates: once the watermark passes a key's event time,
+        # its state is evicted and a much-later re-crawl re-enters the
+        # corpus. (Eviction timing is an implementation property of the
+        # state store — the CONTRACT only guarantees dedup within the
+        # delay — so this pins observed RocksDB/HDFS-store behavior.)
+        import datetime as dt
+        base = dt.datetime(2025, 1, 1)
+        indir = tempfile.mkdtemp(prefix='pam_sdedup3_in_')
+        outdir = tempfile.mkdtemp(prefix='pam_sdedup3_out_')
+        try:
+            self._write(spark, [(1, 'alpha', base)], indir)
+            assert self._run(spark, indir, outdir,
+                             watermark='10 minutes').count() == 1
+            # run 2's batch carries the watermark far past run 1's
+            # state (+1 day), then re-crawls 'alpha'
+            self._write(spark, [(2, 'filler', base + dt.timedelta(days=1))],
+                        indir)
+            assert self._run(spark, indir, outdir,
+                             watermark='10 minutes').count() == 2
+            self._write(spark, [(3, 'alpha', base + dt.timedelta(days=1))],
+                        indir)
+            out = self._run(spark, indir, outdir, watermark='10 minutes')
+            assert out.filter(F.col('text') == 'alpha').count() == 2
+        finally:
+            shutil.rmtree(indir, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
