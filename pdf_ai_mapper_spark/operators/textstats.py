@@ -57,9 +57,16 @@ def lang_scores(tokens_col: Column) -> dict[str, Column]:
 
 def with_lang_id(df: DataFrame, text_col: str = 'text',
                  out_col: str = 'lang_pred') -> DataFrame:
-    """Predicted language = argmax marker-hit count, 'und' when all
-    zero. Ties break by the fixed order en > de > fr > es."""
-    df = df.withColumn('__lang_toks', _tokenize(F.col(text_col)))
+    """Predicted language: Han-script docs (≥20% CJK-unified-ideograph
+    code points, ≥1 of them — an integer*5 comparison, exact in any
+    engine) are 'zh'; otherwise argmax marker-hit count, 'und' when
+    all zero, ties broken by the fixed order en > de > fr > es.  The
+    script check runs FIRST because marker words are Latin-alphabet:
+    without it every zh doc lands in 'und' (latent until round 5 —
+    the fixture's lang column exposed it)."""
+    t = F.col(text_col)
+    han = F.length(F.regexp_replace(t, r'[^\x{4E00}-\x{9FFF}]', ''))
+    df = df.withColumn('__lang_toks', _tokenize(t))
     scores = lang_scores(F.col('__lang_toks'))
     best_lang = F.lit('und')
     best_score = F.lit(0)
@@ -67,7 +74,10 @@ def with_lang_id(df: DataFrame, text_col: str = 'text',
         s = scores[lang]
         best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
         best_score = F.greatest(best_score, s)
-    return df.withColumn(out_col, best_lang).drop('__lang_toks')
+    is_zh = (han >= 1) & (han * 5 >= F.greatest(F.length(t), F.lit(1)))
+    return (df.withColumn(out_col, F.when(is_zh, F.lit('zh'))
+                          .otherwise(best_lang))
+            .drop('__lang_toks'))
 
 
 def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:

@@ -1738,7 +1738,7 @@ def _markers_score_sql(lang: str) -> str:
 
 
 _LANG_ID_CASE = (
-    "CASE "
+    "CASE WHEN s_han >= 1 AND s_han * 5 >= GREATEST(n_cp, 1) THEN 'zh' "
     + ' '.join(
         f"WHEN s_{lang} >= GREATEST({', '.join('s_' + o for o in _MARKERS)}) "
         f"AND s_{lang} >= 1 THEN '{lang}'"
@@ -1908,6 +1908,8 @@ ORACLES: dict[str, str] = {
     'q_lang_id': (
         "WITH scored AS (SELECT lang, "
         + ', '.join(f"{_markers_score_sql(lang)} AS s_{lang}" for lang in _MARKERS)
+        + r", length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))"
+        " AS s_han, length(text) AS n_cp"
         + " FROM documents), pred AS (SELECT lang, " + _LANG_ID_CASE
         + " AS lang_pred FROM scored) "
         "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n "

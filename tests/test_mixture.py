@@ -108,6 +108,41 @@ class TestPplBuckets:
         assert 'payload' not in sort_above_window
 
 
+class TestLangIdHanScript:
+    """Round-5 fix: Latin marker words can never classify CJK text, so
+    with_lang_id previously sent every Chinese document to 'und'. The
+    Han-script pre-check (≥20% CJK-unified-ideograph code points) now
+    routes it to 'zh'; the q_lang_id DuckDB oracle repeats the same
+    integer*5 comparison."""
+
+    def test_han_text_classified_zh(self, spark):
+        from pdf_ai_mapper_spark.operators.textstats import with_lang_id
+        rows = [
+            (1, '这是一个完全中文的文档 内容很多'),           # pure Han
+            (2, 'the spark join is fast and the scan is good'),  # en
+            (3, 'abc 中文 def'),                                 # 2/10 = 20%
+            (4, 'abcdefgh 中 x'),                                # 1/11 < 20%
+            (5, '!!!! ????'),                                    # none
+        ]
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        out = {r['doc_id']: r['lang_pred']
+               for r in with_lang_id(df).collect()}
+        assert out[1] == 'zh'
+        assert out[2] == 'en'
+        assert out[3] == 'zh'   # exactly at the 20% boundary (>=)
+        assert out[4] == 'und'  # below threshold, no markers
+        assert out[5] == 'und'
+
+    def test_zh_wins_over_markers_when_mixed(self, spark):
+        from pdf_ai_mapper_spark.operators.textstats import with_lang_id
+        # markers present AND >=20% Han: script evidence outranks the
+        # handful of function words a quote or UI chrome drags in
+        df = spark.createDataFrame(
+            [(1, 'the and of 中文文本内容就在这里还有更多')],
+            'doc_id long, text string')
+        assert with_lang_id(df).collect()[0]['lang_pred'] == 'zh'
+
+
 class TestTokenBudgetFill:
     def _docs(self, spark):
         rows = [(i, ['en', 'de'][i % 2], 10 + (i * 7) % 50,
