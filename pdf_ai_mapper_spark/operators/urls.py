@@ -62,3 +62,60 @@ def with_canonical_url(df: DataFrame, url_col: str = 'url',
             .withColumn(out_col, canonical_url(F.col(url_col)))
             .withColumn('host', host_of(F.col(out_col)))
             .withColumn('domain', registered_domain(F.col(out_col))))
+
+
+# Default URL-filter tables (RefinedWeb-style; Penedo et al. 2023 run
+# a domain blocklist + a weighted URL-keyword score BEFORE fetching or
+# extracting anything — the cheapest reject in the whole pipeline).
+# Both lists are deliberately small and pinned so the SQL oracle can
+# repeat them verbatim; production swaps in the UT1 blocklist and a
+# full curated keyword table without touching the plan shape.
+BLOCKED_DOMAINS: tuple[str, ...] = (
+    'badsite.example', 'spamfarm.test', 'linkmill.invalid',
+)
+# weight ≈ how strongly the token marks low-value/unsafe content;
+# fractional-signal tokens get weight 1 and only reject in numbers
+URL_KEYWORD_WEIGHTS: dict[str, int] = {
+    'casino': 5, 'poker': 5, 'pills': 5, 'torrent': 4, 'warez': 5,
+    'webcam': 3, 'adult': 3, 'download': 1, 'free': 1, 'win': 1,
+}
+
+
+def url_quality_filter(df: DataFrame, url_col: str = 'url',
+                       blocked_domains: 'tuple[str, ...]' = BLOCKED_DOMAINS,
+                       keyword_weights: 'dict[str, int] | None' = None,
+                       threshold: int = 5) -> DataFrame:
+    """URL-level quality gate (late round 5) — the RefinedWeb first
+    stage: reject a page from its URL ALONE, before any fetch bytes or
+    extraction compute are spent on it.  Two signals, both integer and
+    engine-exact:
+
+    - ``url_block``: the URL's registered domain is on the blocklist
+      (UT1-style).  The default tuple inlines as an ``isin`` literal;
+      a production blocklist (10^5-10^6 domains) swaps to a broadcast
+      anti-join on the same domain column — identical semantics, one
+      broadcast, zero shuffle of the page table either way.
+    - ``url_score``: Σ weight · occurrences(keyword in lower(url)) —
+      the weighted-keyword soft score; ``url_ok`` requires
+      score < ``threshold`` AND not blocked.
+
+    Adds ``domain``, ``url_score``, ``url_block``, ``url_ok`` columns;
+    all pure codegen string expressions evaluated inside the scan
+    projection (no shuffle, no Python), so at 100 TB this runs at
+    scan speed and feeds partition-pruning-friendly predicates."""
+    import re as _re
+    kw = (URL_KEYWORD_WEIGHTS if keyword_weights is None
+          else keyword_weights)
+    u = F.lower(F.col(url_col))
+    score = F.lit(0)
+    for word, weight in kw.items():
+        score = score + F.lit(int(weight)) * F.regexp_count(
+            u, F.lit(_re.escape(word.lower())))
+    dom = registered_domain(F.col(url_col))
+    blocked = dom.isin(*[d.lower() for d in blocked_domains])
+    return (df
+            .withColumn('domain', dom)
+            .withColumn('url_score', score)
+            .withColumn('url_block', blocked)
+            .withColumn('url_ok',
+                        (~blocked) & (score < F.lit(int(threshold)))))

@@ -1306,6 +1306,39 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def q_url_filter(spark, sf_dir):
+    """URL-level quality gate (urls.url_quality_filter — the
+    RefinedWeb first stage: reject from the URL alone, before fetch or
+    extraction): URLs synthesized deterministically from doc_id — one
+    in 7 on a blocklisted domain, path keywords by residue so some
+    cross the weighted-score threshold ('casino'/'poker' = 5 ≥ 5) and
+    some accumulate only soft signal ('free-download'/'win-free' = 2).
+    Per-verdict counts + score totals + id_sum witnessing the exact
+    partition. ORACLED: DuckDB derives the expected verdict
+    INDEPENDENTLY from the construction arithmetic (CASE on the
+    residues), not by re-running the string scan."""
+    from .operators.urls import url_quality_filter
+    d = _t(spark, sf_dir, 'documents')
+    sid = F.col('doc_id')
+    dom = (F.when(sid % 7 == 0, F.lit('badsite.example'))
+           .otherwise(F.concat(F.lit('site'), (sid % 5).cast('string'),
+                               F.lit('.example.com'))))
+    word = F.element_at(
+        F.lit(['casino', 'poker', 'news', 'blog', 'free-download',
+               'sports', 'travel', 'recipes', 'win-free', 'music']),
+        (sid % 10 + 1).cast('int'))
+    url = F.concat(F.lit('https://'), dom, F.lit('/'), word,
+                   F.lit('/p'), sid.cast('string'))
+    out = url_quality_filter(d.select('doc_id', url.alias('url')))
+    verdict = (F.when(F.col('url_block'), F.lit('blocked'))
+               .when(~F.col('url_ok'), F.lit('rejected'))
+               .otherwise(F.lit('ok')))
+    return (out.groupBy(verdict.alias('verdict'))
+            .agg(F.count('*').cast('long').alias('n_urls'),
+                 F.sum('url_score').cast('long').alias('sum_score'),
+                 F.sum('doc_id').cast('long').alias('id_sum')))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (operators/dsir, round 5 — Xie et
     al. 2023): target = every 5th English doc (the curated sample),
@@ -2777,6 +2810,26 @@ ORACLES: dict[str, str] = {
                CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents
     """,
+    # verdicts derived INDEPENDENTLY from the construction residues:
+    # doc_id%7==0 → blocked domain; word residues 0/1 carry weight-5
+    # keywords (score 5 ≥ threshold → rejected), residues 4/8 carry
+    # two weight-1 tokens (score 2 → ok); everything else scores 0
+    'q_url_filter': r"""
+        WITH v AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'blocked'
+                        WHEN doc_id % 10 IN (0, 1) THEN 'rejected'
+                        ELSE 'ok' END AS verdict,
+                   CASE WHEN doc_id % 10 IN (0, 1) THEN 5
+                        WHEN doc_id % 10 IN (4, 8) THEN 2
+                        ELSE 0 END AS url_score
+            FROM documents
+        )
+        SELECT verdict, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(url_score) AS BIGINT) AS sum_score,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM v GROUP BY verdict
+    """,
     # DSIR rebuilt end-to-end: md5-hex bucketing of {uni,bi}grams,
     # both Lidstone bucket models over the fixed 16^3 space, summed
     # log-ratio, and the derandomized Gumbel key from the same
@@ -3088,6 +3141,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_j1_anti_join': q_j1_anti_join,
         'q_w3_topk_events': q_w3_topk_events,
         'q_dsir_select': q_dsir_select,
+        'q_url_filter': q_url_filter,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

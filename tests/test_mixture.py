@@ -194,6 +194,43 @@ class TestTokenBudgetFill:
                               [('doc_id', 'asc')])
 
 
+class TestUrlQualityFilter:
+    def _run(self, spark, urls, **kw):
+        from pdf_ai_mapper_spark.operators.urls import url_quality_filter
+        df = spark.createDataFrame(list(enumerate(urls)),
+                                   'doc_id long, url string')
+        return {r['url']: r for r in url_quality_filter(df, **kw).collect()}
+
+    def test_blocklist_and_scores(self, spark):
+        out = self._run(spark, [
+            'https://badsite.example/innocent/page',     # blocked domain
+            'https://www.badsite.example/x',             # www. stripped
+            'https://news.site.com/article',             # clean
+            'https://host.com/casino/page',              # 5 >= 5
+            'https://host.com/free-download',            # 1+1 = 2
+            'https://host.com/casino-casino',            # 10: repeats count
+        ])
+        assert out['https://badsite.example/innocent/page']['url_block']
+        assert not out['https://badsite.example/innocent/page']['url_ok']
+        assert out['https://www.badsite.example/x']['url_block']
+        clean = out['https://news.site.com/article']
+        assert not clean['url_block'] and clean['url_ok']
+        assert clean['url_score'] == 0
+        assert out['https://host.com/casino/page']['url_score'] == 5
+        assert not out['https://host.com/casino/page']['url_ok']
+        assert out['https://host.com/free-download']['url_score'] == 2
+        assert out['https://host.com/free-download']['url_ok']
+        assert out['https://host.com/casino-casino']['url_score'] == 10
+
+    def test_case_insensitive_and_custom_tables(self, spark):
+        out = self._run(spark, ['https://h.com/CASINO', 'https://h.com/x'],
+                        keyword_weights={'casino': 3}, threshold=3,
+                        blocked_domains=('h.com',))
+        assert out['https://h.com/CASINO']['url_score'] == 3
+        # both blocked regardless of score: domain rule dominates
+        assert all(r['url_block'] and not r['url_ok'] for r in out.values())
+
+
 class TestDedupStream:
     SCHEMA = 'doc_id long, text string, ts timestamp'
 
