@@ -383,3 +383,76 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
                    'keep'))
     out._persisted_deps = getattr(pairs, '_persisted_deps', [])
     return out
+
+
+# ------------------------------------- semantic (embedding) decontamination
+
+def semantic_decontamination(train_df: DataFrame, bench_df: DataFrame,
+                             id_col: str = 'vec_id',
+                             vec_col: str = 'embedding',
+                             bench_id_col: str | None = None,
+                             threshold: float = 0.95) -> DataFrame:
+    """Embedding-space benchmark decontamination (late round 5) — the
+    semantic complement to ``textstats.decontamination_overlap``: an
+    n-gram scrub misses a PARAPHRASED benchmark item, but its
+    embedding still sits next to the benchmark embedding.  Flags every
+    training vector whose max cosine against ANY benchmark vector
+    reaches ``threshold`` (the Phi/Llama-report eval-dedup shape).
+
+    Scale shape — identical to the n-gram variant's, which is the
+    whole point: the benchmark side is SMALL (10^3-10^5 rows), so its
+    L2-normalized matrix is collected once and broadcast; the training
+    corpus is scored in ONE Arrow-batched pandas UDF as a
+    (batch × dim) @ (dim × m) matmul and NEVER shuffles — at 100 TB
+    this is a map-only pass over the scan.  A benchmark too big for
+    one executor-resident matrix chunks column-blocks inside the same
+    UDF (running max over blocks); the driver collect is the only
+    state.
+
+    Ties and numerics: similarities are rounded to 6 places BEFORE the
+    argmax and the benchmark matrix is ordered by ascending id, so the
+    reported ``bench_id`` is the min-id argmax of the rounded score —
+    reproducible in plain SQL.  Zero-norm vectors score 0.
+
+    Adds ``bench_sim`` (max rounded cosine), ``bench_id`` (its
+    argmax), ``contaminated`` (bench_sim ≥ threshold)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    bid = bench_id_col or id_col
+    rows = (bench_df.select(F.col(bid).alias('__bid'),
+                            F.col(vec_col).alias('__bvec'))
+            .orderBy('__bid').collect())
+    if not rows:
+        raise ValueError('semantic_decontamination: bench_df is empty')
+    bench_ids = np.array([r['__bid'] for r in rows], dtype=np.int64)
+    bmat = np.array([list(r['__bvec']) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(bmat, axis=1)
+    bmat = (bmat / np.where(norms == 0.0, 1.0, norms)[:, None]).T  # d × m
+    bc = train_df.sparkSession.sparkContext.broadcast((bench_ids, bmat))
+
+    out_type = StructType([StructField('bench_sim', DoubleType()),
+                           StructField('bench_id', LongType())])
+
+    @pandas_udf(out_type)
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for vecs in batches:
+            t = np.array(vecs.tolist(), dtype=np.float64)
+            tn = np.linalg.norm(t, axis=1)
+            t = t / np.where(tn == 0.0, 1.0, tn)[:, None]
+            sims = np.round(t @ mat, 6)          # n × m, rounded grid
+            best = sims.argmax(axis=1)           # first max = min id
+            yield pd.DataFrame({
+                'bench_sim': sims[np.arange(len(best)), best],
+                'bench_id': ids[best],
+            })
+
+    return (train_df
+            .withColumn('__d', score(F.col(vec_col)))
+            .withColumn('bench_sim', F.col('__d.bench_sim'))
+            .withColumn('bench_id', F.col('__d.bench_id'))
+            .withColumn('contaminated',
+                        F.col('bench_sim') >= F.lit(float(threshold)))
+            .drop('__d'))

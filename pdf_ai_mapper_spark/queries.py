@@ -1306,6 +1306,31 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def q_semantic_decontamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (similarity.semantic_decontamination): the benchmark = a shifted
+    copy of every 10th embedding (ids +100000), so exactly those 50
+    train vectors sit at rounded cosine 1.0 while the corpus's max
+    natural cosine (~0.51, measured for q_semantic_dedup) is far under
+    the 0.9 threshold — the verdict has no rounding boundary anywhere
+    near it. Reports per-verdict counts, train-id sums, and the sum of
+    matched bench ids (witnessing the min-id argmax). ORACLED: DuckDB
+    recomputes every train×bench cosine, rounds to the same 6-place
+    grid, and applies the identical (sim DESC, bench_id ASC) argmax."""
+    from .operators.similarity import semantic_decontamination
+    emb = _t(spark, sf_dir, 'embeddings')
+    bench = emb.filter(F.col('vec_id') % 10 == 0).select(
+        (F.col('vec_id') + 100000).alias('vec_id'), 'embedding')
+    out = semantic_decontamination(emb, bench, threshold=0.9)
+    verdict = F.when(F.col('contaminated'),
+                     F.lit('contaminated')).otherwise(F.lit('clean'))
+    return (out.groupBy(verdict.alias('verdict'))
+            .agg(F.count('*').cast('long').alias('n_vecs'),
+                 F.sum('vec_id').cast('long').alias('id_sum'),
+                 F.sum(F.when(F.col('contaminated'), F.col('bench_id')))
+                 .cast('long').alias('bench_id_sum')))
+
+
 def q_url_filter(spark, sf_dir):
     """URL-level quality gate (urls.url_quality_filter — the
     RefinedWeb first stage: reject from the URL alone, before fetch or
@@ -2810,6 +2835,40 @@ ORACLES: dict[str, str] = {
                CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents
     """,
+    # every train×bench cosine recomputed, rounded to the same 6-place
+    # grid, identical (sim DESC, bid ASC) argmax; bench_id_sum is NULL
+    # for the clean group on both sides
+    'q_semantic_decontamination': r"""
+        WITH bench AS (
+            SELECT vec_id + 100000 AS bid, embedding FROM embeddings
+            WHERE vec_id % 10 = 0
+        ), sims AS (
+            SELECT t.vec_id, b.bid,
+                   round(list_dot_product(t.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(t.embedding::DOUBLE[],
+                                                t.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))), 6)
+                       AS sim
+            FROM embeddings t, bench b
+        ), best AS (
+            SELECT vec_id, bid, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, bid ASC) AS rk
+            FROM sims
+        ), v AS (
+            SELECT vec_id, bid, sim >= 0.9 AS contaminated
+            FROM best WHERE rk = 1
+        )
+        SELECT CASE WHEN contaminated THEN 'contaminated'
+                    ELSE 'clean' END AS verdict,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(vec_id) AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN contaminated THEN bid END) AS BIGINT)
+                   AS bench_id_sum
+        FROM v GROUP BY verdict
+    """,
     # verdicts derived INDEPENDENTLY from the construction residues:
     # doc_id%7==0 → blocked domain; word residues 0/1 carry weight-5
     # keywords (score 5 ≥ threshold → rejected), residues 4/8 carry
@@ -3142,6 +3201,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_w3_topk_events': q_w3_topk_events,
         'q_dsir_select': q_dsir_select,
         'q_url_filter': q_url_filter,
+        'q_semantic_decontamination': q_semantic_decontamination,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
