@@ -109,6 +109,58 @@ def curate_corpus(df: DataFrame,
     return hash_split(out, id_col, weights=split_weights)
 
 
+def budgets_from_mixture(df: DataFrame, group_col: str, token_col: str,
+                         target_weights: 'dict[str, float]',
+                         total_tokens: int) -> 'dict[str, int]':
+    """Turn target mixture PROPORTIONS into the per-group token
+    BUDGETS ``token_budget_fill`` consumes (late round 5) — the
+    missing driver step between "train on 70% en / 20% de / 10% fr"
+    and an actual selection: proportional waterfilling against what
+    the corpus actually has.
+
+    Each round allocates ``remaining`` proportionally to the still-
+    uncapped groups' weights; any group whose share exceeds its
+    available tokens is clamped to availability and its shortfall
+    re-flows to the others next round (the standard mixture-repair
+    loop — at most one round per group, so it terminates).  All
+    arithmetic is Fraction/int (exact, platform-independent); up to
+    len(groups)-1 floor-remainder tokens may go unallocated, which is
+    noise at any real budget.  Groups outside ``target_weights`` get
+    no budget — same explicit-mixture contract as the fill.
+
+    Cost: ONE narrow (group, sum(tokens)) aggregate and a collect of
+    a few dozen rows; the returned dict folds into the fill's codegen
+    CASE.  At 100 TB this is the cheapest step in the pipeline."""
+    from fractions import Fraction
+    rows = (df.groupBy(group_col)
+            .agg(F.sum(token_col).alias('__tok')).collect())
+    avail = {r[0]: int(r[1]) for r in rows
+             if r[0] in target_weights and r[1] is not None}
+    frac = {g: Fraction(w).limit_denominator(10 ** 9)
+            for g, w in target_weights.items()}
+    budgets = {g: 0 for g in target_weights}
+    remaining = int(total_tokens)
+    active = [g for g in target_weights if avail.get(g, 0) > 0]
+    while remaining > 0 and active:
+        wsum = sum(frac[g] for g in active)
+        shares = {g: int(Fraction(remaining) * frac[g] / wsum)
+                  for g in active}
+        clamped = False
+        for g in list(active):
+            cap = avail[g] - budgets[g]
+            if shares[g] >= cap:
+                budgets[g] += cap
+                remaining -= cap
+                active.remove(g)
+                clamped = True
+        if not clamped:
+            for g in active:
+                budgets[g] += shares[g]
+                remaining -= shares[g]
+            break
+    return {g: b for g, b in budgets.items() if b > 0}
+
+
 def token_budget_fill(df: DataFrame, group_col: str,
                       budgets: 'dict[str, int]',
                       token_col: str,

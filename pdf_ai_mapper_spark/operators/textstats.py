@@ -65,7 +65,11 @@ def with_lang_id(df: DataFrame, text_col: str = 'text',
     without it every zh doc lands in 'und' (latent until round 5 —
     the fixture's lang column exposed it)."""
     t = F.col(text_col)
-    han = F.length(F.regexp_replace(t, r'[^\x{4E00}-\x{9FFF}]', ''))
+    # regexp_count: no stripped-string materialization (A/B at sf0.1:
+    # 0.20 s vs 0.27 s warm for the replace+length form); the oracle
+    # keeps the equivalent length(regexp_replace) as an independent
+    # derivation of the same code-point count
+    han = F.regexp_count(t, F.lit(r'[\x{4E00}-\x{9FFF}]'))
     df = df.withColumn('__lang_toks', _tokenize(t))
     scores = lang_scores(F.col('__lang_toks'))
     best_lang = F.lit('und')

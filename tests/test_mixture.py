@@ -194,6 +194,53 @@ class TestTokenBudgetFill:
                               [('doc_id', 'asc')])
 
 
+class TestBudgetsFromMixture:
+    def _corpus(self, spark, en=1000, de=1000, fr=1000):
+        rows = ([('en', en)] + [('de', de)] + [('fr', fr)])
+        return spark.createDataFrame(rows, 'lang string, n_tok long')
+
+    def test_proportional_when_abundant(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import budgets_from_mixture
+        b = budgets_from_mixture(self._corpus(spark), 'lang', 'n_tok',
+                                 {'en': 0.7, 'de': 0.2, 'fr': 0.1}, 1000)
+        assert b == {'en': 700, 'de': 200, 'fr': 100}
+
+    def test_capped_group_shortfall_reflows(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import budgets_from_mixture
+        # en wants 1400 of 2000 but only has 1000: the 400 shortfall
+        # re-flows 2:1 between de and fr
+        b = budgets_from_mixture(self._corpus(spark, en=1000), 'lang',
+                                 'n_tok',
+                                 {'en': 0.7, 'de': 0.2, 'fr': 0.1}, 2000)
+        assert b['en'] == 1000
+        assert b['de'] == 666 and b['fr'] == 333  # floors of 2:1 split
+
+    def test_unlisted_and_absent_groups(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import budgets_from_mixture
+        # zh in the corpus but not the mixture: ignored; es in the
+        # mixture but absent from the corpus: no budget entry
+        df = spark.createDataFrame([('en', 500), ('zh', 900)],
+                                   'lang string, n_tok long')
+        b = budgets_from_mixture(df, 'lang', 'n_tok',
+                                 {'en': 0.5, 'es': 0.5}, 600)
+        assert b == {'en': 500}
+
+    def test_composes_with_fill(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import (
+            budgets_from_mixture, token_budget_fill)
+        rows = [(i, ['en', 'de'][i % 2], 10) for i in range(100)]
+        df = spark.createDataFrame(rows,
+                                   'doc_id long, lang string, n_tok long')
+        b = budgets_from_mixture(df, 'lang', 'n_tok',
+                                 {'en': 0.8, 'de': 0.2}, 500)
+        assert b == {'en': 400, 'de': 100}
+        kept = token_budget_fill(df, 'lang', b, 'n_tok',
+                                 [('doc_id', 'asc')])
+        got = {r['lang']: r['n'] for r in
+               kept.groupBy('lang').agg(F.count('*').alias('n')).collect()}
+        assert got == {'en': 40, 'de': 10}
+
+
 class TestUrlQualityFilter:
     def _run(self, spark, urls, **kw):
         from pdf_ai_mapper_spark.operators.urls import url_quality_filter
