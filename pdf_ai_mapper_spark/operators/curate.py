@@ -211,3 +211,68 @@ def token_budget_fill(df: DataFrame, group_col: str,
             .filter(F.col('__cum_before') < budget)
             .select(id_col))
     return df.join(keep, on=id_col, how='left_semi')
+
+
+def epoch_upsample(df: DataFrame, group_col: str,
+                   factors: 'dict[str, float]',
+                   id_col: str = 'doc_id',
+                   seed: str = '',
+                   epoch_col: str = 'epoch') -> DataFrame:
+    """Fractional per-group repetition (late round 5) — the complement
+    of ``budgets_from_mixture``, which CLAMPS a group's budget to what
+    the corpus has: when the mixture demands MORE than one pass over a
+    group (the published recipes up-weight books/wiki to 1.5-3
+    "epochs" while crawl text runs sub-1), each document is emitted
+    ``floor(f)`` times plus one more iff a keyed coin with success
+    probability ``frac(f)`` lands heads.  In expectation every group
+    is scaled by exactly its factor, and the realized count is exact
+    per document — no sampling of WHICH copy, only whether the one
+    fractional copy exists.
+
+    Determinism/portability contract (same construction as
+    ``hash_split``): the coin is md5(id·'|'·seed) read as a base-16
+    fraction of [0,1), the per-group threshold is an exact 32-hex-digit
+    integer from Fraction arithmetic, so assignment is one codegen
+    string comparison any engine with md5 reproduces bit-for-bit —
+    stable under repartition, re-runs, and appends.  Groups absent
+    from ``factors`` are dropped (the explicit-mixture contract shared
+    by the budget fill); a factor of 0 drops the group, 1.0 passes it
+    through unchanged.
+
+    The output repeats rows with ``epoch_col`` = 0..n-1 so downstream
+    stages can tell copies apart — the seeded shard shuffle
+    (packing.shuffle_shards) keys on (id, epoch) and interleaves
+    copies across the stream instead of emitting them back-to-back.
+
+    Scale shape: ZERO shuffles — a CASE chain over driver literals
+    (groups are languages/sources, dozens not millions), one string
+    hash, and a ``sequence``+``explode`` that at most doubles row
+    count per whole epoch.  Output size is the point: the operator
+    multiplies the corpus by design; run it AFTER dedup and the
+    quality gates, never before."""
+    from fractions import Fraction
+    n_full = None
+    thr = None
+    for g, f in factors.items():
+        if f < 0:
+            raise ValueError(f'epoch_upsample: negative factor for {g!r}')
+        fr = Fraction(f).limit_denominator(10 ** 9)
+        whole = int(fr)
+        frac = fr - whole
+        branch = F.col(group_col) == g
+        nf = F.lit(whole)
+        th = F.lit(format(int(frac * 16 ** 32), '032x'))
+        n_full = (F.when(branch, nf) if n_full is None
+                  else n_full.when(branch, nf))
+        thr = (F.when(branch, th) if thr is None
+               else thr.when(branch, th))
+    if n_full is None:
+        raise ValueError('epoch_upsample: factors must be non-empty')
+    h = F.md5(F.concat_ws('|', F.col(id_col).cast('string'), F.lit(seed)))
+    n_copies = (n_full + F.when(h < thr, F.lit(1)).otherwise(F.lit(0)))
+    return (df.withColumn('__n_copies', n_copies)
+            .filter(F.col('__n_copies') > 0)
+            .withColumn(epoch_col,
+                        F.explode(F.sequence(
+                            F.lit(0), F.col('__n_copies') - 1)))
+            .drop('__n_copies'))

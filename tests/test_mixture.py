@@ -409,3 +409,73 @@ class TestDedupStream:
         finally:
             shutil.rmtree(indir, ignore_errors=True)
             shutil.rmtree(outdir, ignore_errors=True)
+
+
+class TestEpochUpsample:
+    def _df(self, spark, n=60):
+        rows = [(i, ['books', 'crawl'][i % 2]) for i in range(n)]
+        return spark.createDataFrame(rows, 'doc_id long, src string')
+
+    def test_whole_factors_exact(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import epoch_upsample
+        out = epoch_upsample(self._df(spark), 'src',
+                             {'books': 2.0, 'crawl': 1.0})
+        got = {r['src']: r['n'] for r in
+               out.groupBy('src').agg(F.count('*').alias('n')).collect()}
+        assert got == {'books': 60, 'crawl': 30}
+        # epochs are 0..n-1 per doc
+        eps = (out.filter(F.col('src') == 'books')
+               .groupBy('doc_id')
+               .agg(F.sort_array(F.collect_list('epoch')).alias('e'))
+               .collect())
+        assert all(r['e'] == [0, 1] for r in eps)
+
+    def test_fractional_matches_md5_coin(self, spark):
+        from fractions import Fraction
+        import hashlib
+        from pdf_ai_mapper_spark.operators.curate import epoch_upsample
+        df = self._df(spark, 200)
+        out = epoch_upsample(df, 'src', {'books': 1.5, 'crawl': 0.25},
+                             seed='s1')
+        got = {(r['doc_id'], r['epoch'])
+               for r in out.select('doc_id', 'epoch').collect()}
+        thr = {g: format(int((Fraction(f) - int(Fraction(f))) * 16**32),
+                         '032x')
+               for g, f in (('books', Fraction(3, 2)),
+                            ('crawl', Fraction(1, 4)))}
+        expect = set()
+        for i in range(200):
+            g = ['books', 'crawl'][i % 2]
+            h = hashlib.md5(f'{i}|s1'.encode()).hexdigest()
+            n = int(Fraction(3, 2) if g == 'books' else 0)
+            n += 1 if h < thr[g] else 0
+            for e in range(n):
+                expect.add((i, e))
+        assert got == expect
+        # the fractional coin actually fires sometimes and not always
+        books = sum(1 for d, e in got if d % 2 == 0 and e == 1)
+        assert 0 < books < 100
+
+    def test_unlisted_group_dropped_and_zero_factor(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import epoch_upsample
+        out = epoch_upsample(self._df(spark), 'src', {'books': 0.0})
+        assert out.count() == 0
+
+    def test_seed_changes_fractional_selection(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import epoch_upsample
+        df = self._df(spark, 400)
+        a = {r['doc_id'] for r in
+             epoch_upsample(df, 'src', {'crawl': 0.5}, seed='a')
+             .select('doc_id').collect()}
+        b = {r['doc_id'] for r in
+             epoch_upsample(df, 'src', {'crawl': 0.5}, seed='b')
+             .select('doc_id').collect()}
+        assert a != b
+
+    def test_negative_and_empty_factors_raise(self, spark):
+        import pytest
+        from pdf_ai_mapper_spark.operators.curate import epoch_upsample
+        with pytest.raises(ValueError):
+            epoch_upsample(self._df(spark), 'src', {'books': -1.0})
+        with pytest.raises(ValueError):
+            epoch_upsample(self._df(spark), 'src', {})

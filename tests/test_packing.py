@@ -71,3 +71,83 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(0, 1)], 'doc_id long, toks long')
     with pytest.raises(ValueError):
         pack_sequences(df, 'doc_id', 'toks', seq_len=0)
+
+
+def _expected_stream(rows, seed, tps, with_epoch=False):
+    """Driver-side replication of shuffle_shards' contract:
+    order by md5(id[|epoch]|seed)·id[·epoch], exclusive cumsum."""
+    import hashlib
+    keyed = []
+    for r in rows:
+        parts = [str(r[0])] + ([str(r[2])] if with_epoch else []) + [seed]
+        h = hashlib.md5('|'.join(parts).encode()).hexdigest()
+        key = h + str(r[0]) + (str(r[2]) if with_epoch else '')
+        keyed.append((key, r))
+    keyed.sort()
+    out, run = {}, 0
+    for _, r in keyed:
+        k = (r[0], r[2]) if with_epoch else r[0]
+        out[k] = (run, run // tps, run % tps)
+        run += r[1]
+    return out
+
+
+def test_shuffle_shards_matches_md5_order(spark):
+    from pdf_ai_mapper_spark.operators.packing import shuffle_shards
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, 'doc_id long, toks long').repartition(9)
+    got = shuffle_shards(df, 'doc_id', 'toks', tokens_per_shard=1000,
+                         seed='run1')
+    res = {r['doc_id']: (r['offset'], r['shard'], r['shard_offset'])
+           for r in got.collect()}
+    release(got)
+    assert res == _expected_stream(rows, 'run1', 1000)
+    # the order is actually shuffled, not id order
+    by_offset = sorted(res, key=lambda d: res[d][0])
+    assert by_offset != sorted(res)
+    # shards are token-balanced: every doc starts in shard offset//tps,
+    # so max shard == floor(total/tps) when some doc starts past the cut
+    total = sum(t for _, t in rows)
+    assert max(s for _, s, _ in res.values()) <= total // 1000
+
+
+def test_shuffle_shards_seed_switches_order(spark):
+    from pdf_ai_mapper_spark.operators.packing import shuffle_shards
+    rows = [(i, 10) for i in range(200)]
+    df = spark.createDataFrame(rows, 'doc_id long, toks long')
+    a = shuffle_shards(df, 'doc_id', 'toks', 500, seed='a')
+    b = shuffle_shards(df, 'doc_id', 'toks', 500, seed='b')
+    oa = {r['doc_id']: r['offset'] for r in a.collect()}
+    ob = {r['doc_id']: r['offset'] for r in b.collect()}
+    release(a)
+    release(b)
+    assert oa != ob                       # different stream order...
+    assert sorted(oa.values()) == sorted(ob.values())  # ...same stream
+
+
+def test_shuffle_shards_epoch_copies_interleave(spark):
+    from pdf_ai_mapper_spark.operators.packing import shuffle_shards
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 50), e) for i in range(150) for e in (0, 1)]
+    df = spark.createDataFrame(rows, 'doc_id long, toks long, epoch int')
+    got = shuffle_shards(df, 'doc_id', 'toks', 800, seed='s',
+                         epoch_col='epoch')
+    res = {(r['doc_id'], r['epoch']):
+           (r['offset'], r['shard'], r['shard_offset'])
+           for r in got.collect()}
+    release(got)
+    assert res == _expected_stream(rows, 's', 800, with_epoch=True)
+    # copies hash APART: epoch-0 and epoch-1 of the same doc are
+    # almost never adjacent in the stream
+    order = [k for k, _ in sorted(res.items(), key=lambda kv: kv[1][0])]
+    adjacent = sum(1 for x, y in zip(order, order[1:]) if x[0] == y[0])
+    assert adjacent < 15
+
+
+def test_shuffle_shards_rejects_bad_shard_size(spark):
+    import pytest
+    from pdf_ai_mapper_spark.operators.packing import shuffle_shards
+    df = spark.createDataFrame([(0, 1)], 'doc_id long, toks long')
+    with pytest.raises(ValueError):
+        shuffle_shards(df, 'doc_id', 'toks', 0)
