@@ -91,8 +91,11 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     order_col = order_col or id_col
     out = with_global_offset(df, order_col, tokens_col)
     t = F.col(tokens_col)
-    first = F.floor(F.col('offset') / F.lit(seq_len)).cast('long')
-    last = F.floor((F.col('offset') + t - 1) / F.lit(seq_len)).cast('long')
+    # integer DIV, not floor(a / b): long/long `/` goes through DOUBLE,
+    # which loses exactness once global offsets pass 2^53
+    first = F.expr(f'offset DIV {seq_len}').cast('long')
+    last = F.expr(f'(offset + `{tokens_col}` - 1) DIV {seq_len}') \
+        .cast('long')
     res = (out
            .withColumn('first_seq', F.when(t > 0, first))
            .withColumn('last_seq', F.when(t > 0, last))
@@ -147,8 +150,8 @@ def shuffle_shards(df: DataFrame, id_col: str, tokens_col: str,
                                   if epoch_col is not None else [] )))
     out = with_global_offset(keyed, '__shuf_key', tokens_col)
     res = (out
-           .withColumn('shard', F.floor(F.col('offset')
-                                        / F.lit(tokens_per_shard))
+           # integer DIV (see pack_sequences): exact past 2^53 offsets
+           .withColumn('shard', F.expr(f'offset DIV {tokens_per_shard}')
                        .cast('long'))
            .withColumn('shard_offset',
                        (F.col('offset')

@@ -1379,6 +1379,73 @@ def q_dsir_select(spark, sf_dir):
     return dsir_select(raw, tgt, 25)
 
 
+def q_epoch_upsample(spark, sf_dir):
+    """Fractional per-group epoch upsampling (curate.epoch_upsample,
+    late round 5): en×1.25 / de×2.0 / fr×0.5 (es/zh unlisted →
+    dropped). Each doc emits floor(f) copies plus an md5-coin
+    fractional copy — per-doc rows (doc_id, lang, epoch) witness the
+    exact realized copy set. ORACLED: DuckDB replays the coin
+    (md5(id·'|'·seed) against the exact 2^126/2^127 hex thresholds)
+    and the range-explode bit-for-bit."""
+    from .operators.curate import epoch_upsample
+    d = _t(spark, sf_dir, 'documents')
+    out = epoch_upsample(d.select('doc_id', 'lang'), 'lang',
+                         {'en': 1.25, 'de': 2.0, 'fr': 0.5}, seed='r5')
+    return out.select('doc_id', 'lang',
+                      F.col('epoch').cast('long').alias('epoch'))
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Seeded global shuffle + token-balanced sharding
+    (packing.shuffle_shards, late round 5): documents laid out in
+    md5(id|seed)·id order, exclusive token prefix sum via the
+    two-phase distributed scan, shards cut every 5000 tokens.
+    Per-doc (offset, shard, shard_offset) witnesses the entire
+    stream layout. ORACLED: DuckDB re-sorts on the same key and
+    replays the cumulative window + integer divide exactly."""
+    from .operators.dedup import release as _release
+    from .operators.packing import shuffle_shards
+    d = (_t(spark, sf_dir, 'documents')
+         .select('doc_id',
+                 F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                 .cast('long').alias('toks')))
+    sharded = shuffle_shards(d, 'doc_id', 'toks', 5000, seed='r5')
+    out = sharded.select('doc_id', 'offset', 'shard', 'shard_offset')
+    rows = out.collect()
+    _release(sharded)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_mixture_fill(spark, sf_dir):
+    """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
+    token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
+    against a total of 3/5 of those groups' combined tokens. zh's
+    share (5/10 of total) exceeds its availability at every gate SF,
+    so round 1 clamps zh to availability and the shortfall reflows
+    to en/de by 3:2 in round 2 (neither clamps — comfortable margin
+    at both SFs). The greedy fill then selects by (alpha_ratio desc,
+    doc_id asc). ORACLED: DuckDB rebuilds availability, the exact
+    integer waterfilling arithmetic, and the fill window."""
+    from .operators.curate import budgets_from_mixture, token_budget_fill
+    from .operators.textstats import with_quality
+    d = _t(spark, sf_dir, 'documents')
+    q = with_quality(d, 'text')
+    weights = {'en': 3, 'de': 2, 'zh': 5}
+    avail = (q.filter(F.col('lang').isin(*weights))
+             .agg(F.sum('n_tokens')).collect()[0][0])
+    total = 3 * int(avail) // 5
+    budgets = budgets_from_mixture(q, 'lang', 'n_tokens', weights, total)
+    kept = token_budget_fill(q, 'lang', budgets, 'n_tokens',
+                             [('alpha_ratio', 'desc'), ('doc_id', 'asc')])
+    b = spark.createDataFrame(list(budgets.items()),
+                              'lang string, budget long')
+    return (kept.groupBy('lang')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum('n_tokens').cast('long').alias('sum_tokens'),
+                 F.sum('doc_id').cast('long').alias('id_sum'))
+            .join(F.broadcast(b), on='lang'))
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental MinHash index (dedup.minhash_index_update; rows-only
     — estimated Jaccard is not SQL, and the full-vs-incremental
@@ -3099,6 +3166,87 @@ ORACLES: dict[str, str] = {
             FROM vid)
         ORDER BY modality
     """,
+    # the md5 coin replayed digit-for-digit: thresholds are the exact
+    # hex of frac(f)·16^32 (1/4 → 2^126 = '4'+31×'0', 1/2 → 2^127 =
+    # '8'+31×'0'); es/zh have no factor row, the join drops them
+    'q_epoch_upsample': r"""
+        WITH f(lang, whole, thr) AS (VALUES
+            ('en', 1, '40000000000000000000000000000000'),
+            ('de', 2, '00000000000000000000000000000000'),
+            ('fr', 0, '80000000000000000000000000000000')),
+        n AS (
+            SELECT d.doc_id, d.lang,
+                   f.whole + CASE WHEN md5(d.doc_id || '|r5') < f.thr
+                                  THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN f USING (lang)
+        )
+        SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch
+        FROM (SELECT doc_id, lang, unnest(range(n_copies)) AS e
+              FROM n WHERE n_copies > 0)
+    """,
+    # the seeded stream re-sorted on the identical md5(id|seed)·id key,
+    # cumulative window minus self = exclusive offset, integer divide
+    # for the shard cut — byte-for-byte the operator's contract
+    'q_shuffle_shards': r"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS toks,
+                   md5(doc_id || '|r5') || doc_id AS k
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   sum(toks) OVER (ORDER BY k
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - toks AS off
+            FROM t
+        )
+        SELECT doc_id, CAST(off AS BIGINT) AS "offset",
+               CAST(off // 5000 AS BIGINT) AS shard,
+               CAST(off % 5000 AS BIGINT) AS shard_offset
+        FROM c
+    """,
+    # waterfilling replayed in exact integer arithmetic: round 1 clamps
+    # zh (its 5/10 share exceeds availability at both gate SFs — en/de
+    # round-1 shares are discarded per the repair loop), round 2
+    # reflows the shortfall 3:2 to en/de with floor division, then the
+    # q_token_budget_mix fill window runs against the derived budgets
+    'q_mixture_fill': r"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio
+            FROM documents
+        ), w(lang, wt) AS (VALUES ('en', 3), ('de', 2), ('zh', 5)),
+        av AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail
+            FROM q JOIN w USING (lang) GROUP BY lang
+        ), tot AS (
+            SELECT CAST(3 * sum(avail) // 5 AS BIGINT) AS total FROM av
+        ), b AS (
+            SELECT av.lang,
+                   CAST(CASE av.lang
+                        WHEN 'zh' THEN av.avail
+                        WHEN 'en' THEN (tot.total - zh.avail) * 3 // 5
+                        ELSE (tot.total - zh.avail) * 2 // 5
+                        END AS BIGINT) AS budget
+            FROM av, tot, (SELECT avail FROM av WHERE lang = 'zh') zh
+        ), c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang
+                                       ORDER BY alpha_ratio DESC,
+                                                doc_id ASC
+                                       ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum_before
+            FROM q JOIN w USING (lang)
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum, b.budget
+        FROM c JOIN b USING (lang)
+        WHERE cum_before < budget
+        GROUP BY lang, b.budget
+    """,
 }
 
 
@@ -3202,6 +3350,9 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_dsir_select': q_dsir_select,
         'q_url_filter': q_url_filter,
         'q_semantic_decontamination': q_semantic_decontamination,
+        'q_epoch_upsample': q_epoch_upsample,
+        'q_shuffle_shards': q_shuffle_shards,
+        'q_mixture_fill': q_mixture_fill,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
