@@ -159,3 +159,81 @@ def shuffle_shards(df: DataFrame, id_col: str, tokens_col: str,
            .drop('__shuf_key'))
     res._persisted_deps = getattr(out, '_persisted_deps', [])
     return res
+
+
+def write_shards(spark, df: DataFrame, out_dir: str,
+                 id_col: str, tokens_col: str,
+                 shard_col: str = 'shard',
+                 epoch_col: str | None = None) -> DataFrame:
+    """Materialize a ``shuffle_shards`` layout as the training-loader
+    directory tree (late round 5): one parquet partition per shard
+    (``shard=N/`` via partitionBy — each loader worker opens exactly
+    its shard's files) plus a ``_manifest`` parquet written LAST, so a
+    reader that finds the manifest knows the data job completed — no
+    manifest, no export (the write-then-publish protocol
+    checkpoint.py's intent markers use for the extraction sink).
+
+    The manifest is recomputed FROM THE WRITTEN FILES, not from the
+    input plan — it attests what is actually on disk, so a partially
+    written or torn export can never produce a matching manifest.
+    Per shard: ``n_docs``, ``n_tokens``, and ``ids_md5`` — md5 over
+    the comma-joined lexicographically-sorted id[·'|'·epoch] strings,
+    an order-independent content checksum any engine reproduces
+    (``verify_shards`` re-derives it on read).
+
+    Scale shape: the data write repartitions ON the shard column so
+    each task writes whole shards (file size = tokens_per_shard, the
+    knob the caller already sized for the loader); the manifest job
+    scans only (shard, id[, epoch], tokens) columns — payloads stay in
+    the data files. collect_list per shard is bounded by
+    tokens_per_shard / min-doc-tokens ids (~100k id strings for
+    100M-token shards — MBs, fine); at extreme shard sizes swap the
+    md5-of-sorted-ids for a streaming xor checksum.
+
+    Returns the manifest DataFrame (read back from disk)."""
+    import os
+    data = os.path.join(out_dir, 'shards')
+    (df.repartition(F.col(shard_col))
+     .write.mode('error').partitionBy(shard_col).parquet(data))
+
+    cols = [shard_col, id_col, tokens_col] + (
+        [epoch_col] if epoch_col else [])
+    on_disk = spark.read.parquet(data).select(*cols)
+    key = F.col(id_col).cast('string') if not epoch_col else \
+        F.concat_ws('|', F.col(id_col).cast('string'),
+                    F.col(epoch_col).cast('string'))
+    manifest = (on_disk
+                .groupBy(F.col(shard_col).cast('long').alias('shard'))
+                .agg(F.count('*').cast('long').alias('n_docs'),
+                     F.sum(tokens_col).cast('long').alias('n_tokens'),
+                     F.md5(F.concat_ws(',', F.array_sort(
+                         F.collect_list(key)))).alias('ids_md5')))
+    mpath = os.path.join(out_dir, '_manifest')
+    manifest.coalesce(1).write.mode('error').parquet(mpath)
+    return spark.read.parquet(mpath)
+
+
+def verify_shards(spark, out_dir: str, id_col: str, tokens_col: str,
+                  epoch_col: str | None = None) -> bool:
+    """Re-derive the per-shard manifest from the shard files and
+    compare with the stored ``_manifest`` — the loader-side integrity
+    check (returns False on any missing/extra/corrupt shard). Narrow
+    columns only; same cost shape as the manifest job."""
+    import os
+    data = os.path.join(out_dir, 'shards')
+    mpath = os.path.join(out_dir, '_manifest')
+    stored = spark.read.parquet(mpath)
+    cols = ['shard', id_col, tokens_col] + ([epoch_col] if epoch_col else [])
+    on_disk = spark.read.parquet(data).select(*cols)
+    key = F.col(id_col).cast('string') if not epoch_col else \
+        F.concat_ws('|', F.col(id_col).cast('string'),
+                    F.col(epoch_col).cast('string'))
+    derived = (on_disk
+               .groupBy(F.col('shard').cast('long').alias('shard'))
+               .agg(F.count('*').cast('long').alias('n_docs'),
+                    F.sum(tokens_col).cast('long').alias('n_tokens'),
+                    F.md5(F.concat_ws(',', F.array_sort(
+                        F.collect_list(key)))).alias('ids_md5')))
+    diff = (stored.exceptAll(derived).limit(1).count()
+            + derived.exceptAll(stored).limit(1).count())
+    return diff == 0

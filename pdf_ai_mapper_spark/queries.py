@@ -1416,6 +1416,37 @@ def q_shuffle_shards(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_shard_export(spark, sf_dir):
+    """Shard export sink (packing.write_shards, late round 5): the
+    q_shuffle_shards layout materialized to shard=N/ parquet
+    partitions, manifest recomputed FROM THE WRITTEN FILES (write-
+    then-publish: no manifest, no export) and verified on read.
+    Returns the manifest — per-shard doc/token totals plus the md5 of
+    the sorted id list. ORACLED: DuckDB rebuilds the stream, the cut,
+    and the checksum (md5 of the comma-joined lexicographically
+    sorted ids) per shard."""
+    import shutil
+    import tempfile
+    from .operators.dedup import release as _release
+    from .operators.packing import (shuffle_shards, verify_shards,
+                                    write_shards)
+    d = (_t(spark, sf_dir, 'documents')
+         .select('doc_id',
+                 F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                 .cast('long').alias('toks')))
+    out = tempfile.mkdtemp(prefix='pam_q_shards_')
+    shutil.rmtree(out)
+    try:
+        sharded = shuffle_shards(d, 'doc_id', 'toks', 5000, seed='r5')
+        manifest = write_shards(spark, sharded, out, 'doc_id', 'toks')
+        _release(sharded)
+        assert verify_shards(spark, out, 'doc_id', 'toks')
+        rows = manifest.collect()
+        return spark.createDataFrame(rows, manifest.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_mixture_fill(spark, sf_dir):
     """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
     token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
@@ -3205,6 +3236,30 @@ ORACLES: dict[str, str] = {
                CAST(off % 5000 AS BIGINT) AS shard_offset
         FROM c
     """,
+    # the written tree attested end-to-end: same stream/cut CTE as
+    # q_shuffle_shards, checksum = md5 of the comma-joined ids sorted
+    # AS STRINGS (spark array_sort == binary-collation ORDER BY)
+    'q_shard_export': r"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS toks,
+                   md5(doc_id || '|r5') || doc_id AS k
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   (sum(toks) OVER (ORDER BY k
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - toks) // 5000
+                       AS shard
+            FROM t
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               md5(string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id::VARCHAR)) AS ids_md5
+        FROM c GROUP BY shard
+    """,
     # waterfilling replayed in exact integer arithmetic: round 1 clamps
     # zh (its 5/10 share exceeds availability at both gate SFs — en/de
     # round-1 shares are discarded per the repair loop), round 2
@@ -3353,6 +3408,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_epoch_upsample': q_epoch_upsample,
         'q_shuffle_shards': q_shuffle_shards,
         'q_mixture_fill': q_mixture_fill,
+        'q_shard_export': q_shard_export,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

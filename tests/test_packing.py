@@ -151,3 +151,98 @@ def test_shuffle_shards_rejects_bad_shard_size(spark):
     df = spark.createDataFrame([(0, 1)], 'doc_id long, toks long')
     with pytest.raises(ValueError):
         shuffle_shards(df, 'doc_id', 'toks', 0)
+
+
+class TestWriteShards:
+    def _sharded(self, spark, tmpdir_holder, n=300, tps=1500):
+        from pdf_ai_mapper_spark.operators.packing import (shuffle_shards,
+                                                           write_shards)
+        rng = random.Random(23)
+        rows = [(i, rng.randint(1, 60)) for i in range(n)]
+        df = spark.createDataFrame(rows, 'doc_id long, toks long')
+        sharded = shuffle_shards(df, 'doc_id', 'toks', tps, seed='ws')
+        manifest = write_shards(spark, sharded, tmpdir_holder,
+                                'doc_id', 'toks')
+        release(sharded)
+        return rows, manifest
+
+    def test_roundtrip_manifest_and_verify(self, spark):
+        import hashlib
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import verify_shards
+        out = tempfile.mkdtemp(prefix='pam_shards_')
+        shutil.rmtree(out)
+        try:
+            rows, manifest = self._sharded(spark, out)
+            # python replication: same stream, same cut, same checksum
+            exp = _expected_stream(rows, 'ws', 1500)
+            per = {}
+            for doc, t in rows:
+                s = exp[doc][1]
+                per.setdefault(s, []).append((str(doc), t))
+            expect = {}
+            for s, docs in per.items():
+                ids = sorted(d for d, _ in docs)
+                expect[s] = (len(docs), sum(t for _, t in docs),
+                             hashlib.md5(','.join(ids).encode()).hexdigest())
+            got = {r['shard']: (r['n_docs'], r['n_tokens'], r['ids_md5'])
+                   for r in manifest.collect()}
+            assert got == expect
+            # layout: one shard=N dir per shard
+            import os
+            dirs = {d for d in os.listdir(f'{out}/shards')
+                    if d.startswith('shard=')}
+            assert dirs == {f'shard={s}' for s in expect}
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_verify_detects_missing_shard(self, spark):
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import verify_shards
+        out = tempfile.mkdtemp(prefix='pam_shards_')
+        shutil.rmtree(out)
+        try:
+            self._sharded(spark, out)
+            victim = sorted(
+                d for d in __import__('os').listdir(f'{out}/shards')
+                if d.startswith('shard='))[1]
+            shutil.rmtree(f'{out}/shards/{victim}')
+            assert not verify_shards(spark, out, 'doc_id', 'toks')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_existing_dir_refused(self, spark):
+        import shutil
+        import tempfile
+        import pytest
+        out = tempfile.mkdtemp(prefix='pam_shards_')
+        shutil.rmtree(out)
+        try:
+            self._sharded(spark, out)
+            with pytest.raises(Exception):
+                self._sharded(spark, out)   # mode='error' second write
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_epoch_checksum_distinguishes_copies(self, spark):
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import (shuffle_shards,
+                                                           write_shards)
+        rows = [(i, 10, e) for i in range(40) for e in (0, 1)]
+        df = spark.createDataFrame(rows, 'doc_id long, toks long, epoch int')
+        out = tempfile.mkdtemp(prefix='pam_shards_')
+        shutil.rmtree(out)
+        try:
+            sharded = shuffle_shards(df, 'doc_id', 'toks', 200, seed='e',
+                                     epoch_col='epoch')
+            manifest = write_shards(spark, sharded, out, 'doc_id', 'toks',
+                                    epoch_col='epoch')
+            release(sharded)
+            total = manifest.agg(F.sum('n_docs')).collect()[0][0]
+            assert total == 80      # both copies of every doc exported
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
