@@ -237,3 +237,73 @@ def verify_shards(spark, out_dir: str, id_col: str, tokens_col: str,
     diff = (stored.exceptAll(derived).limit(1).count()
             + derived.exceptAll(stored).limit(1).count())
     return diff == 0
+
+
+def append_shards(spark, df: DataFrame, out_dir: str,
+                  id_col: str, tokens_col: str,
+                  tokens_per_shard: int, seed: str = '',
+                  epoch_col: str | None = None) -> DataFrame:
+    """Incremental shard append (late round 5) — the crawl-cadence
+    form of ``write_shards``: a NEW batch joins an EXISTING export
+    without touching a byte of it.  Training reproducibility forbids
+    rewriting shards a run may already have consumed, so the contract
+    is append-only: existing shard files and manifest rows stay
+    byte-identical, and the new batch starts at the NEXT shard
+    boundary (each batch's tail shard stays part-full — the price of
+    immutability; a loader reads true shard sizes from the manifest).
+    Within itself the batch is seeded-shuffled with the exact
+    ``shuffle_shards`` key construction, its stream offset by the
+    boundary, so shard numbering continues monotonically and no shard
+    ever spans two batches — ``verify_shards`` keeps its
+    one-manifest-row-per-shard contract on the combined tree.
+
+    Mirrors ``dedup.minhash_index_update``'s batch economics: per-call
+    cost scales with the BATCH — one range shuffle over batch rows, a
+    driver-scale manifest read, and a manifest recompute that scans
+    ONLY the new shard partitions (partition-pruned on the shard
+    directory column).  The stored corpus is never read.
+
+    Returns the full combined manifest (stored rows + new rows)."""
+    import os
+    mpath = os.path.join(out_dir, '_manifest')
+    stored = spark.read.parquet(mpath)
+    tot = stored.agg(F.sum('n_tokens')).collect()[0][0] or 0
+    # next shard boundary: ceil-div, batches never share a shard
+    base = (-(-int(tot) // tokens_per_shard)) * tokens_per_shard
+    first_new = base // tokens_per_shard
+
+    sharded = shuffle_shards(df, id_col, tokens_col, tokens_per_shard,
+                             seed=seed, epoch_col=epoch_col)
+    shifted = (sharded
+               .withColumn('offset', F.col('offset') + F.lit(base))
+               .withColumn('shard',
+                           F.expr(f'offset DIV {tokens_per_shard}')
+                           .cast('long'))
+               .withColumn('shard_offset',
+                           (F.col('offset') % F.lit(tokens_per_shard))
+                           .cast('long')))
+
+    data = os.path.join(out_dir, 'shards')
+    (shifted.repartition(F.col('shard'))
+     .write.mode('append').partitionBy('shard').parquet(data))
+    for dep in getattr(sharded, '_persisted_deps', ()):
+        dep.unpersist()
+
+    # manifest from the WRITTEN files (write_shards' attestation
+    # contract), but pruned to the new shards only — batch-sized scan
+    cols = ['shard', id_col, tokens_col] + ([epoch_col] if epoch_col
+                                            else [])
+    new_disk = (spark.read.parquet(data)
+                .filter(F.col('shard') >= first_new).select(*cols))
+    key = F.col(id_col).cast('string') if not epoch_col else \
+        F.concat_ws('|', F.col(id_col).cast('string'),
+                    F.col(epoch_col).cast('string'))
+    batch_manifest = (new_disk
+                      .groupBy(F.col('shard').cast('long').alias('shard'))
+                      .agg(F.count('*').cast('long').alias('n_docs'),
+                           F.sum(tokens_col).cast('long')
+                           .alias('n_tokens'),
+                           F.md5(F.concat_ws(',', F.array_sort(
+                               F.collect_list(key)))).alias('ids_md5')))
+    batch_manifest.coalesce(1).write.mode('append').parquet(mpath)
+    return spark.read.parquet(mpath)

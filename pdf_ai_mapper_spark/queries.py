@@ -1447,6 +1447,41 @@ def q_shard_export(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_append_shards(spark, sf_dir):
+    """Incremental shard append (packing.append_shards, late round 5):
+    even doc_ids export first (seed r5a), odd doc_ids append as a
+    second crawl batch (seed r5b) starting at the next shard boundary
+    — stored shards stay byte-identical, numbering continues, no
+    shard spans two batches, and verify_shards passes on the combined
+    tree. Returns the combined manifest. ORACLED: DuckDB builds both
+    batch streams, shifts batch 2 by the ceil-div boundary, and
+    unions the per-shard manifests."""
+    import shutil
+    import tempfile
+    from .operators.dedup import release as _release
+    from .operators.packing import (append_shards, shuffle_shards,
+                                    verify_shards, write_shards)
+    d = (_t(spark, sf_dir, 'documents')
+         .select('doc_id',
+                 F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                 .cast('long').alias('toks')))
+    out = tempfile.mkdtemp(prefix='pam_q_append_')
+    shutil.rmtree(out)
+    try:
+        b1 = d.filter(F.col('doc_id') % 2 == 0)
+        b2 = d.filter(F.col('doc_id') % 2 == 1)
+        s1 = shuffle_shards(b1, 'doc_id', 'toks', 5000, seed='r5a')
+        write_shards(spark, s1, out, 'doc_id', 'toks')
+        _release(s1)
+        combined = append_shards(spark, b2, out, 'doc_id', 'toks',
+                                 5000, seed='r5b')
+        assert verify_shards(spark, out, 'doc_id', 'toks')
+        rows = combined.collect()
+        return spark.createDataFrame(rows, combined.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_mixture_fill(spark, sf_dir):
     """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
     token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
@@ -3260,6 +3295,47 @@ ORACLES: dict[str, str] = {
                               ORDER BY doc_id::VARCHAR)) AS ids_md5
         FROM c GROUP BY shard
     """,
+    # both batch streams rebuilt, batch 2 shifted to the ceil-div
+    # boundary (no shard spans two batches), manifests unioned — the
+    # append-only contract checked value-for-value
+    'q_append_shards': r"""
+        WITH t1 AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS toks,
+                   md5(doc_id || '|r5a') || doc_id AS k
+            FROM documents WHERE doc_id % 2 = 0
+        ), c1 AS (
+            SELECT doc_id, toks,
+                   (sum(toks) OVER (ORDER BY k
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - toks) // 5000
+                       AS shard
+            FROM t1
+        ), base AS (
+            SELECT ((sum(toks) + 4999) // 5000) * 5000 AS b FROM t1
+        ), t2 AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS toks,
+                   md5(doc_id || '|r5b') || doc_id AS k
+            FROM documents WHERE doc_id % 2 = 1
+        ), c2 AS (
+            SELECT doc_id, toks,
+                   (sum(toks) OVER (ORDER BY k
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - toks + base.b)
+                       // 5000 AS shard
+            FROM t2, base
+        ), m AS (
+            SELECT shard, doc_id, toks FROM c1
+            UNION ALL SELECT shard, doc_id, toks FROM c2
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               md5(string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id::VARCHAR)) AS ids_md5
+        FROM m GROUP BY shard
+    """,
     # waterfilling replayed in exact integer arithmetic: round 1 clamps
     # zh (its 5/10 share exceeds availability at both gate SFs — en/de
     # round-1 shares are discarded per the repair loop), round 2
@@ -3409,6 +3485,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_shuffle_shards': q_shuffle_shards,
         'q_mixture_fill': q_mixture_fill,
         'q_shard_export': q_shard_export,
+        'q_append_shards': q_append_shards,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

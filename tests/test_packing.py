@@ -246,3 +246,84 @@ class TestWriteShards:
             assert total == 80      # both copies of every doc exported
         finally:
             shutil.rmtree(out, ignore_errors=True)
+
+
+class TestAppendShards:
+    def _write_batch1(self, spark, out, tps=1000):
+        from pdf_ai_mapper_spark.operators.packing import (shuffle_shards,
+                                                           write_shards)
+        rows = [(i, 37) for i in range(100)]
+        df = spark.createDataFrame(rows, 'doc_id long, toks long')
+        sharded = shuffle_shards(df, 'doc_id', 'toks', tps, seed='b1')
+        write_shards(spark, sharded, out, 'doc_id', 'toks')
+        release(sharded)
+        return rows
+
+    def test_append_is_boundary_aligned_and_immutable(self, spark):
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import (append_shards,
+                                                           verify_shards)
+        out = tempfile.mkdtemp(prefix='pam_append_')
+        shutil.rmtree(out)
+        try:
+            rows1 = self._write_batch1(spark, out)          # 3700 tokens
+            m1 = {r['shard']: tuple(r)
+                  for r in spark.read.parquet(f'{out}/_manifest').collect()}
+            files1 = {}
+            for d in os.listdir(f'{out}/shards'):
+                if d.startswith('shard='):
+                    p = f'{out}/shards/{d}'
+                    files1[d] = sorted((f, os.path.getsize(f'{p}/{f}'))
+                                       for f in os.listdir(p)
+                                       if f.endswith('.parquet'))
+
+            rows2 = [(1000 + i, 29) for i in range(80)]     # new batch
+            df2 = spark.createDataFrame(rows2, 'doc_id long, toks long')
+            combined = append_shards(spark, df2, out, 'doc_id', 'toks',
+                                     1000, seed='b2')
+            got = {r['shard']: tuple(r) for r in combined.collect()}
+
+            # stored rows byte-identical, no shard shared
+            for s, row in m1.items():
+                assert got[s] == row
+            new_shards = set(got) - set(m1)
+            # 3700 tokens -> next boundary 4000 -> first new shard 4
+            assert min(new_shards) == 4
+            # batch-1 data files untouched
+            for d, listing in files1.items():
+                p = f'{out}/shards/{d}'
+                assert sorted((f, os.path.getsize(f'{p}/{f}'))
+                              for f in os.listdir(p)
+                              if f.endswith('.parquet')) == listing
+            # combined tree passes the loader-side check
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_append_offsets_continue_from_boundary(self, spark):
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import append_shards
+        out = tempfile.mkdtemp(prefix='pam_append_')
+        shutil.rmtree(out)
+        try:
+            self._write_batch1(spark, out)                  # 3700 tokens
+            rows2 = [(1000 + i, 13) for i in range(50)]
+            df2 = spark.createDataFrame(rows2, 'doc_id long, toks long')
+            append_shards(spark, df2, out, 'doc_id', 'toks', 1000,
+                          seed='b2')
+            disk = (spark.read.parquet(f'{out}/shards')
+                    .filter(F.col('doc_id') >= 1000)
+                    .select('doc_id', 'offset', 'shard', 'shard_offset')
+                    .collect())
+            got = {r['doc_id']: (r['offset'], r['shard'],
+                                 r['shard_offset']) for r in disk}
+            # python replication: batch-2 internal stream + 4000 shift
+            exp = _expected_stream(rows2, 'b2', 1000)
+            expect = {d: (o + 4000, (o + 4000) // 1000, o % 1000)
+                      for d, (o, _, _) in exp.items()}
+            assert got == expect
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
