@@ -207,6 +207,7 @@ HEADLINE_QUERIES = [
     'q_asof_join',
     'q_decontamination',
     'q_search_pipeline',   # round 4: fully native (zero ArrowEvalPython)
+    'q_model_auc',         # round 5: exact AUC via two-phase prefix sum
 ]
 
 
