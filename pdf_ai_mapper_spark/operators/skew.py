@@ -1,11 +1,16 @@
-"""Skew handling: salted aggregation for hot keys (SURVEY.md §4.3).
+"""Skew handling: salted aggregation and salted joins for hot keys
+(SURVEY.md §4.3).
 
 At web scale a handful of hosts dominate row counts (the fixture bakes
 a 20% hot host in deliberately). A plain ``groupBy(host)`` funnels the
 hot host into one reducer; salting splits it into S partial groups that
 combine map-side, then merges the partials — two small shuffles instead
-of one straggler. AQE's skew-join splitting covers the join case; this
-helper covers aggregations, which AQE does not rebalance.
+of one straggler. AQE's skew-join splitting covers the SORT-MERGE join
+case at runtime; ``salted_join`` covers the cases AQE does not: hash
+shuffle joins, and pipelines that must pre-commit a partitioning (a
+skewed key would otherwise pin one reducer regardless of AQE's
+post-shuffle splitting). ``salted_count``/``salted_agg`` cover
+aggregations, which AQE never rebalances.
 """
 
 from __future__ import annotations
@@ -33,6 +38,36 @@ def salted_count(df: DataFrame, key: Column, salt_buckets: int = 16,
                          F.lit(salt_buckets)))
     partial = salted.groupBy(key_name, '__salt').agg(F.count('*').alias('__c'))
     return partial.groupBy(key_name).agg(F.sum('__c').cast('long').alias('n'))
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                salt_buckets: int = 8, how: str = 'inner') -> DataFrame:
+    """Equi-join a skew-keyed big table against a small-but-not-
+    broadcastable table without a hot reducer: every big row gets a
+    per-ROW salt (routing only — the salt never touches semantics),
+    the small side replicates once per salt value, and the join runs
+    on (key, salt) so a hot key spreads across ``salt_buckets``
+    reducers instead of pinning one.
+
+    Cost model: the small side shuffles ``salt_buckets``× — use this
+    when the small side is 10-1000× under the big side but over the
+    broadcast threshold; below it, ``F.broadcast`` wins outright, and
+    for plain sort-merge joins AQE's skew splitting usually suffices.
+    Only ``inner`` and ``left`` joins are well-defined under
+    replication (each big row matches exactly its own salt copy);
+    right/full would surface one row per salt for unmatched small
+    rows."""
+    if how not in ('inner', 'left'):
+        raise ValueError(f'salted_join supports inner/left, got {how!r}')
+    if salt_buckets <= 0:
+        raise ValueError(f'salt_buckets must be positive, got {salt_buckets}')
+    b = big.withColumn(
+        '__salt', F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(salt_buckets)).cast('int'))
+    s = small.withColumn(
+        '__salt', F.explode(F.array(*[F.lit(i)
+                                      for i in range(salt_buckets)])))
+    return b.join(s, on=[on, '__salt'], how=how).drop('__salt')
 
 
 def salted_agg(df: DataFrame, key_cols: Sequence[str],

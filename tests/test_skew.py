@@ -1,0 +1,81 @@
+"""Salted join for skewed keys (operators/skew.salted_join): value
+equivalence to a plain join, hot-key spreading across reducers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ai_mapper_spark.operators.skew import salted_join
+
+
+def _skewed_big(spark, n=4000):
+    # 90% of rows share one key — the classic hot host
+    return spark.range(n).select(
+        F.when(F.col('id') % 10 < 9, F.lit('hot.example.com'))
+        .otherwise(F.concat(F.lit('h'), (F.col('id') % 37)
+                            .cast('string'))).alias('host'),
+        F.col('id').alias('row_id'))
+
+
+def _small(spark):
+    rows = [('hot.example.com', 1)] + [(f'h{i}', i + 10)
+                                       for i in range(37)]
+    return spark.createDataFrame(rows, 'host string, weight int')
+
+
+def _key(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark):
+        big, small = _skewed_big(spark), _small(spark)
+        cols = ['host', 'row_id', 'weight']
+        got = _key(salted_join(big, small, 'host', 8).collect(), cols)
+        exp = _key(big.join(small, 'host').collect(), cols)
+        assert got == exp
+
+    def test_left_keeps_unmatched_rows_exactly_once(self, spark):
+        big = _skewed_big(spark, 500)
+        small = _small(spark).filter(F.col('host') != 'hot.example.com')
+        cols = ['host', 'row_id', 'weight']
+        got = _key(salted_join(big, small, 'host', 8, how='left')
+                   .collect(), cols)
+        exp = _key(big.join(small, 'host', 'left').collect(), cols)
+        assert got == exp
+
+    def test_hot_key_spreads_across_reducers(self, spark):
+        """The operator's point: with broadcast off, the hot key's
+        rows land in MORE than one join-output partition (a plain
+        shuffle join pins them all to one reducer)."""
+        old = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+        oldc = spark.conf.get('spark.sql.adaptive.coalescePartitions.enabled')
+        try:
+            spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+            # AQE size-coalesces this KB-scale shuffle to ONE partition
+            # (documented trap) — disable it; the assertion is about
+            # the hash routing, which is what survives at real scale
+            spark.conf.set(
+                'spark.sql.adaptive.coalescePartitions.enabled', 'false')
+            big, small = _skewed_big(spark), _small(spark)
+
+            def hot_pids(joined):
+                return (joined
+                        .withColumn('pid', F.spark_partition_id())
+                        .filter(F.col('host') == 'hot.example.com')
+                        .select('pid').distinct().count())
+
+            assert hot_pids(big.join(small, 'host')) == 1
+            assert hot_pids(salted_join(big, small, 'host', 8)) > 1
+        finally:
+            spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old)
+            spark.conf.set(
+                'spark.sql.adaptive.coalescePartitions.enabled', oldc)
+
+    def test_invalid_args_rejected(self, spark):
+        big, small = _skewed_big(spark, 10), _small(spark)
+        with pytest.raises(ValueError):
+            salted_join(big, small, 'host', 8, how='full')
+        with pytest.raises(ValueError):
+            salted_join(big, small, 'host', 0)
