@@ -276,3 +276,56 @@ def epoch_upsample(df: DataFrame, group_col: str,
                         F.explode(F.sequence(
                             F.lit(0), F.col('__n_copies') - 1)))
             .drop('__n_copies'))
+
+
+def corpus_datasheet(df: DataFrame, id_col: str = 'doc_id',
+                     text_col: str = 'text', lang_col: str = 'lang',
+                     source_col: str = 'source') -> DataFrame:
+    """The corpus datasheet (late round 5) — the one-row report a
+    dataset release ships (Gebru et al.'s "Datasheets for Datasets"
+    applied to a pretraining corpus): volume, diversity, duplication,
+    and quality-gate pass rates, all in ONE aggregate job over the
+    table. Every number is an exact count or one IEEE division of
+    exact counts — no avg-of-doubles anywhere, so the row is
+    hash-stable under any partitioning.
+
+    Plan shape: per-doc columns are narrow map-side expressions
+    (ratios, token counts, md5, the frozen-model fold); the three
+    count-distincts expand into one multi-phase aggregate Catalyst
+    plans natively. Nothing wide ever shuffles — the md5 stands in
+    for the text in the distinct."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, '[^A-Za-z]', ''))
+    digit = F.length(F.regexp_replace(t, '[^0-9]', ''))
+    n_tok = F.size(F.split(F.trim(t), r'\s+'))
+    alpha_ratio = F.round(alpha / F.greatest(n, F.lit(1)), 6)
+    digit_ratio = F.round(digit / F.greatest(n, F.lit(1)), 6)
+    quality_ok = ((alpha_ratio > 0.6) & (digit_ratio < 0.2)
+                  & (n_tok >= 5))
+    per = (model_quality_units(df, text_col=text_col)
+           .select(F.col(id_col), F.col(lang_col).alias('__lang'),
+                   F.col(source_col).alias('__src'),
+                   n_tok.cast('long').alias('__tok'),
+                   n.cast('long').alias('__chars'),
+                   F.md5(t).alias('__h'),
+                   quality_ok.cast('long').alias('__qok'),
+                   (F.col('mq_units') > 0).cast('long').alias('__mok'),
+                   (F.col(lang_col) == 'en').cast('long').alias('__en')))
+    row = per.agg(
+        F.count('*').cast('long').alias('n_docs'),
+        F.countDistinct('__src').cast('long').alias('n_sources'),
+        F.countDistinct('__lang').cast('long').alias('n_langs'),
+        F.sum('__tok').cast('long').alias('n_tokens'),
+        F.sum('__chars').cast('long').alias('n_chars'),
+        F.countDistinct('__h').cast('long').alias('n_unique_texts'),
+        F.sum('__qok').cast('long').alias('n_quality_ok'),
+        F.sum('__mok').cast('long').alias('n_model_pass'),
+        F.sum('__en').cast('long').alias('n_en'))
+    nd = F.col('n_docs').cast('double')
+    return (row
+            .withColumn('dup_frac',
+                        F.round((F.col('n_docs') - F.col('n_unique_texts'))
+                                / nd, 6))
+            .withColumn('tokens_per_doc',
+                        F.round(F.col('n_tokens') / nd, 6)))
