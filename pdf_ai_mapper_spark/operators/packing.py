@@ -307,3 +307,66 @@ def append_shards(spark, df: DataFrame, out_dir: str,
                                F.collect_list(key)))).alias('ids_md5')))
     batch_manifest.coalesce(1).write.mode('append').parquet(mpath)
     return spark.read.parquet(mpath)
+
+
+def export_jsonl(spark, df: DataFrame, out_dir: str, id_col: str,
+                 n_files: int, compression: str = 'gzip') -> DataFrame:
+    """JSONL export (late round 5) — the loader-interchange sink:
+    one JSON object per line (field order = the DataFrame's column
+    order, so files are byte-deterministic given a layout), laid out
+    range-clustered on ``id_col`` across ``n_files`` files, each file
+    internally sorted. Same write-then-publish protocol as
+    ``write_shards``: a ``_manifest`` parquet — per file the line
+    count plus an order-INDEPENDENT md5 over the sorted id strings —
+    is recomputed from the files actually on disk and written LAST.
+
+    Scale shape: ONE range shuffle on the id (the same two-phase
+    boundaries trade-off as with_global_offset does not arise — no
+    cross-file arithmetic here), and to_json is a codegen expression.
+    The manifest job extracts only the id per line
+    (get_json_object) — it still re-reads the text files, so at
+    100 TB either keep a parquet twin of the export for attestation
+    or accept one extra pass over the sink (the cost is explicit, not
+    silent).
+
+    Returns the manifest (read back from disk)."""
+    import os
+    if n_files <= 0:
+        raise ValueError(f'n_files must be positive, got {n_files}')
+    data = os.path.join(out_dir, 'data')
+    line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    (df.repartitionByRange(n_files, F.col(id_col))
+     .sortWithinPartitions(id_col)
+     .select(line.alias('value'))
+     .write.mode('error').option('compression', compression).text(data))
+
+    on_disk = (spark.read.text(data)
+               .select(F.input_file_name().alias('file'),
+                       F.get_json_object('value', f'$.{id_col}')
+                       .alias('id')))
+    manifest = (on_disk.groupBy('file')
+                .agg(F.count('*').cast('long').alias('n_lines'),
+                     F.md5(F.concat_ws(',', F.array_sort(
+                         F.collect_list('id')))).alias('ids_md5')))
+    mpath = os.path.join(out_dir, '_manifest')
+    manifest.coalesce(1).write.mode('error').parquet(mpath)
+    return spark.read.parquet(mpath)
+
+
+def verify_jsonl(spark, out_dir: str, id_col: str) -> bool:
+    """Loader-side integrity check for an ``export_jsonl`` tree:
+    re-derive the per-file manifest from the data files and compare
+    with the stored one (False on any torn/missing/extra file)."""
+    import os
+    stored = spark.read.parquet(os.path.join(out_dir, '_manifest'))
+    derived = (spark.read.text(os.path.join(out_dir, 'data'))
+               .select(F.input_file_name().alias('file'),
+                       F.get_json_object('value', f'$.{id_col}')
+                       .alias('id'))
+               .groupBy('file')
+               .agg(F.count('*').cast('long').alias('n_lines'),
+                    F.md5(F.concat_ws(',', F.array_sort(
+                        F.collect_list('id')))).alias('ids_md5')))
+    diff = (stored.exceptAll(derived).limit(1).count()
+            + derived.exceptAll(stored).limit(1).count())
+    return diff == 0

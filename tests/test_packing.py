@@ -327,3 +327,80 @@ class TestAppendShards:
             assert got == expect
         finally:
             shutil.rmtree(out, ignore_errors=True)
+
+
+class TestExportJsonl:
+    def _df(self, spark, n=120):
+        return spark.createDataFrame(
+            [(i, f'doc {i} text', i % 7) for i in range(n)],
+            'doc_id long, text string, grp long')
+
+    def test_roundtrip_and_manifest(self, spark):
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import (export_jsonl,
+                                                           verify_jsonl)
+        out = tempfile.mkdtemp(prefix='pam_jsonl_')
+        shutil.rmtree(out)
+        try:
+            df = self._df(spark)
+            man = export_jsonl(spark, df, out, 'doc_id', n_files=4)
+            assert man.agg(F.sum('n_lines')).collect()[0][0] == 120
+            back = spark.read.json(f'{out}/data')
+            got = sorted((r['doc_id'], r['text'], r['grp'])
+                         for r in back.collect())
+            exp = sorted((r['doc_id'], r['text'], r['grp'])
+                         for r in df.collect())
+            assert got == exp
+            assert verify_jsonl(spark, out, 'doc_id')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_field_order_follows_columns_and_files_sorted(self, spark):
+        import gzip
+        import json
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import export_jsonl
+        out = tempfile.mkdtemp(prefix='pam_jsonl_')
+        shutil.rmtree(out)
+        try:
+            export_jsonl(spark, self._df(spark), out, 'doc_id', 3)
+            data = f'{out}/data'
+            fs = [f for f in os.listdir(data) if f.endswith('.gz')]
+            assert fs        # gzip compression actually applied
+            with gzip.open(os.path.join(data, fs[0]), 'rt') as fh:
+                lines = [json.loads(li) for li in fh if li.strip()]
+            if lines:
+                assert list(lines[0].keys()) == ['doc_id', 'text', 'grp']
+                ids = [li['doc_id'] for li in lines]
+                assert ids == sorted(ids)     # within-file ordering
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_verify_detects_tampering(self, spark):
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import (export_jsonl,
+                                                           verify_jsonl)
+        out = tempfile.mkdtemp(prefix='pam_jsonl_')
+        shutil.rmtree(out)
+        try:
+            export_jsonl(spark, self._df(spark), out, 'doc_id', 3)
+            data = f'{out}/data'
+            victim = next(f for f in sorted(os.listdir(data))
+                          if f.endswith('.gz'))
+            os.remove(os.path.join(data, victim))
+            assert not verify_jsonl(spark, out, 'doc_id')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_bad_n_files_rejected(self, spark):
+        import pytest
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import export_jsonl
+        with pytest.raises(ValueError):
+            export_jsonl(spark, self._df(spark, 5),
+                         tempfile.mkdtemp(), 'doc_id', 0)
