@@ -1482,6 +1482,214 @@ def q_append_shards(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_model_auc(spark, sf_dir):
+    """Exact distributed ROC-AUC (operators/evaluate.auc_score, late
+    round 5): the frozen quality model's score (integer units —
+    heavy ties, so the midrank path is live) evaluated against the
+    lang='en' label, per source via the partitioned-window path PLUS
+    a global '__all__' row via the two-phase prefix-sum path (no
+    SinglePartition stage) — both derived from ONE corpus pass
+    (auc_report computes the per-(group, score) counts once; the
+    global path re-aggregates the collapsed counts). auc_num2 = the
+    exact integer 2·AUC·P·N; auc is one IEEE division of exact
+    integers, rounded 6."""
+    from .operators.evaluate import auc_report
+    from .operators.quality_model import model_quality_units
+    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+         .select('source', F.col('mq_units').alias('score'),
+                 (F.col('lang') == 'en').cast('int').alias('label')))
+    rep = auc_report(d, 'score', 'label', ['source'])
+    return (rep.select(F.col('group').alias('source'), 'pos_n', 'neg_n',
+                       F.col('auc_num2').cast('long').alias('auc_num2'),
+                       F.round('auc', 6).alias('auc'))
+            .orderBy('source'))
+
+
+def q_threshold_report(spark, sf_dir):
+    """Confusion counts + precision/recall/F1 at three gate cut
+    points (operators/evaluate.threshold_report, late round 5): one
+    conditional-aggregate pass over the corpus however many
+    thresholds are asked for. Counts are exact BIGINTs; the ratios
+    are single IEEE divisions of them, rounded 6."""
+    from .operators.evaluate import threshold_report
+    from .operators.quality_model import model_quality_units
+    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+         .select(F.col('mq_units').alias('score'),
+                 (F.col('lang') == 'en').cast('int').alias('label')))
+    rep = threshold_report(d, 'score', 'label', [-1000.0, 0.0, 1000.0])
+    return (rep.select('threshold', 'tp', 'fp', 'fn', 'tn',
+                       F.round('precision', 6).alias('precision'),
+                       F.round('recall', 6).alias('recall'),
+                       F.round('f1', 6).alias('f1'))
+            .orderBy('threshold'))
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (operators/evaluate.calibration_bins,
+    late round 5) over the frozen model's integer units in
+    [-10000, 10000), 8 equal bins, edge clamping: per bin the row
+    count, positive count and positive rate (one narrow groupBy —
+    map-side combine makes the shuffle n_bins rows per task).
+    mean_score is avg-of-doubles (addition-order-dependent) and is
+    deliberately NOT in the graded projection."""
+    from .operators.evaluate import calibration_bins
+    from .operators.quality_model import model_quality_units
+    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+         .select(F.col('mq_units').cast('double').alias('score'),
+                 (F.col('lang') == 'en').cast('int').alias('label')))
+    bins = calibration_bins(d, 'score', 'label', n_bins=8,
+                            lo=-10000.0, hi=10000.0)
+    return (bins.select('bin', 'n', 'n_pos',
+                        F.round('pos_rate', 6).alias('pos_rate'))
+            .orderBy('bin'))
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (layout.write_bucketed /
+    colocated_join, late round 5): documents and their frozen-model
+    scores land as two tables hash-bucketed on doc_id, then join with
+    ZERO shuffle Exchange on either side (plan pinned in
+    tests/test_layout.py with broadcast forced off — here the values
+    witness the join). Per-lang totals over docs whose score passes
+    the gate. Tables are external to a temp dir and dropped in
+    finally; the result is materialized first."""
+    import shutil
+    import tempfile
+    from .layout import colocated_join, drop_table, write_bucketed
+    from .operators.quality_model import model_quality_units
+    lt, rt = 'pam_q_bjoin_docs', 'pam_q_bjoin_scores'
+    d1 = tempfile.mkdtemp(prefix='pam_q_bj1_')
+    d2 = tempfile.mkdtemp(prefix='pam_q_bj2_')
+    shutil.rmtree(d1)
+    shutil.rmtree(d2)
+    docs = (_t(spark, sf_dir, 'documents')
+            .select('doc_id', 'lang',
+                    F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                    .cast('long').alias('toks')))
+    scores = (model_quality_units(_t(spark, sf_dir, 'documents'))
+              .filter(F.col('mq_units') > 0)
+              .select('doc_id', F.col('mq_units').alias('units')))
+    try:
+        write_bucketed(docs, lt, d1, 'doc_id', 8)
+        write_bucketed(scores, rt, d2, 'doc_id', 8)
+        res = (colocated_join(spark, lt, rt, 'doc_id')
+               .groupBy('lang')
+               .agg(F.count('*').cast('long').alias('n_docs'),
+                    F.sum('toks').cast('long').alias('sum_toks'),
+                    F.sum('units').cast('long').alias('sum_units'))
+               .orderBy('lang'))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        drop_table(spark, lt)
+        drop_table(spark, rt)
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def q_range_pruned_read(spark, sf_dir):
+    """Range-clustered layout + min/max file skipping
+    (layout.write_clustered / read_pruned, late round 5 — the
+    Iceberg/Delta manifest-pruning idea over plain parquet):
+    documents land range-clustered on doc_id across 8 files with a
+    per-file min/max sidecar; a mid-range predicate then scans ONLY
+    the overlapping files (skip evidence asserted here: fewer files
+    read than exist). Values must equal a plain WHERE over the whole
+    table — pruning is a physical optimization, never a semantic
+    one."""
+    import shutil
+    import tempfile
+    from .layout import read_pruned, write_clustered
+    docs = (_t(spark, sf_dir, 'documents')
+            .select('doc_id', 'lang',
+                    F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                    .cast('long').alias('toks')))
+    b = docs.agg(F.min('doc_id'), F.max('doc_id')).collect()[0]
+    mn, mx = int(b[0]), int(b[1])
+    lo = mn + (mx - mn) * 2 // 10
+    hi = mn + (mx - mn) * 6 // 10
+    out = tempfile.mkdtemp(prefix='pam_q_prune_')
+    shutil.rmtree(out)
+    try:
+        write_clustered(docs, out, 'doc_id', 8)
+        pruned = read_pruned(spark, out, 'doc_id', lo, hi)
+        res = (pruned.groupBy('lang')
+               .agg(F.count('*').cast('long').alias('n_docs'),
+                    F.sum('toks').cast('long').alias('sum_toks'),
+                    F.min('doc_id').cast('long').alias('min_id'),
+                    F.max('doc_id').cast('long').alias('max_id'))
+               .orderBy('lang'))
+        rows = res.collect()
+        read, total = pruned._pruned_files
+        assert read < total, (read, total)   # the skip actually happened
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_salted_join(spark, sf_dir):
+    """Salted shuffle join (skew.salted_join, late round 5 — the join
+    companion to the salted aggs): events join a derived user dim on
+    (user_id, per-row salt) so a hot user spreads across 8 reducers;
+    the salt is routing only, so values must equal the plain join
+    (hot-key partition spread is pinned in tests/test_skew.py).
+    Per-event-type totals of the joined weight witness every matched
+    row."""
+    from .operators.skew import salted_join
+    ev = _t(spark, sf_dir, 'events')
+    dim = (ev.select('user_id').distinct()
+           .withColumn('weight', (F.col('user_id') % 13).cast('long')))
+    joined = salted_join(ev, dim, 'user_id', salt_buckets=8)
+    return (joined.groupBy('event_type')
+            .agg(F.count('*').cast('long').alias('n'),
+                 F.sum('weight').cast('long').alias('sum_weight'),
+                 F.sum('user_id').cast('long').alias('sum_uid'))
+            .orderBy('event_type'))
+
+
+def q_corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet (curate.corpus_datasheet, late round 5): the
+    one-row release report — volume, diversity, duplication, quality
+    pass rates — in a single aggregate job. Every value is an exact
+    count or one IEEE division of exact counts (no avg-of-doubles),
+    so the row is hash-stable under any partitioning."""
+    from .operators.curate import corpus_datasheet
+    return corpus_datasheet(_t(spark, sf_dir, 'documents'))
+
+
+def q_jsonl_export(spark, sf_dir):
+    """JSONL export sink round-trip (packing.export_jsonl /
+    verify_jsonl, late round 5): documents export as range-clustered
+    gzip JSONL with a written-last attested manifest, the loader-side
+    verify passes, and the data read BACK from disk carries exactly
+    the corpus — witnessed by the count, the token sum, and an
+    order-independent md5 over the sorted id strings (file layout is
+    a physical choice; the content checksum is not)."""
+    import shutil
+    import tempfile
+    from .operators.packing import export_jsonl, verify_jsonl
+    docs = (_t(spark, sf_dir, 'documents')
+            .select('doc_id', 'lang',
+                    F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                    .cast('long').alias('toks')))
+    out = tempfile.mkdtemp(prefix='pam_q_jsonl_')
+    shutil.rmtree(out)
+    try:
+        export_jsonl(spark, docs, out, 'doc_id', n_files=6)
+        assert verify_jsonl(spark, out, 'doc_id')
+        back = spark.read.json(f'{out}/data')
+        res = back.agg(
+            F.count('*').cast('long').alias('n_docs'),
+            F.sum('toks').cast('long').alias('sum_toks'),
+            F.md5(F.concat_ws(',', F.array_sort(
+                F.collect_list(F.col('doc_id').cast('string')))))
+            .alias('ids_md5'))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_mixture_fill(spark, sf_dir):
     """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
     token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
@@ -3336,6 +3544,245 @@ ORACLES: dict[str, str] = {
                               ORDER BY doc_id::VARCHAR)) AS ids_md5
         FROM m GROUP BY shard
     """,
+    # the JSONL round-trip witnessed content-wise: what comes back off
+    # disk must be the corpus, independent of file layout
+    'q_jsonl_export': r"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS sum_toks,
+               md5(string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id::VARCHAR)) AS ids_md5
+        FROM documents
+    """,
+    # the release datasheet rebuilt column-for-column: exact counts,
+    # the md5-distinct duplication measure, both quality gates, and
+    # single-division ratios
+    'q_corpus_datasheet': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id, -4700 + sum(coalesce(wt, 0)) AS units
+               FROM tok LEFT JOIN w ON t = term GROUP BY doc_id),
+        q AS (SELECT doc_id, lang, source,
+                     len(string_split_regex(trim(text), '\s+')) AS tokc,
+                     length(text) AS chars, md5(text) AS h,
+                     CASE WHEN
+                         round(length(regexp_replace(text, '[^A-Za-z]',
+                                                     '', 'g')) * 1.0
+                               / greatest(length(text), 1), 6) > 0.6
+                         AND round(length(regexp_replace(text, '[^0-9]',
+                                                         '', 'g')) * 1.0
+                                   / greatest(length(text), 1), 6) < 0.2
+                         AND len(string_split_regex(trim(text), '\s+')) >= 5
+                     THEN 1 ELSE 0 END AS qok,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+              FROM documents),
+        j AS (SELECT q.*, sc.units FROM q JOIN sc USING (doc_id))
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(tokc) AS BIGINT) AS n_tokens,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+               CAST(sum(qok) AS BIGINT) AS n_quality_ok,
+               CAST(sum(CASE WHEN units > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_model_pass,
+               CAST(sum(en) AS BIGINT) AS n_en,
+               round((count(*) - count(DISTINCT h))
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_frac,
+               round(sum(tokc) / CAST(count(*) AS DOUBLE), 6)
+                   AS tokens_per_doc
+        FROM j
+    """,
+    # salt is routing only: the salted join's values must equal the
+    # plain join, replayed here without any salt
+    'q_salted_join': r"""
+        WITH dim AS (SELECT DISTINCT user_id, user_id % 13 AS weight
+                     FROM events)
+        SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d.weight) AS BIGINT) AS sum_weight,
+               CAST(sum(e.user_id) AS BIGINT) AS sum_uid
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    # the co-located join's VALUES witnessed single-table (bucketing
+    # is a physical layout choice — results must be layout-invariant);
+    # the zero-Exchange plan itself is pinned in tests/test_layout.py
+    'q_bucketed_join': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, lang,
+                       len(string_split_regex(trim(text), '\s+')) AS toks,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id, any_value(lang) AS lang,
+                      any_value(toks) AS toks,
+                      -4700 + sum(coalesce(wt, 0)) AS units
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS sum_toks,
+               CAST(sum(units) AS BIGINT) AS sum_units
+        FROM sc WHERE units > 0 GROUP BY lang ORDER BY lang
+    """,
+    # file skipping must be value-invisible: the pruned scan equals a
+    # plain WHERE over the whole table (bounds derived the same way —
+    # integer floor-div of the id span)
+    'q_range_pruned_read': r"""
+        WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                   FROM documents),
+        r AS (SELECT mn + (mx - mn) * 2 // 10 AS lo,
+                     mn + (mx - mn) * 6 // 10 AS hi FROM b)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS sum_toks,
+               CAST(min(doc_id) AS BIGINT) AS min_id,
+               CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM documents, r WHERE doc_id BETWEEN lo AND hi
+        GROUP BY lang ORDER BY lang
+    """,
+    # exact AUC replayed: per-distinct-score class counts, negatives-
+    # below cumsum, 2·AUC·P·N as an integer — the '__all__' row checks
+    # the two-phase global path against plain SQL
+    'q_model_auc': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, source, lang,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id, any_value(source) AS source,
+                      CASE WHEN any_value(lang) = 'en' THEN 1 ELSE 0 END
+                          AS y,
+                      -4700 + sum(coalesce(wt, 0)) AS s
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id),
+        lab AS (SELECT source, s, y FROM sc
+                UNION ALL SELECT '__all__', s, y FROM sc),
+        per AS (SELECT source, s, sum(y) AS p, count(*) - sum(y) AS n
+                FROM lab GROUP BY source, s),
+        nb AS (SELECT source, p, n,
+                      sum(n) OVER (PARTITION BY source ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n AS nbelow
+               FROM per),
+        g AS (SELECT source, sum(p) AS pos_n, sum(n) AS neg_n,
+                     sum(p * (2 * nbelow + n)) AS num2
+              FROM nb GROUP BY source)
+        SELECT source, CAST(pos_n AS BIGINT) AS pos_n,
+               CAST(neg_n AS BIGINT) AS neg_n,
+               CAST(num2 AS BIGINT) AS auc_num2,
+               CASE WHEN pos_n > 0 AND neg_n > 0 THEN
+                   round(CAST(num2 AS DOUBLE) / (2.0 * pos_n * neg_n), 6)
+               END AS auc
+        FROM g ORDER BY source
+    """,
+    # the conditional-aggregate confusion pass replayed per threshold;
+    # ratios are single IEEE divisions of exact counts
+    'q_threshold_report': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id,
+                      CASE WHEN any_value(lang) = 'en' THEN 1 ELSE 0 END
+                          AS y,
+                      -4700 + sum(coalesce(wt, 0)) AS s
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id),
+        th(threshold) AS (VALUES (CAST(-1000 AS DOUBLE)),
+                                 (CAST(0 AS DOUBLE)),
+                                 (CAST(1000 AS DOUBLE))),
+        c AS (SELECT threshold,
+                     sum(CASE WHEN s >= threshold AND y = 1
+                         THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN s >= threshold AND y = 0
+                         THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN s < threshold AND y = 1
+                         THEN 1 ELSE 0 END) AS fn,
+                     sum(CASE WHEN s < threshold AND y = 0
+                         THEN 1 ELSE 0 END) AS tn
+              FROM sc, th GROUP BY threshold)
+        SELECT threshold, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+               CAST(tn AS BIGINT) AS tn,
+               CASE WHEN tp + fp > 0 THEN
+                   round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+               END AS precision,
+               CASE WHEN tp + fn > 0 THEN
+                   round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+               END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0 THEN
+                   round(2 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+               END AS f1
+        FROM c ORDER BY threshold
+    """,
+    # equal-width bins over integer units with edge clamping; pos_rate
+    # is one division of exact counts (mean_score deliberately absent:
+    # avg-of-doubles is addition-order-dependent)
+    'q_calibration_bins': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id,
+                      CASE WHEN any_value(lang) = 'en' THEN 1 ELSE 0 END
+                          AS y,
+                      -4700 + sum(coalesce(wt, 0)) AS s
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id),
+        b AS (SELECT CAST(least(greatest(
+                         floor((CAST(s AS DOUBLE) + 10000.0) / 2500.0),
+                         0), 7) AS BIGINT) AS bin, y
+              FROM sc)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+        FROM b GROUP BY bin ORDER BY bin
+    """,
     # waterfilling replayed in exact integer arithmetic: round 1 clamps
     # zh (its 5/10 share exceeds availability at both gate SFs — en/de
     # round-1 shares are discarded per the repair loop), round 2
@@ -3486,6 +3933,14 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_mixture_fill': q_mixture_fill,
         'q_shard_export': q_shard_export,
         'q_append_shards': q_append_shards,
+        'q_model_auc': q_model_auc,
+        'q_threshold_report': q_threshold_report,
+        'q_calibration_bins': q_calibration_bins,
+        'q_bucketed_join': q_bucketed_join,
+        'q_range_pruned_read': q_range_pruned_read,
+        'q_salted_join': q_salted_join,
+        'q_corpus_datasheet': q_corpus_datasheet,
+        'q_jsonl_export': q_jsonl_export,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
