@@ -76,6 +76,28 @@ class _StripTable(dict):
 
 _STRIP_TABLE = _StripTable()
 
+# ASCII fast path: lower() and the strip translate fused into ONE
+# table, one C pass instead of two full-string copies.  Valid only
+# for isascii() input: ASCII lowercasing is per-char and context-free,
+# so cp → strip(lower(cp)) composes exactly; general Unicode lower()
+# is NOT per-char (final sigma is context-dependent, 'İ' lowers to two
+# codepoints), so non-ASCII text keeps the two-pass form.  Built
+# eagerly over all 128 codepoints; byte-identity with the two-pass
+# form is pinned by the hypothesis parity suite (ascii strategy) plus
+# an exhaustive 0-127 unit check.
+_ASCII_LOWER_STRIP = [
+    _STRIP_TABLE[ord(chr(cp).lower())] for cp in range(128)
+]  # a LIST, not a dict: str.translate indexes it as a C array —
+#    no per-char hash — and the isascii() guard bounds every ord < 128
+
+
+def _lower_strip(text: str) -> str:
+    """lower + script/special/digit strip (T2-T5 before the whitespace
+    collapse): fused single pass for ASCII, two-pass otherwise."""
+    if text.isascii():
+        return text.translate(_ASCII_LOWER_STRIP)
+    return text.lower().translate(_STRIP_TABLE)
+
 
 def normalize_text(text: str) -> str:
     """T2-T5: lowercase, strip non-Latin scripts / specials / digits,
@@ -86,7 +108,7 @@ def normalize_text(text: str) -> str:
     and ``str.split``'s whitespace table agree on every BMP codepoint
     (exhaustively checked + 20k-string fuzz, tests/test_kernels.py),
     and the C-level split is ~2× faster than the regex pass."""
-    text = text.lower().translate(_STRIP_TABLE)
+    text = _lower_strip(text)
     return ' '.join(text.split())
 
 
@@ -158,7 +180,7 @@ def preprocess_text(text: str, mode: str = 'deterministic') -> str:
         raise ValueError(f'unknown preprocess mode: {mode!r}')
     stops = STOP_WORDS
     tokens = [
-        tok for tok in text.lower().translate(_STRIP_TABLE).split()
+        tok for tok in _lower_strip(text).split()
         if len(tok) >= 3 and tok not in stops and not tok.isdigit()
     ]
     return ' '.join(tokens + extract_key_phrases(tokens))  # T10, :145-147
@@ -206,7 +228,7 @@ def preprocess_text_nltk(text: str) -> str:
         return text
     stops = NLTK_STOP_WORDS
     tokens = [
-        tok for tok in nltk_tokenize(text.lower().translate(_STRIP_TABLE))
+        tok for tok in nltk_tokenize(_lower_strip(text))
         if len(tok) >= 3 and tok not in stops and not tok.isdigit()
     ]
     return ' '.join(tokens + extract_key_phrases(tokens))

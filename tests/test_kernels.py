@@ -289,3 +289,17 @@ def test_fast_tree_matches_stdlib_builder():
         builder.feed(html)
         builder.close()
         assert _tree_shape(fast) == _tree_shape(builder.root), html[:80]
+
+
+def test_ascii_lower_strip_fusion_exhaustive_and_composed():
+    """The fused ASCII table must equal lower-then-strip per codepoint
+    (0-127 exhaustively) and on composed strings."""
+    from pdf_ai_mapper_spark.kernels.preprocess import (_ASCII_LOWER_STRIP,
+                                                        _STRIP_TABLE,
+                                                        _lower_strip)
+    for cp in range(128):
+        ch = chr(cp)
+        assert _ASCII_LOWER_STRIP[cp] == ch.lower().translate(_STRIP_TABLE)
+    for s in ['', 'Hello, World! 123', 'A-B_c  D\t9', '<TAG>&amp;',
+              'MiXeD CaSe-with_underscores 00', 'é non-ascii PATH Σ']:
+        assert _lower_strip(s) == s.lower().translate(_STRIP_TABLE)
