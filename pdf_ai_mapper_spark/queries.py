@@ -1690,6 +1690,52 @@ def q_jsonl_export(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_recrawl_upsert(spark, sf_dir):
+    """Recrawl upsert / MERGE INTO (checkpoint.upsert_output, late
+    round 5): documents land as a bucketed store at ts=100; a
+    re-crawl batch updates every doc_id%3==0 row (ts=200, toks+1000)
+    and inserts one new key per doc_id%7==0 doc; only the affected
+    bucket directories rewrite (pinned in tests/test_pipeline.py —
+    here the read-back VALUES witness keep-latest + insert
+    semantics, derived independently in SQL)."""
+    import shutil
+    import tempfile
+    from . import checkpoint as cp
+    docs = (_t(spark, sf_dir, 'documents')
+            .select(F.col('doc_id').cast('string').alias('url'), 'lang',
+                    F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                    .cast('long').alias('toks')))
+    out = tempfile.mkdtemp(prefix='pam_q_upsert_')
+    shutil.rmtree(out)
+    try:
+        stored = (docs.withColumn('crawl_ts', F.lit(100).cast('long'))
+                  .withColumn('bucket',
+                              F.pmod(F.xxhash64(F.col('url')), F.lit(8))
+                              .cast('int')))
+        stored.write.partitionBy('bucket').parquet(cp.data_path(out))
+        upd = (docs.filter(F.col('url').cast('long') % 3 == 0)
+               .withColumn('toks', F.col('toks') + 1000)
+               .withColumn('crawl_ts', F.lit(200).cast('long')))
+        ins = (docs.filter(F.col('url').cast('long') % 7 == 0)
+               .select(F.concat(F.lit('x'), F.col('url')).alias('url'),
+                       'lang', F.lit(1).cast('long').alias('toks'),
+                       F.lit(150).cast('long').alias('crawl_ts')))
+        batch = upd.select('url', 'lang', 'toks', 'crawl_ts') \
+            .unionByName(ins)
+        cp.upsert_output(spark, out, batch, key_col='url',
+                         order_col='crawl_ts', n_buckets=8)
+        res = (cp.read_output(spark, out)
+               .groupBy('lang')
+               .agg(F.count('*').cast('long').alias('n'),
+                    F.sum('toks').cast('long').alias('sum_toks'),
+                    F.sum('crawl_ts').cast('long').alias('sum_ts'))
+               .orderBy('lang'))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_mixture_fill(spark, sf_dir):
     """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
     token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
@@ -3544,6 +3590,29 @@ ORACLES: dict[str, str] = {
                               ORDER BY doc_id::VARCHAR)) AS ids_md5
         FROM m GROUP BY shard
     """,
+    # MERGE keep-latest derived independently: updates replayed as a
+    # CASE over the update predicate, inserts as a UNION ALL
+    'q_recrawl_upsert': r"""
+        WITH base AS (
+            SELECT lang,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN len(string_split_regex(trim(text), '\s+'))
+                             + 1000
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS toks,
+                   CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 100 END AS ts
+            FROM documents
+        ), ins AS (
+            SELECT lang, 1 AS toks, 150 AS ts
+            FROM documents WHERE doc_id % 7 = 0
+        ), m AS (
+            SELECT * FROM base UNION ALL SELECT * FROM ins
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(toks) AS BIGINT) AS sum_toks,
+               CAST(sum(ts) AS BIGINT) AS sum_ts
+        FROM m GROUP BY lang ORDER BY lang
+    """,
     # the JSONL round-trip witnessed content-wise: what comes back off
     # disk must be the corpus, independent of file layout
     'q_jsonl_export': r"""
@@ -3941,6 +4010,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,
         'q_jsonl_export': q_jsonl_export,
+        'q_recrawl_upsert': q_recrawl_upsert,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

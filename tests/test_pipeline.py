@@ -222,3 +222,80 @@ def test_reconcile_idempotent_when_entries_exist(spark, outdir):
     assert cp.pending_intents(outdir) == []
     cps = spark.read.parquet(cp.checkpoint_path(outdir))
     assert cps.agg(F.sum('rows_out').alias('o')).collect()[0]['o'] == 30
+
+
+def _write_store(spark, outdir, rows, n_buckets=8):
+    df = (spark.createDataFrame(rows, 'url string, crawl_ts long, body string')
+          .withColumn('bucket', F.pmod(F.xxhash64(F.col('url')),
+                                       F.lit(n_buckets)).cast('int')))
+    df.write.partitionBy('bucket').parquet(cp.data_path(outdir))
+    return df
+
+
+def _listing(outdir):
+    import os
+    data = cp.data_path(outdir)
+    out = {}
+    for d in os.listdir(data):
+        if d.startswith('bucket='):
+            p = os.path.join(data, d)
+            out[d] = sorted((f, os.path.getsize(os.path.join(p, f)),
+                             os.path.getmtime(os.path.join(p, f)))
+                            for f in os.listdir(p) if f.endswith('.parquet'))
+    return out
+
+
+def test_upsert_keep_latest_semantics(spark, outdir):
+    rows = [(f'u{i}', 100, f'old{i}') for i in range(40)]
+    _write_store(spark, outdir, rows)
+    batch = spark.createDataFrame(
+        [('u0', 200, 'newer'),        # newer ts -> replaces
+         ('u1', 50, 'stale'),         # older ts -> stored survives
+         ('u2', 100, 'tie-batch'),    # tie -> batch wins (refresh)
+         ('brand-new', 150, 'insert')],
+        'url string, crawl_ts long, body string')
+    stats = cp.upsert_output(spark, outdir, batch, key_col='url',
+                             order_col='crawl_ts', n_buckets=8)
+    got = {r['url']: (r['crawl_ts'], r['body'])
+           for r in cp.read_output(spark, outdir).collect()}
+    assert len(got) == 41
+    assert got['u0'] == (200, 'newer')
+    assert got['u1'] == (100, 'old1')
+    assert got['u2'] == (100, 'tie-batch')
+    assert got['brand-new'] == (150, 'insert')
+    assert got['u5'] == (100, 'old5')
+    assert stats['buckets_rewritten'] >= 1
+    assert stats['rows_written'] >= 4
+
+
+def test_upsert_rewrites_only_affected_buckets(spark, outdir):
+    rows = [(f'u{i}', 100, f'old{i}') for i in range(60)]
+    _write_store(spark, outdir, rows)
+    before = _listing(outdir)
+    batch = spark.createDataFrame([('u0', 200, 'newer')],
+                                  'url string, crawl_ts long, body string')
+    stats = cp.upsert_output(spark, outdir, batch, key_col='url',
+                             order_col='crawl_ts', n_buckets=8)
+    assert stats['buckets_rewritten'] == 1
+    after = _listing(outdir)
+    from pyspark.sql import functions as SF
+    hot = 'bucket=%d' % (spark.createDataFrame([('u0',)], 'url string')
+                         .select(SF.pmod(SF.xxhash64('url'), SF.lit(8))
+                                 .cast('int').alias('b'))
+                         .collect()[0]['b'])
+    assert set(before) == set(after)
+    for d in before:
+        if d == hot:
+            assert before[d] != after[d]      # rewritten
+        else:
+            assert before[d] == after[d]      # untouched bytes
+
+
+def test_upsert_empty_batch_is_noop(spark, outdir):
+    _write_store(spark, outdir, [('u0', 100, 'x')])
+    before = _listing(outdir)
+    empty = spark.createDataFrame([], 'url string, crawl_ts long, body string')
+    stats = cp.upsert_output(spark, outdir, empty, key_col='url',
+                             order_col='crawl_ts', n_buckets=8)
+    assert stats == {'buckets_rewritten': 0, 'rows_written': 0}
+    assert _listing(outdir) == before
