@@ -1736,6 +1736,45 @@ def q_recrawl_upsert(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_stream_export(spark, sf_dir):
+    """Streaming training export (streaming.stream_export_shards,
+    late round 5): documents flow through an availableNow stream into
+    the shard tree — first batch creates the export, the manifest
+    publishes last, verify_shards gates the read. Batching and shard
+    layout are physical choices; the CONTENT is not: count, token sum
+    and the order-independent md5 over sorted ids must equal the
+    corpus, derived independently in SQL."""
+    import shutil
+    import tempfile
+    from .operators.packing import verify_shards
+    from .streaming import stream_export_shards
+    docs = (_t(spark, sf_dir, 'documents')
+            .select('doc_id',
+                    F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                    .cast('long').alias('toks')))
+    inp = tempfile.mkdtemp(prefix='pam_q_sx_in_')
+    out = tempfile.mkdtemp(prefix='pam_q_sx_out_')
+    shutil.rmtree(inp)
+    shutil.rmtree(out)
+    try:
+        docs.write.parquet(inp)
+        stream_export_shards(spark, inp, out, 'doc_id long, toks long',
+                             'doc_id', 'toks', 5000, seed='r5sx')
+        assert verify_shards(spark, out, 'doc_id', 'toks')
+        back = spark.read.parquet(f'{out}/shards')
+        res = back.agg(
+            F.count('*').cast('long').alias('n_docs'),
+            F.sum('toks').cast('long').alias('sum_toks'),
+            F.md5(F.concat_ws(',', F.array_sort(
+                F.collect_list(F.col('doc_id').cast('string')))))
+            .alias('ids_md5'))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(inp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_mixture_fill(spark, sf_dir):
     """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
     token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
@@ -3590,6 +3629,16 @@ ORACLES: dict[str, str] = {
                               ORDER BY doc_id::VARCHAR)) AS ids_md5
         FROM m GROUP BY shard
     """,
+    # streaming export content witnessed corpus-wide — batching and
+    # shard cuts are physical, the ids/token totals are not
+    'q_stream_export': r"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS sum_toks,
+               md5(string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id::VARCHAR)) AS ids_md5
+        FROM documents
+    """,
     # MERGE keep-latest derived independently: updates replayed as a
     # CASE over the update predicate, inserts as a UNION ALL
     'q_recrawl_upsert': r"""
@@ -4011,6 +4060,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_corpus_datasheet': q_corpus_datasheet,
         'q_jsonl_export': q_jsonl_export,
         'q_recrawl_upsert': q_recrawl_upsert,
+        'q_stream_export': q_stream_export,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

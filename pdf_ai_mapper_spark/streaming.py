@@ -224,3 +224,64 @@ def dedup_stream(spark: SparkSession, input_path: str, output_path: str,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_export_shards(spark: SparkSession, input_path: str,
+                         out_dir: str, schema: str,
+                         id_col: str, tokens_col: str,
+                         tokens_per_shard: int, seed: str = '',
+                         available_now: bool = True):
+    """Streaming training export (late round 5): new parquet files
+    landing under ``input_path`` flow straight into the shard tree —
+    the first micro-batch creates the export (``write_shards``), every
+    later one appends at the next shard boundary (``append_shards``),
+    so the loader-facing directory is ALWAYS a verified, manifested
+    export while the crawl keeps producing. Per-batch determinism:
+    each batch shuffles under ``seed|b<batch_id>`` (batch ids are
+    stable across micro-batch retries).
+
+    Idempotence: a ``_stream_batches/<id>`` marker is written AFTER a
+    batch's manifest commits, so a restarted stream (or a foreachBatch
+    retry after the commit) skips completed batches instead of
+    double-appending. The torn window — crash after shard files land
+    but before the manifest row — is detectable (``verify_shards``
+    fails: data files exist with no manifest row) but not auto-healed
+    here; on Iceberg the append is one atomic snapshot commit and the
+    marker dance disappears.
+
+    File pickup is exactly-once via the streaming checkpoint under
+    ``out_dir/_stream_checkpoint`` — two availableNow runs behave as
+    one continuous stream."""
+    from .operators.packing import (append_shards, shuffle_shards,
+                                    write_shards)
+
+    markers = os.path.join(out_dir, '_stream_batches')
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        mark = os.path.join(markers, str(batch_id))
+        if os.path.exists(mark) or batch.isEmpty():
+            return
+        bseed = f'{seed}|b{batch_id}'
+        sp = batch.sparkSession
+        if os.path.exists(os.path.join(out_dir, '_manifest')):
+            append_shards(sp, batch, out_dir, id_col, tokens_col,
+                          tokens_per_shard, seed=bseed)
+        else:
+            sharded = shuffle_shards(batch, id_col, tokens_col,
+                                     tokens_per_shard, seed=bseed)
+            write_shards(sp, sharded, out_dir, id_col, tokens_col)
+            for dep in getattr(sharded, '_persisted_deps', ()):
+                dep.unpersist()
+        os.makedirs(markers, exist_ok=True)
+        with open(mark, 'w') as fh:
+            fh.write('done')
+
+    writer = (spark.readStream.schema(schema).parquet(input_path)
+              .writeStream.foreachBatch(sink)
+              .option('checkpointLocation',
+                      os.path.join(out_dir, '_stream_checkpoint')))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

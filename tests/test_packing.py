@@ -404,3 +404,83 @@ class TestExportJsonl:
         with pytest.raises(ValueError):
             export_jsonl(spark, self._df(spark, 5),
                          tempfile.mkdtemp(), 'doc_id', 0)
+
+
+class TestStreamExportShards:
+    def _write_input(self, spark, d, rows):
+        spark.createDataFrame(rows, 'doc_id long, toks long') \
+            .coalesce(1).write.mode('append').parquet(d)
+
+    def test_stream_builds_then_appends_verified_export(self, spark):
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import verify_shards
+        from pdf_ai_mapper_spark.streaming import stream_export_shards
+        inp = tempfile.mkdtemp(prefix='pam_sx_in_')
+        out = tempfile.mkdtemp(prefix='pam_sx_out_')
+        shutil.rmtree(out)
+        try:
+            self._write_input(spark, inp, [(i, 37) for i in range(100)])
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 1000, seed='sx')
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+            m1 = {r['shard']: tuple(r) for r in
+                  spark.read.parquet(f'{out}/_manifest').collect()}
+            assert sum(r[2] for r in m1.values()) == 3700
+
+            # second wave of files -> appended at the next boundary,
+            # stored manifest rows byte-identical
+            self._write_input(spark, inp,
+                              [(1000 + i, 29) for i in range(80)])
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 1000, seed='sx')
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+            m2 = {r['shard']: tuple(r) for r in
+                  spark.read.parquet(f'{out}/_manifest').collect()}
+            for s, row in m1.items():
+                assert m2[s] == row
+            new = set(m2) - set(m1)
+            assert new and min(new) == 4       # 3700 -> boundary 4000
+            assert sum(m2[s][2] for s in new) == 80 * 29
+
+            # a third run with nothing new changes nothing
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 1000, seed='sx')
+            m3 = {r['shard']: tuple(r) for r in
+                  spark.read.parquet(f'{out}/_manifest').collect()}
+            assert m3 == m2
+        finally:
+            shutil.rmtree(inp, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_completed_batch_marker_skips_rerun(self, spark):
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.streaming import stream_export_shards
+        inp = tempfile.mkdtemp(prefix='pam_sx_in_')
+        out = tempfile.mkdtemp(prefix='pam_sx_out_')
+        shutil.rmtree(out)
+        try:
+            self._write_input(spark, inp, [(i, 10) for i in range(20)])
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 100, seed='sx')
+            marks = os.listdir(f'{out}/_stream_batches')
+            assert marks == ['0']
+            # wipe the STREAM checkpoint (simulates a fresh pipeline
+            # deploy re-reading all input) -> markers must prevent a
+            # double append
+            shutil.rmtree(f'{out}/_stream_checkpoint')
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 100, seed='sx')
+            total = (spark.read.parquet(f'{out}/_manifest')
+                     .agg(F.sum('n_tokens')).collect()[0][0])
+            assert total == 200                # not doubled
+        finally:
+            shutil.rmtree(inp, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
