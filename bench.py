@@ -396,15 +396,63 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
               f'{"retrying" if attempt + 1 < max_attempts else "giving up"}',
               file=sys.stderr)
 
-    # final numbers: min across every attempt (best-of-N×attempts)
+    shutil.rmtree(tmp, ignore_errors=True)
+    result = _assemble_output(
+        attempts, load_readings, sf_dir, cpus, n_corpus,
+        warmup_failures,
+        {'load_max_threshold': max_load, 'run_max_threshold': run_max,
+         'busy_max_threshold': busy_max, 'probe_min_frac': probe_frac,
+         'probe_best_rate': probe_state['best']})
+    if keep_spark is None:
+        spark.stop()
+    return result
+
+
+def _assemble_output(attempts, load_readings, sf_dir, cpus, n_corpus,
+                     warmup_failures, thresholds,
+                     sidecar_path: 'str | None' = None) -> dict:
+    """Build the COMPACT result dict and write the full per-attempt
+    blob to a sidecar file.
+
+    Output contract (round 6; VERDICT r5 #1): the stdout JSON line must
+    stay compact — the driver's tail capture truncated the r5 line
+    (every attempt's per-section stamps inflated it to tens of KB →
+    BENCH_r05.json parsed:null, the round's perf number lost). The full
+    stamp/iteration blob ships in BENCH/ATTEMPTS_LAST.json; stdout
+    carries the r3/r4 schema plus a bounded trust summary (worst
+    ambient readings across the final attempt, dirty-section names)."""
     timings = {q: min(a['timings'][q] for a in attempts)
                for q in attempts[0]['timings']}
     extraction_sec = timings['extraction_pipeline']
-    load_readings['final_attempt_stamps'] = attempts[-1]['section_stamps']
-
-    shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    result = {
+    final_stamps = attempts[-1]['section_stamps']
+
+    def _worst(key):
+        vals = [s[ph][key] for s in final_stamps.values()
+                for ph in ('pre', 'post') if s[ph][key] >= 0]
+        return max(vals) if vals else -1.0
+
+    probe_rates = [s[ph]['probe_rate'] for s in final_stamps.values()
+                   for ph in ('pre', 'post') if s[ph]['probe_rate'] > 0]
+    sidecar = {
+        'load_readings': load_readings,
+        'attempt_details': [{'dirty_sections': a['dirty_sections'],
+                             'timings': a['timings'],
+                             'raw_iterations': a['raw_iterations'],
+                             'section_stamps': a['section_stamps']}
+                            for a in attempts],
+    }
+    if sidecar_path is None:
+        sidecar_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'BENCH',
+            'ATTEMPTS_LAST.json')
+    try:
+        with open(sidecar_path, 'w') as f:
+            json.dump(sidecar, f)
+    except OSError:
+        sidecar_path = None
+
+    return {
         'metric': 'headline suite wall-clock (extraction pipeline + operator queries)',
         'value': total,
         'unit': 'sec',
@@ -413,38 +461,43 @@ def run_bench(sf_dir: str, cpus: int, keep_spark=None) -> dict:
         'cpus': cpus,
         'extraction_rows': n_corpus,
         'extraction_docs_per_sec': round(n_corpus / extraction_sec, 2),
-        # trustworthiness evidence: bench_start_ambient is the only
-        # OUR-LOAD-FREE 1-min loadavg (pre-session, post-gate). Every
-        # timed section carries pre/post stamps of BOTH the loadavg and
-        # the instantaneous runnable count (ambient-readable mid-suite
-        # because our executors are idle at sampling time), per
-        # attempt, plus which sections each attempt flagged dirty.
-        'load_readings': load_readings,
+        # trust summary: bench_start_ambient is the only OUR-LOAD-FREE
+        # 1-min loadavg (pre-session, post-gate); the rest summarizes
+        # the final attempt's per-section stamps (full detail in the
+        # sidecar file).
+        'load_readings': {
+            'bench_start_ambient': load_readings['bench_start_ambient'],
+            'final_attempt_worst_runnable': _worst('running'),
+            'final_attempt_worst_busy_cores': _worst('busy_cores'),
+            'final_attempt_min_probe_rate': (min(probe_rates)
+                                             if probe_rates else -1.0),
+        },
         'raw_iterations': {q: [t for a in attempts
                                for t in a['raw_iterations'][q]]
                            for q in attempts[0]['raw_iterations']},
         'attempts': len(attempts),
-        'attempt_details': [{'dirty_sections': a['dirty_sections'],
-                             'timings': a['timings'],
-                             'section_stamps': a['section_stamps']}
-                            for a in attempts],
+        'dirty_sections_per_attempt': [a['dirty_sections']
+                                       for a in attempts],
+        'stamps_sidecar': sidecar_path,
         'warmup_failures': warmup_failures,
-        'load_max_threshold': max_load,
-        'run_max_threshold': run_max,
-        'busy_max_threshold': busy_max,
-        'probe_min_frac': probe_frac,
-        'probe_best_rate': probe_state['best'],
+        **thresholds,
     }
-    if keep_spark is None:
-        spark.stop()
-    return result
 
 
 def main() -> None:
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
     cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
     result = run_bench(sf_dir, cpus)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # Hard output-budget guard: the driver tail-captures stdout and a
+    # line past ~16 KB risks truncation (the exact r5 failure). If the
+    # raw-iteration lists ever make the line long, drop them from
+    # stdout (they remain in the sidecar) rather than ship a line the
+    # driver cannot parse.
+    if len(line) > 16_000:
+        result['raw_iterations'] = 'see stamps_sidecar'
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == '__main__':
