@@ -185,6 +185,7 @@ def reconcile_intents(spark: SparkSession, output_path: str) -> int:
 
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
     recover_swap(data_path(output_path))
+    recover_upsert(data_path(output_path))
     return spark.read.parquet(data_path(output_path))
 
 
@@ -268,6 +269,55 @@ def compact_output(spark: SparkSession, output_path: str,
             'files_after': int(files_after)}
 
 
+def _upsert_paths(data: str) -> tuple[str, str, str]:
+    return (data + '.upsert_tmp', data + '.upsert_old',
+            data + '.upsert_intent.json')
+
+
+def _promote_upsert(data: str, buckets: list[int]) -> None:
+    """Per-bucket promotion, idempotent so a crashed run can resume it
+    (roll-forward). Per bucket the only reachable states are:
+    tmp present + data present (not started → both renames), tmp
+    present + data absent (crashed between renames, or an inserted
+    bucket → rename tmp in), tmp absent (done). os.rename is atomic,
+    so no state is ambiguous."""
+    import shutil
+    tmp, old, intent = _upsert_paths(data)
+    for n in buckets:
+        t = os.path.join(tmp, f'bucket={n}')
+        d = os.path.join(data, f'bucket={n}')
+        if os.path.exists(t):
+            if os.path.exists(d):
+                os.makedirs(old, exist_ok=True)
+                os.rename(d, os.path.join(old, f'bucket={n}'))
+            os.rename(t, d)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.remove(intent)
+    except FileNotFoundError:
+        pass
+
+
+def recover_upsert(data: str) -> None:
+    """Finish or discard an interrupted ``upsert_output`` (called by
+    ``read_output`` and at the start of every upsert). With a
+    published intent the merge write had completed → roll FORWARD
+    (finish the per-bucket promotion); without one the crash hit
+    mid-merge-write → the stored table is untouched, discard the
+    stray tmp."""
+    import json
+    import shutil
+    tmp, old, intent = _upsert_paths(data)
+    if os.path.exists(intent):
+        with open(intent) as f:
+            buckets = json.load(f)['buckets']
+        _promote_upsert(data, buckets)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def upsert_output(spark: SparkSession, output_path: str,
                   batch: DataFrame, key_col: str = 'url',
                   order_col: str = 'crawl_ts',
@@ -280,7 +330,7 @@ def upsert_output(spark: SparkSession, output_path: str,
     timestamp refreshes — ties go to the BATCH); unmatched batch keys
     insert; stored rows the batch never mentions are untouched BYTES —
     only the buckets containing batch keys are read and rewritten
-    (dynamic partition overwrite on the bucket directory column).
+    (per-bucket directory promotion, see crash safety below).
 
     Contract: ``batch`` carries the stored schema minus ``bucket``
     (computed here with the layout's own hash), is key-unique, and
@@ -296,10 +346,23 @@ def upsert_output(spark: SparkSession, output_path: str,
     slice, never the whole table. At 1000 buckets a batch touching 1%
     of keys rewrites ~63% of buckets (birthday bound) — size
     n_buckets so a typical batch's bucket fan-out stays well under
-    the table, or bucket by host for crawl-locality."""
+    the table, or bucket by host for crawl-locality.
+
+    Crash safety (ADVICE r5 #3): the merged plan READS the same bucket
+    directories it replaces, and V1 dynamic partition overwrite deletes
+    matched dirs during commit — an in-place overwrite can lose the
+    affected buckets on a mid-commit failure with no recovery path.
+    So the merge writes to a SIBLING tmp dir first; once that write
+    completes, an intent marker (the affected-bucket list) publishes
+    atomically, and promotion is per-bucket renames that
+    ``recover_upsert`` can roll forward after any crash — the same
+    write-then-publish contract as ``compact_output``'s swap."""
+    import json
     from pyspark.sql import Observation
 
     data = data_path(output_path)
+    recover_upsert(data)
+    tmp, _old, intent = _upsert_paths(data)
     b = batch.withColumn(
         'bucket', F.pmod(F.xxhash64(F.col(key_col)),
                          F.lit(n_buckets)).cast('int'))
@@ -320,8 +383,13 @@ def upsert_output(spark: SparkSession, output_path: str,
     merged = (stored.unionByName(bb)
               .groupBy(key_col).agg(pick).select('__row.*')
               .observe(obs, F.count(F.lit(1)).alias('n')))
-    (merged.write.partitionBy('bucket')
-     .option('partitionOverwriteMode', 'dynamic')
-     .mode('overwrite').parquet(data))
+    merged.write.partitionBy('bucket').mode('error').parquet(tmp)
+    # publish the intent ATOMICALLY (rename): from here on a crash
+    # rolls forward; before here the stored table is untouched
+    itmp = intent + '.tmp'
+    with open(itmp, 'w') as f:
+        json.dump({'buckets': [int(n) for n in affected]}, f)
+    os.rename(itmp, intent)
+    _promote_upsert(data, affected)
     return {'buckets_rewritten': len(affected),
             'rows_written': int(obs.get['n'])}

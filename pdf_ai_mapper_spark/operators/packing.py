@@ -164,7 +164,8 @@ def shuffle_shards(df: DataFrame, id_col: str, tokens_col: str,
 def write_shards(spark, df: DataFrame, out_dir: str,
                  id_col: str, tokens_col: str,
                  shard_col: str = 'shard',
-                 epoch_col: str | None = None) -> DataFrame:
+                 epoch_col: str | None = None,
+                 batch_id: str | None = None) -> DataFrame:
     """Materialize a ``shuffle_shards`` layout as the training-loader
     directory tree (late round 5): one parquet partition per shard
     (``shard=N/`` via partitionBy — each loader worker opens exactly
@@ -208,6 +209,11 @@ def write_shards(spark, df: DataFrame, out_dir: str,
                      F.sum(tokens_col).cast('long').alias('n_tokens'),
                      F.md5(F.concat_ws(',', F.array_sort(
                          F.collect_list(key)))).alias('ids_md5')))
+    if batch_id is not None:
+        # streaming path: the batch id rides IN the manifest commit so
+        # restarts can tell "committed, marker lost" from "never ran"
+        # (ADVICE r5 #2) — the manifest is the idempotence record.
+        manifest = manifest.withColumn('batch_id', F.lit(batch_id))
     mpath = os.path.join(out_dir, '_manifest')
     manifest.coalesce(1).write.mode('error').parquet(mpath)
     return spark.read.parquet(mpath)
@@ -222,7 +228,10 @@ def verify_shards(spark, out_dir: str, id_col: str, tokens_col: str,
     import os
     data = os.path.join(out_dir, 'shards')
     mpath = os.path.join(out_dir, '_manifest')
-    stored = spark.read.parquet(mpath)
+    # the streaming path adds a batch_id provenance column; integrity
+    # is defined over the canonical four columns
+    stored = spark.read.parquet(mpath).select('shard', 'n_docs',
+                                              'n_tokens', 'ids_md5')
     cols = ['shard', id_col, tokens_col] + ([epoch_col] if epoch_col else [])
     on_disk = spark.read.parquet(data).select(*cols)
     key = F.col(id_col).cast('string') if not epoch_col else \
@@ -242,7 +251,8 @@ def verify_shards(spark, out_dir: str, id_col: str, tokens_col: str,
 def append_shards(spark, df: DataFrame, out_dir: str,
                   id_col: str, tokens_col: str,
                   tokens_per_shard: int, seed: str = '',
-                  epoch_col: str | None = None) -> DataFrame:
+                  epoch_col: str | None = None,
+                  batch_id: str | None = None) -> DataFrame:
     """Incremental shard append (late round 5) — the crawl-cadence
     form of ``write_shards``: a NEW batch joins an EXISTING export
     without touching a byte of it.  Training reproducibility forbids
@@ -267,10 +277,15 @@ def append_shards(spark, df: DataFrame, out_dir: str,
     import os
     mpath = os.path.join(out_dir, '_manifest')
     stored = spark.read.parquet(mpath)
-    tot = stored.agg(F.sum('n_tokens')).collect()[0][0] or 0
-    # next shard boundary: ceil-div, batches never share a shard
-    base = (-(-int(tot) // tokens_per_shard)) * tokens_per_shard
-    first_new = base // tokens_per_shard
+    # Next boundary from OCCUPANCY (max shard id), not from
+    # sum(n_tokens): every batch's tail shard is part-full, so from the
+    # third batch on a token-sum boundary lands INSIDE an occupied
+    # shard — new files would append into it, the manifest recompute
+    # would double-count the earlier batch's rows and emit a duplicate
+    # manifest row, and verify_shards would fail (ADVICE r5 #1).
+    max_shard = stored.agg(F.max('shard')).collect()[0][0]
+    first_new = int(max_shard) + 1 if max_shard is not None else 0
+    base = first_new * tokens_per_shard
 
     sharded = shuffle_shards(df, id_col, tokens_col, tokens_per_shard,
                              seed=seed, epoch_col=epoch_col)
@@ -305,6 +320,11 @@ def append_shards(spark, df: DataFrame, out_dir: str,
                            .alias('n_tokens'),
                            F.md5(F.concat_ws(',', F.array_sort(
                                F.collect_list(key)))).alias('ids_md5')))
+    if batch_id is not None:
+        # streaming idempotence record (see write_shards): committed
+        # batches are recognizable from the manifest alone
+        batch_manifest = batch_manifest.withColumn('batch_id',
+                                                   F.lit(batch_id))
     batch_manifest.coalesce(1).write.mode('append').parquet(mpath)
     return spark.read.parquet(mpath)
 

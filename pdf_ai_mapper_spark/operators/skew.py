@@ -28,14 +28,29 @@ def host_of_url(url: Column) -> Column:
     return F.try_parse_url(url, F.lit('HOST'))
 
 
+def _row_salt(columns: Sequence[str], salt_buckets: int) -> Column:
+    """DETERMINISTIC per-row salt: pmod(xxhash64(all stable columns)).
+
+    monotonically_increasing_id() (the r5 form) is a nondeterministic
+    shuffle key: under fetch-failure-driven partial stage retries a
+    recomputed map task assigns DIFFERENT salts to the same rows, which
+    duplicates or drops rows at cluster scale (ADVICE r5 #4 — the same
+    hazard class as nondeterministic repartitioning). Hashing the row's
+    own columns makes retries reproduce identical shuffle placement.
+    Trade-off: byte-identical duplicate rows share a salt, so a hot key
+    whose rows are ALL identical would not spread — crawl tables carry
+    a distinguishing column (url, id, ts) in practice."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in columns]),
+                  F.lit(salt_buckets))
+
+
 def salted_count(df: DataFrame, key: Column, salt_buckets: int = 16,
                  key_name: str = 'key') -> DataFrame:
     """count(*) per key with a salt pre-aggregation: stage 1 groups on
     (key, salt) — hot keys split across salt_buckets reducers — stage 2
     merges the partials. Equivalent plan to two-level combining."""
-    salted = df.select(key.alias(key_name)).withColumn(
-        '__salt', F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                         F.lit(salt_buckets)))
+    salted = df.withColumn('__salt', _row_salt(df.columns, salt_buckets)) \
+        .select(key.alias(key_name), '__salt')
     partial = salted.groupBy(key_name, '__salt').agg(F.count('*').alias('__c'))
     return partial.groupBy(key_name).agg(F.sum('__c').cast('long').alias('n'))
 
@@ -62,8 +77,7 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     if salt_buckets <= 0:
         raise ValueError(f'salt_buckets must be positive, got {salt_buckets}')
     b = big.withColumn(
-        '__salt', F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                         F.lit(salt_buckets)).cast('int'))
+        '__salt', _row_salt(big.columns, salt_buckets).cast('int'))
     s = small.withColumn(
         '__salt', F.explode(F.array(*[F.lit(i)
                                       for i in range(salt_buckets)])))
@@ -77,8 +91,6 @@ def salted_agg(df: DataFrame, key_cols: Sequence[str],
     """General two-stage salted aggregation for algebraic aggregates:
     ``aggs_partial`` run per (keys, salt); ``aggs_merge`` combine the
     partials per keys."""
-    salted = df.withColumn(
-        '__salt', F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                         F.lit(salt_buckets)))
+    salted = df.withColumn('__salt', _row_salt(df.columns, salt_buckets))
     partial = salted.groupBy(*key_cols, '__salt').agg(*aggs_partial)
     return partial.groupBy(*key_cols).agg(*aggs_merge)

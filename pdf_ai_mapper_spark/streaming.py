@@ -240,14 +240,19 @@ def stream_export_shards(spark: SparkSession, input_path: str,
     each batch shuffles under ``seed|b<batch_id>`` (batch ids are
     stable across micro-batch retries).
 
-    Idempotence: a ``_stream_batches/<id>`` marker is written AFTER a
-    batch's manifest commits, so a restarted stream (or a foreachBatch
-    retry after the commit) skips completed batches instead of
-    double-appending. The torn window — crash after shard files land
-    but before the manifest row — is detectable (``verify_shards``
-    fails: data files exist with no manifest row) but not auto-healed
-    here; on Iceberg the append is one atomic snapshot commit and the
-    marker dance disappears.
+    Idempotence: the batch id rides INSIDE the manifest commit (a
+    ``batch_id`` column on the batch's manifest rows), so the manifest
+    itself is the idempotence record — a restarted stream (or a
+    foreachBatch retry) first checks the stored manifest for its batch
+    id and skips committed batches even when the crash landed between
+    the manifest commit and the ``_stream_batches/<id>`` marker write
+    (the marker is only a fast path that avoids the manifest read;
+    ADVICE r5 #2 showed the marker-only protocol silently re-appended
+    exactly in that window). The remaining torn window — crash after
+    shard files land but before the manifest row — is detectable
+    (``verify_shards`` fails: data files exist with no manifest row)
+    but not auto-healed here; on Iceberg the append is one atomic
+    snapshot commit and both records collapse into it.
 
     File pickup is exactly-once via the streaming checkpoint under
     ``out_dir/_stream_checkpoint`` — two availableNow runs behave as
@@ -258,18 +263,31 @@ def stream_export_shards(spark: SparkSession, input_path: str,
     markers = os.path.join(out_dir, '_stream_batches')
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
         mark = os.path.join(markers, str(batch_id))
         if os.path.exists(mark) or batch.isEmpty():
             return
+        bid = str(batch_id)
         bseed = f'{seed}|b{batch_id}'
         sp = batch.sparkSession
         if os.path.exists(os.path.join(out_dir, '_manifest')):
+            stored = sp.read.parquet(os.path.join(out_dir, '_manifest'))
+            if ('batch_id' in stored.columns
+                    and stored.filter(F.col('batch_id') == bid)
+                    .limit(1).count() > 0):
+                # manifest committed on a prior run; only the marker
+                # write was lost — restore it, do NOT re-append
+                os.makedirs(markers, exist_ok=True)
+                with open(mark, 'w') as fh:
+                    fh.write('done')
+                return
             append_shards(sp, batch, out_dir, id_col, tokens_col,
-                          tokens_per_shard, seed=bseed)
+                          tokens_per_shard, seed=bseed, batch_id=bid)
         else:
             sharded = shuffle_shards(batch, id_col, tokens_col,
                                      tokens_per_shard, seed=bseed)
-            write_shards(sp, sharded, out_dir, id_col, tokens_col)
+            write_shards(sp, sharded, out_dir, id_col, tokens_col,
+                         batch_id=bid)
             for dep in getattr(sharded, '_persisted_deps', ()):
                 dep.unpersist()
         os.makedirs(markers, exist_ok=True)

@@ -302,6 +302,45 @@ class TestAppendShards:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    def test_multi_batch_part_full_tails_never_share_a_shard(self, spark):
+        """ADVICE r5 #1 repro shape: with two consecutive part-full
+        batches, a token-SUM boundary ceils back into an occupied
+        shard (sum 300+400=700 < shard 1's end 2000 at tps=1000), so
+        batch 3 appended INTO batch 2's shard, the manifest recompute
+        double-counted and emitted a duplicate row, and verify_shards
+        failed. The boundary must come from occupancy (max shard + 1)."""
+        import shutil
+        import tempfile
+        from collections import Counter
+        from pdf_ai_mapper_spark.operators.packing import (append_shards,
+                                                           shuffle_shards,
+                                                           verify_shards,
+                                                           write_shards)
+        out = tempfile.mkdtemp(prefix='pam_append_')
+        shutil.rmtree(out)
+        try:
+            b1 = spark.createDataFrame([(i, 30) for i in range(10)],
+                                       'doc_id long, toks long')
+            sharded = shuffle_shards(b1, 'doc_id', 'toks', 1000, seed='b1')
+            write_shards(spark, sharded, out, 'doc_id', 'toks')
+            release(sharded)                                # 300 tokens
+            b2 = spark.createDataFrame([(100 + i, 40) for i in range(10)],
+                                       'doc_id long, toks long')
+            append_shards(spark, b2, out, 'doc_id', 'toks', 1000,
+                          seed='b2')                        # 400 tokens
+            b3 = spark.createDataFrame([(200 + i, 20) for i in range(10)],
+                                       'doc_id long, toks long')
+            man = append_shards(spark, b3, out, 'doc_id', 'toks', 1000,
+                                seed='b3')                  # 200 tokens
+            rows = man.collect()
+            shards = [r['shard'] for r in rows]
+            assert Counter(shards) == {0: 1, 1: 1, 2: 1}   # no duplicates
+            toks = {r['shard']: r['n_tokens'] for r in rows}
+            assert toks == {0: 300, 1: 400, 2: 200}        # no double count
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     def test_append_offsets_continue_from_boundary(self, spark):
         import shutil
         import tempfile
@@ -452,6 +491,46 @@ class TestStreamExportShards:
             m3 = {r['shard']: tuple(r) for r in
                   spark.read.parquet(f'{out}/_manifest').collect()}
             assert m3 == m2
+        finally:
+            shutil.rmtree(inp, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_lost_marker_after_manifest_commit_does_not_reappend(self, spark):
+        """ADVICE r5 #2: a crash BETWEEN the manifest commit and the
+        _stream_batches/<id> marker write used to make a restarted
+        stream re-append the whole batch (and, data and manifest being
+        mutually consistent, verify_shards passed on the silent
+        duplicates). The batch id now rides in the manifest commit, so
+        the restart recognizes the committed batch and restores the
+        marker instead."""
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import verify_shards
+        from pdf_ai_mapper_spark.streaming import stream_export_shards
+        inp = tempfile.mkdtemp(prefix='pam_sx_in_')
+        out = tempfile.mkdtemp(prefix='pam_sx_out_')
+        shutil.rmtree(out)
+        try:
+            self._write_input(spark, inp, [(i, 10) for i in range(20)])
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 100, seed='sx')
+            man = spark.read.parquet(f'{out}/_manifest')
+            assert 'batch_id' in man.columns   # the idempotence record
+            # simulate the torn window: marker lost, checkpoint lost
+            os.remove(f'{out}/_stream_batches/0')
+            shutil.rmtree(f'{out}/_stream_checkpoint')
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 100, seed='sx')
+            total = (spark.read.parquet(f'{out}/_manifest')
+                     .agg(F.sum('n_tokens')).collect()[0][0])
+            assert total == 200                # not doubled
+            n_docs = spark.read.parquet(f'{out}/shards').count()
+            assert n_docs == 20                # no duplicate rows either
+            assert os.path.exists(f'{out}/_stream_batches/0')  # restored
+            assert verify_shards(spark, out, 'doc_id', 'toks')
         finally:
             shutil.rmtree(inp, ignore_errors=True)
             shutil.rmtree(out, ignore_errors=True)

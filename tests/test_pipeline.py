@@ -291,6 +291,54 @@ def test_upsert_rewrites_only_affected_buckets(spark, outdir):
             assert before[d] == after[d]      # untouched bytes
 
 
+def test_upsert_crash_before_intent_leaves_store_untouched(spark, outdir):
+    """ADVICE r5 #3: the r5 in-place dynamic overwrite could LOSE
+    affected buckets on a mid-commit failure. Now the merge writes to
+    a sibling tmp; a crash before the intent publishes must leave the
+    stored table byte-identical and the stray tmp discarded on read."""
+    import os
+    _write_store(spark, outdir, [(f'u{i}', 100, f'old{i}')
+                                 for i in range(40)])
+    before = _listing(outdir)
+    tmp = cp.data_path(outdir) + '.upsert_tmp'
+    os.makedirs(os.path.join(tmp, 'bucket=0'))
+    with open(os.path.join(tmp, 'bucket=0', 'part-junk.parquet'), 'w') as f:
+        f.write('torn')
+    got = cp.read_output(spark, outdir)
+    assert got.count() == 40
+    assert not os.path.exists(tmp)           # stray tmp discarded
+    assert _listing(outdir) == before        # untouched bytes
+
+
+def test_upsert_crash_after_intent_rolls_forward(spark, outdir, monkeypatch):
+    """Crash between the intent publish and promotion: the merge write
+    completed, so recovery must roll FORWARD — readers see the merged
+    table, never a missing bucket."""
+    import os
+    _write_store(spark, outdir, [(f'u{i}', 100, f'old{i}')
+                                 for i in range(40)])
+    batch = spark.createDataFrame(
+        [('u0', 200, 'newer'), ('brand-new', 150, 'insert')],
+        'url string, crawl_ts long, body string')
+    # simulate the crash: merge write + intent land, promotion never runs
+    monkeypatch.setattr(cp, '_promote_upsert', lambda *a, **k: None)
+    cp.upsert_output(spark, outdir, batch, key_col='url',
+                     order_col='crawl_ts', n_buckets=8)
+    monkeypatch.undo()
+    _tmp, _old, intent = cp._upsert_paths(cp.data_path(outdir))
+    assert os.path.exists(intent)
+    got = {r['url']: (r['crawl_ts'], r['body'])
+           for r in cp.read_output(spark, outdir).collect()}
+    assert len(got) == 41
+    assert got['u0'] == (200, 'newer')
+    assert got['brand-new'] == (150, 'insert')
+    assert got['u5'] == (100, 'old5')
+    assert not os.path.exists(intent)        # recovery cleaned up
+    # promotion is idempotent: a second recovery pass is a no-op
+    cp.recover_upsert(cp.data_path(outdir))
+    assert cp.read_output(spark, outdir).count() == 41
+
+
 def test_upsert_empty_batch_is_noop(spark, outdir):
     _write_store(spark, outdir, [('u0', 100, 'x')])
     before = _listing(outdir)

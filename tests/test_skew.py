@@ -73,6 +73,36 @@ class TestSaltedJoin:
             spark.conf.set(
                 'spark.sql.adaptive.coalescePartitions.enabled', oldc)
 
+    def test_salt_is_deterministic(self, spark):
+        """ADVICE r5 #4: a monotonically_increasing_id-derived salt is
+        a NONDETERMINISTIC shuffle key — partial stage retries re-salt
+        the same rows differently and can duplicate/drop join rows.
+        The salt must be a pure function of the row: same input row →
+        same salt on every evaluation, and no nondeterministic
+        expression anywhere in the salted plan."""
+        from pdf_ai_mapper_spark.operators.skew import (_row_salt,
+                                                        salted_agg,
+                                                        salted_count)
+        big, small = _skewed_big(spark), _small(spark)
+        joined = salted_join(big, small, 'host', 8)
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert 'monotonically_increasing_id' not in plan
+        assert 'xxhash64' in plan
+        # re-evaluating the salt on the same rows reproduces it exactly
+        s1 = big.withColumn('s', _row_salt(big.columns, 8)).collect()
+        s2 = big.withColumn('s', _row_salt(big.columns, 8)).collect()
+        assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+        # identical-value rows share a salt (the documented trade-off)
+        assert len({tuple(r) for r in s1}) == len({tuple(r[:-1])
+                                                   for r in s1})
+        # the aggregation helpers carry the same fix
+        for df in (salted_count(big, F.col('host')),
+                   salted_agg(big, ['host'],
+                              [F.count('*').alias('c')],
+                              [F.sum('c').cast('long').alias('n')])):
+            p = df._jdf.queryExecution().analyzed().toString()
+            assert 'monotonically_increasing_id' not in p
+
     def test_invalid_args_rejected(self, spark):
         big, small = _skewed_big(spark, 10), _small(spark)
         with pytest.raises(ValueError):
