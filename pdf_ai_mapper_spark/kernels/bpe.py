@@ -86,6 +86,57 @@ def encode_word(word: str, ranks: 'dict[tuple[str, str], int]' = _RANKS
     return tuple(syms)
 
 
+# ---- encode-to-ids (round 6) ----
+#
+# Vocabulary rule, deterministic and total: a single-character symbol's
+# id is its Unicode code point (so ANY character — including the zh
+# fixtures' Han text — encodes without an <unk>); each merge's output
+# symbol gets MERGE_ID_BASE + its first-forming rank. MERGE_ID_BASE
+# sits just past the Unicode range (0x110000), so the two id spaces
+# cannot collide. Table-agnostic like the counter: loading a published
+# merges.txt changes the table, not the rule.
+MERGE_ID_BASE = 0x110000
+
+
+def make_vocab(merges=BPE_MERGES) -> 'dict[str, int]':
+    """Multi-char symbol-string → id (single chars map via ord()).
+    setdefault keeps the FIRST forming rank if two merges concatenate
+    to the same string — deterministic under any table."""
+    vocab: 'dict[str, int]' = {}
+    for i, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, MERGE_ID_BASE + i)
+    return vocab
+
+_VOCAB = make_vocab()
+
+
+def symbol_id(sym: str, vocab: 'dict[str, int]' = _VOCAB) -> int:
+    """Total by construction: every multi-char symbol a merge loop can
+    emit is some merge's concatenation, so the lookup cannot miss."""
+    if len(sym) == 1:
+        return ord(sym)
+    return vocab[sym]
+
+
+@lru_cache(maxsize=1 << 16)
+def _word_ids(word: str) -> 'tuple[int, ...]':
+    return tuple(symbol_id(s) for s in encode_word(word))
+
+
+def bpe_encode_ids(text: str) -> 'list[int]':
+    """Exact token-ID sequence of ``text`` under the pinned table —
+    the loader-facing twin of ``bpe_token_count`` (same merge loop,
+    same whitespace pre-tokenization, ids instead of counts; no space
+    marker, the documented divergence from GPT-2's byte-level Ġ).
+    ``len(bpe_encode_ids(t)) == bpe_token_count(t)`` by construction."""
+    if not text:
+        return []
+    out: 'list[int]' = []
+    for w in text.split():
+        out.extend(_word_ids(w))
+    return out
+
+
 @lru_cache(maxsize=1 << 16)
 def _count_word(word: str) -> int:
     return len(encode_word(word))

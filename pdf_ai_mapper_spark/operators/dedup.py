@@ -797,6 +797,82 @@ def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
         .alias('dup_frac')))
 
 
+def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
+                                 text_col: str = 'text', k: int = 8,
+                                 min_df: int = 2) -> DataFrame:
+    """Exact substring-span REMOVAL (round 6) — the act behind the
+    ``substring_duplication_stats`` signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    reference scope: training-data curation): every token covered by a
+    k-token window whose exact content occurs in >= ``min_df`` DISTINCT
+    documents is dropped from ALL of them, and each document's text is
+    rebuilt order-preserving from the surviving tokens (a duplicated
+    span of >= k tokens is covered end-to-end by a run of duplicated
+    windows, so whole cross-document boilerplate spans vanish while
+    unique prose stays).
+
+    Scale shape (the ``line_dedup`` rebuild pattern at token
+    granularity): window CONTENT never shuffles — windows hash to
+    xxhash64 in-row and only narrow (id, pos, hash) rows move; the
+    duplicated-hash set is one count-distinct aggregate; coverage
+    expands duplicated window starts to (id, token-pos) longs
+    (<= k x duplicated windows); the rebuild is one anti-join plus one
+    per-doc aggregate with an in-array sort. 64-bit collision bound as
+    in ``substring_duplication_stats`` (swap to the 128-bit variant
+    past ~10^9 distinct windows).
+
+    Returns (id_col, n_kept, n_removed, cleaned_text); fully-covered
+    documents come back with cleaned_text='' rather than disappearing.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r'\s+')
+    n = F.size(toks)
+    m = n - F.lit(k - 1)
+    parts = [F.slice(toks, j + 1, F.greatest(m, F.lit(0)))
+             for j in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(' '), b))
+
+    base = df.select(F.col(id_col).alias('__id'), toks.alias('__toks'),
+                     F.when(n >= k, sh).otherwise(F.array()).alias('__w'))
+    # one narrow exploded relation per role; the shared array column is
+    # materialized in `base` (lambda-bearing exprs are excluded from
+    # subexpression elimination — CLAUDE.md round-4 trap)
+    wins = base.select('__id', F.posexplode(
+        F.transform('__w', lambda w: F.xxhash64(w))
+    ).alias('__start', '__h'))
+    dup = (wins.groupBy('__h')
+           .agg(F.count_distinct('__id').alias('__df'))
+           .filter(F.col('__df') >= min_df)
+           .select('__h'))
+    covered = (wins.join(dup, on='__h', how='left_semi')
+               .select('__id', F.explode(F.sequence(
+                   F.col('__start'),
+                   F.col('__start') + F.lit(k - 1))).alias('__pos'))
+               .distinct())
+    ex_tok = base.select('__id',
+                         F.posexplode('__toks').alias('__pos', '__tok'))
+    kept = ex_tok.join(covered, on=['__id', '__pos'], how='left_anti')
+    rebuilt = (kept.groupBy('__id')
+               .agg(F.count('*').cast('long').alias('n_kept'),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct('__pos', '__tok'))),
+                            lambda s: s['__tok']),
+                        ' ').alias('cleaned_text')))
+    totals = base.select('__id', F.size('__toks').cast('long')
+                         .alias('__n_total'))
+    return (totals.join(rebuilt, on='__id', how='left')
+            .select(F.col('__id').alias(id_col),
+                    F.coalesce(F.col('n_kept'), F.lit(0)).alias('n_kept'),
+                    (F.col('__n_total')
+                     - F.coalesce(F.col('n_kept'), F.lit(0))
+                     ).alias('n_removed'),
+                    F.coalesce(F.col('cleaned_text'),
+                               F.lit('')).alias('cleaned_text')))
+
+
 # ------------------------------------------- paragraph-level fuzzy dedup
 
 # Composite paragraph key: doc_id·2^20 + para_idx — invertible, narrow

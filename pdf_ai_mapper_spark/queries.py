@@ -963,6 +963,22 @@ def q_substring_duplication(spark, sf_dir):
             .orderBy('source'))
 
 
+def q_substring_removal(spark, sf_dir):
+    """Exact substring-span REMOVAL (dedup.remove_duplicated_substrings,
+    round 6 — the Lee et al. dedup ACT, not just the signal): every
+    token covered by an 8-token window occurring in >= 2 distinct docs
+    is dropped from all of them, texts rebuilt order-preserving. FULL
+    value check including the rebuilt cleaned_text bytes (the
+    q_line_dedup contract at token/window granularity); the Spark side
+    hashes windows (xxhash64) before the shuffle while the oracle
+    compares window STRINGS — equal absent 64-bit collisions."""
+    from .operators.dedup import remove_duplicated_substrings
+    d = _t(spark, sf_dir, 'documents')
+    return (remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
+                                         min_df=2)
+            .orderBy('doc_id'))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (textstats.hash_split,
     round 4): md5-hex-threshold assignment on a derived doc key —
@@ -1150,6 +1166,34 @@ def q_pack_sequences(spark, sf_dir):
     out = (packed.select('doc_id', 'offset', 'first_seq', 'last_seq',
                          'n_seqs_spanned')
            .orderBy('doc_id'))
+    rows = out.collect()
+    _release(packed)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_encode_pack(spark, sf_dir):
+    """BPE encode-to-ids + materialized concat-and-chop
+    (textstats.with_input_ids → packing.pack_input_ids, round 6 —
+    VERDICT r5 #4: the export family becomes loader-real, packed rows
+    carry the actual input_ids). Per 512-token context window:
+    contributing-doc count, id count, and md5 over the exact
+    comma-joined id sequence IN ORDER. Oracle: per-word id sequences
+    computed by tests/reference_bpe.py (the independent GPT-2-loop
+    transcription) + the public vocab rule (char → code point, merge →
+    0x110000+rank), pasted as a VALUES map; an unmapped word NULLs the
+    doc's stream and fails loudly. The window arithmetic (global
+    offsets → chop) is re-derived in SQL from scratch."""
+    from .operators.dedup import release as _release
+    from .operators.packing import pack_input_ids
+    d = textstats.with_input_ids(_t(spark, sf_dir, 'documents'), 'text')
+    packed = pack_input_ids(d.select('doc_id', 'input_ids'),
+                            'doc_id', 'input_ids', seq_len=512)
+    out = (packed.select(
+        'seq', 'n_docs', 'n_ids',
+        F.md5(F.array_join(
+            F.transform('input_ids', lambda x: x.cast('string')),
+            ',')).alias('ids_md5'))
+        .orderBy('seq'))
     rows = out.collect()
     _release(packed)
     return spark.createDataFrame(rows, out.schema)
@@ -2476,6 +2520,73 @@ ORACLES: dict[str, str] = {
         FROM c ORDER BY doc_id
     """,
 
+    # encode+pack: per-word id sequences computed by
+    # tests/reference_bpe.py (independent GPT-2-loop transcription)
+    # under the public vocab rule (single char -> code point, merge ->
+    # 0x110000 + rank); window chop re-derived from scratch. An
+    # unmapped word NULLs its doc's stream (count<>count(idl)) and the
+    # NULL poisons the offsets — loud failure on lexicon drift.
+    'q_encode_pack': r"""
+        WITH c(w, ids) AS (VALUES
+            ('join', '106,111,1114114'),
+            ('hash', '104,1114135,104'),
+            ('row', '1114123,119'),
+            ('batch', '1114146,104'),
+            ('scan', '1114149'),
+            ('column', '1114124,1114137,109,110'),
+            ('customer', '99,117,1114120,111,1114142'),
+            ('filter', '1114150,116,1114115'),
+            ('small', '1114144,1114140'),
+            ('slow', '115,108,1114134'),
+            ('merge', '1114143,101'),
+            ('order', '1114119,100,1114115'),
+            ('vector', '118,101,99,116,1114119'),
+            ('line', '108,1114138'),
+            ('table', '116,97,1114139'),
+            ('data', '100,1114118,97'),
+            ('agg', '97,1114133'),
+            ('value', '118,1114141,1114132'),
+            ('key', '1114131'),
+            ('stream', '1114120,114,101,97,109'),
+            ('window', '119,1114114,100,1114134'),
+            ('a', '97'),
+            ('spark', '115,1114147,107'),
+            ('part', '1114147,116'),
+            ('group', '103,1114123,1114136'),
+            ('big', '98,105,103'),
+            ('sort', '115,1114119,116'),
+            ('query', '1114125,1114115,121'),
+            ('fast', '102,97,1114120'),
+            ('the', '1114113'),
+            ('dup', '100,1114136')),
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents),
+        tok AS (SELECT doc_id, i AS wpos, ws[i + 1] AS w
+                FROM t, LATERAL (SELECT unnest(range(0, len(ws)))
+                                 AS i)),
+        m AS (SELECT tok.doc_id, tok.wpos, string_split(c.ids, ',')
+                         AS idl
+              FROM tok LEFT JOIN c ON tok.w = c.w),
+        docx AS (SELECT doc_id,
+                        CASE WHEN count(*) <> count(idl) THEN NULL
+                             ELSE flatten(list(idl ORDER BY wpos))
+                        END AS idl
+                 FROM m GROUP BY doc_id),
+        off AS (SELECT doc_id, idl,
+                       COALESCE(CAST(sum(len(idl)) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS BIGINT), 0) AS o
+                FROM docx),
+        tk AS (SELECT doc_id, o + i AS p, idl[i + 1] AS id
+               FROM off, LATERAL (SELECT unnest(range(0, len(idl)))
+                                  AS i))
+        SELECT CAST(p // 512 AS BIGINT) AS seq,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_ids,
+               md5(string_agg(id, ',' ORDER BY p)) AS ids_md5
+        FROM tk GROUP BY seq ORDER BY seq
+    """,
+
     # SemDeDup: the construction arithmetic IS the oracle — the planted
     # duplicate slice is removed (min-id survivors), nothing else is
     # (max natural cosine ~0.51 << 0.995, pinned by q_emb_cosine_dups)
@@ -2840,6 +2951,45 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_dup_windows) AS BIGINT) AS dup_windows,
                round(avg(dup_frac), 6) AS avg_dup_frac
         FROM stats GROUP BY source ORDER BY source
+    """,
+
+    # substring-span removal: windows, coverage, and the order-
+    # preserving token rebuild all re-derived over window STRINGS;
+    # cleaned_text checked byte-for-byte (q_line_dedup's contract at
+    # token granularity)
+    'q_substring_removal': r"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+                FROM t, LATERAL (SELECT unnest(range(0, len(toks)))
+                                 AS i)),
+        win AS (SELECT doc_id, i AS start,
+                       array_to_string(toks[(i + 1):(i + 8)], ' ') AS w
+                FROM t, LATERAL (SELECT unnest(range(0,
+                                 greatest(len(toks) - 7, 0))) AS i)),
+        dup AS (SELECT w FROM win GROUP BY w
+                HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT win.doc_id, p AS pos
+                FROM win JOIN dup USING (w),
+                     LATERAL (SELECT unnest(range(win.start,
+                                      win.start + 8)) AS p)),
+        tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_total
+                FROM t),
+        reb AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tok.pos)
+                           AS cleaned_text
+                FROM tok LEFT JOIN cov
+                     ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                WHERE cov.pos IS NULL
+                GROUP BY tok.doc_id)
+        SELECT tot.doc_id,
+               COALESCE(reb.n_kept, 0) AS n_kept,
+               CAST(tot.n_total - COALESCE(reb.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(reb.cleaned_text, '') AS cleaned_text
+        FROM tot LEFT JOIN reb USING (doc_id)
+        ORDER BY tot.doc_id
     """,
 
     'q_group_quota': """
@@ -3978,6 +4128,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_d2_dedup_first_seen': q_d2_dedup_first_seen,
         'q_w1_relevance_topk': q_w1_relevance_topk,
         'q_pack_sequences': q_pack_sequences,
+        'q_encode_pack': q_encode_pack,
         'q_w5_first_event_per_user': q_w5_first_event_per_user,
         'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
         'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
@@ -3986,6 +4137,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_semantic_dedup': q_semantic_dedup,
         'q_j2_broadcast_join': q_j2_broadcast_join,
         'q_substring_duplication': q_substring_duplication,
+        'q_substring_removal': q_substring_removal,
         'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
         'q_ppl_buckets': q_ppl_buckets,
         'q_token_budget_mix': q_token_budget_mix,

@@ -15,9 +15,11 @@ from pyspark.sql.functions import lit as F_lit  # noqa: E402
 from reference_bpe import reference_bpe, reference_count  # noqa: E402
 
 from pdf_ai_mapper_spark.kernels.bpe import (  # noqa: E402
-    BPE_MERGES, bpe_token_count, encode_word, make_ranks)
+    BPE_MERGES, MERGE_ID_BASE, bpe_encode_ids, bpe_token_count,
+    encode_word, make_ranks, make_vocab, symbol_id)
 
 RANKS = make_ranks()
+VOCAB = make_vocab()
 
 
 def test_hand_derived_goldens():
@@ -66,6 +68,73 @@ def test_count_bounds(w):
     assert 1 <= n <= len(w)
     # merges only concatenate: symbols re-join to the original word
     assert ''.join(encode_word(w)) == w
+
+
+def test_encode_ids_hand_goldens():
+    """Vocab rule derived by hand: single char → code point; merge →
+    MERGE_ID_BASE + rank ('th' rank 0, 'the' rank 1, 'er' rank 3,
+    'qu' rank 13)."""
+    assert bpe_encode_ids('the') == [MERGE_ID_BASE + 1]
+    assert bpe_encode_ids('query') == [MERGE_ID_BASE + 13,
+                                       MERGE_ID_BASE + 3, ord('y')]
+    assert bpe_encode_ids('xyz') == [ord('x'), ord('y'), ord('z')]
+    assert bpe_encode_ids('') == []
+    assert bpe_encode_ids('   ') == []
+    # non-latin (the zh fixtures): any character encodes, no <unk>
+    assert bpe_encode_ids('中文') == [ord('中'), ord('文')]
+
+
+def test_vocab_merge_ids_never_collide_with_code_points():
+    assert MERGE_ID_BASE == 0x110000      # just past the Unicode range
+    assert all(v >= MERGE_ID_BASE for v in VOCAB.values())
+    # every multi-char symbol the loop can emit has an id
+    for a, b in BPE_MERGES:
+        assert (a + b) in VOCAB
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet='abcdefghijklmnopqrstuvwxyz', min_size=1,
+               max_size=16))
+def test_ids_parity_with_reference_transcription(w):
+    """The id sequence equals the reference transcription's symbols
+    mapped under the same public vocab rule, and its length IS the
+    token count."""
+    ref = [ord(s) if len(s) == 1 else VOCAB[s]
+           for s in reference_bpe(w, RANKS)]
+    got = bpe_encode_ids(w)
+    assert got == ref
+    assert len(got) == bpe_token_count(w)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet='abcdehilmnorstuw', min_size=1,
+                        max_size=10), max_size=8))
+def test_ids_length_equals_count_on_texts(words):
+    text = ' '.join(words)
+    assert len(bpe_encode_ids(text)) == bpe_token_count(text)
+
+
+def test_symbol_id_is_total_for_merge_outputs():
+    for a, b in BPE_MERGES:
+        assert symbol_id(a + b) >= MERGE_ID_BASE
+
+
+def test_spark_input_ids_matches_kernel(spark):
+    from pdf_ai_mapper_spark.operators.textstats import (
+        with_exact_token_counts, with_input_ids)
+    rows = [(0, 'the query key'), (1, 'scan scan scan'),
+            (2, 'xyz unmapped words'), (3, ''), (4, None)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r['input_ids']
+           for r in with_input_ids(df).collect()}
+    assert got[0] == bpe_encode_ids('the query key')
+    assert got[3] == []
+    assert got[4] is None
+    # invariant: size(input_ids) == bpe_tokens, row for row
+    both = with_input_ids(with_exact_token_counts(df)).collect()
+    for r in both:
+        if r['text'] is not None:
+            assert len(r['input_ids']) == r['bpe_tokens']
 
 
 def test_spark_operator_matches_kernel(spark):

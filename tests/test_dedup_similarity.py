@@ -371,6 +371,100 @@ def test_line_dedup_preserves_order(spark):
     assert got[1]['cleaned_text'] == '\n'.join(f'line{i}' for i in range(n))
 
 
+def test_substring_removal_drops_cross_doc_spans(spark):
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    shared = 'alpha beta gamma delta'
+    docs = [
+        (1, 'one two three ' + shared + ' x y z'),
+        (2, 'start middle ' + shared + ' end bits'),
+        (3, 'totally unrelated text here'),
+        (4, 'shorty'),                         # n < k: no windows
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r
+           for r in remove_duplicated_substrings(df, k=4).collect()}
+    # only the exact shared 4-token window duplicates across docs;
+    # overlapping windows mix in different neighbors and stay unique
+    assert got[1]['cleaned_text'] == 'one two three x y z'
+    assert got[1]['n_kept'] == 6 and got[1]['n_removed'] == 4
+    assert got[2]['cleaned_text'] == 'start middle end bits'
+    assert got[3]['cleaned_text'] == 'totally unrelated text here'
+    assert got[3]['n_removed'] == 0
+    assert got[4]['cleaned_text'] == 'shorty'
+
+
+def test_substring_removal_full_copy_vanishes_everywhere(spark):
+    """Lee et al. semantics at this operator's policy: ALL copies of
+    a duplicated span are dropped (both docs), a fully-covered doc
+    comes back as '' rather than disappearing."""
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    df = spark.createDataFrame(
+        [(1, 'a b c d e f'), (2, 'a b c d e f'), (3, 'q r s t u v')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r
+           for r in remove_duplicated_substrings(df, k=4).collect()}
+    assert got[1]['cleaned_text'] == '' and got[1]['n_kept'] == 0
+    assert got[2]['cleaned_text'] == '' and got[2]['n_removed'] == 6
+    assert got[3]['cleaned_text'] == 'q r s t u v'
+
+
+def test_substring_removal_within_doc_repeat_survives(spark):
+    """min_df counts DISTINCT documents: a window repeated inside ONE
+    doc but nowhere else survives (within-doc repetition is the
+    repetition_stats/substring_duplication signal, not this op's)."""
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    rep = 'p q r s p q r s p q r s'
+    df = spark.createDataFrame(
+        [(1, rep), (2, 'nothing shared with one')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r
+           for r in remove_duplicated_substrings(df, k=4).collect()}
+    assert got[1]['cleaned_text'] == rep
+    assert got[1]['n_removed'] == 0
+
+
+def test_substring_removal_matches_python_reference_randomized(spark):
+    import random
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    rng = random.Random(7)
+    vocab = [f'w{i}' for i in range(12)]
+    k = 3
+    docs = [(i, ' '.join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 25))))
+            for i in range(40)]
+
+    # python reference over window STRINGS
+    toks = {i: t.split() for i, t in docs}
+    wins: dict = {}
+    for i, ts in toks.items():
+        for s in range(max(0, len(ts) - k + 1)):
+            wins.setdefault(' '.join(ts[s:s + k]), set()).add(i)
+    dup = {w for w, ds in wins.items() if len(ds) >= 2}
+    exp = {}
+    for i, ts in toks.items():
+        cov = set()
+        for s in range(max(0, len(ts) - k + 1)):
+            if ' '.join(ts[s:s + k]) in dup:
+                cov.update(range(s, s + k))
+        kept = [t for p, t in enumerate(ts) if p not in cov]
+        exp[i] = (len(kept), len(ts) - len(kept), ' '.join(kept))
+
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_kept'], r['n_removed'], r['cleaned_text'])
+           for r in remove_duplicated_substrings(
+               df.repartition(5), k=k).collect()}
+    # empty texts: split('') -> [''] on the Spark side, one token kept
+    for i, t in docs:
+        if t == '':
+            assert got[i] == (1, 0, '')
+        else:
+            assert got[i] == exp[i], i
+
+
 def test_hash_split_fractions_and_stability(spark):
     from pdf_ai_mapper_spark.operators.textstats import hash_split
     df = spark.range(20_000).select(

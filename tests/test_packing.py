@@ -248,6 +248,84 @@ class TestWriteShards:
             shutil.rmtree(out, ignore_errors=True)
 
 
+class TestPackInputIds:
+    def _expected(self, docs, L):
+        """Python replication: concat ids in doc order, chop at L."""
+        stream = []
+        spans = {}
+        for i, ids in sorted(docs):
+            spans[i] = (len(stream), len(ids))
+            stream.extend(ids)
+        seqs = {}
+        for p, v in enumerate(stream):
+            seqs.setdefault(p // L, []).append(v)
+        ndocs = {}
+        for i, (o, n) in spans.items():
+            for s in range(o // L, (o + n - 1) // L + 1) if n else []:
+                ndocs[s] = ndocs.get(s, 0) + 1
+        return seqs, ndocs
+
+    def test_concat_and_chop_semantics(self, spark):
+        from pdf_ai_mapper_spark.operators.packing import pack_input_ids
+        docs = [(0, list(range(10, 15))),        # 5 ids
+                (1, [100]),                      # 1 id
+                (2, []),                         # empty: no pieces
+                (3, list(range(200, 212)))]      # 12 ids
+        df = spark.createDataFrame(docs, 'doc_id long, input_ids array<long>')
+        out = pack_input_ids(df.repartition(3), 'doc_id', 'input_ids',
+                             seq_len=4)
+        got = {r['seq']: (r['n_docs'], r['n_ids'], r['input_ids'])
+               for r in out.collect()}
+        release(out)
+        seqs, ndocs = self._expected(docs, 4)
+        assert set(got) == set(seqs)
+        for s, ids in seqs.items():
+            assert got[s][2] == ids, s
+            assert got[s][1] == len(ids)
+            assert got[s][0] == ndocs[s]
+        # window 1 stitches three docs: tail of doc0, doc1, head of doc3
+        assert got[1] == (3, 4, [14, 100, 200, 201])
+
+    def test_randomized_matches_python_reference(self, spark):
+        import random
+        from pdf_ai_mapper_spark.operators.packing import pack_input_ids
+        rng = random.Random(11)
+        docs = [(i, [rng.randint(0, 9999)
+                     for _ in range(rng.randint(0, 40))])
+                for i in range(60)]
+        df = spark.createDataFrame(docs, 'doc_id long, input_ids array<long>')
+        out = pack_input_ids(df.repartition(7), 'doc_id', 'input_ids',
+                             seq_len=16)
+        got = {r['seq']: r['input_ids'] for r in out.collect()}
+        release(out)
+        seqs, _ = self._expected(docs, 16)
+        assert got == seqs
+        # every window is exactly seq_len except possibly the last
+        last = max(seqs)
+        for s, ids in got.items():
+            assert len(ids) == (16 if s != last else len(seqs[last]))
+
+    def test_no_single_partition_stage(self, spark):
+        from pdf_ai_mapper_spark.operators.packing import pack_input_ids
+        df = spark.range(300).select(
+            F.col('id').alias('doc_id'),
+            F.sequence(F.lit(1), (F.col('id') % 9 + 1).cast('int'))
+            .cast('array<long>').alias('input_ids'))
+        out = pack_input_ids(df, 'doc_id', 'input_ids', seq_len=8)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        release(out)
+        assert 'SinglePartition' not in plan
+
+    def test_bad_seq_len_rejected(self, spark):
+        import pytest
+        from pdf_ai_mapper_spark.operators.packing import pack_input_ids
+        df = spark.createDataFrame([(0, [1, 2])],
+                                   'doc_id long, input_ids array<long>')
+        with pytest.raises(ValueError):
+            pack_input_ids(df, 'doc_id', 'input_ids', 0)
+
+
 class TestAppendShards:
     def _write_batch1(self, spark, out, tps=1000):
         from pdf_ai_mapper_spark.operators.packing import (shuffle_shards,
