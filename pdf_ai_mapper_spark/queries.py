@@ -963,6 +963,33 @@ def q_substring_duplication(spark, sf_dir):
             .orderBy('source'))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The complete Gopher repetition family
+    (textstats.gopher_repetition, round 6 — VERDICT r5 #5): documents
+    re-laid-out as 4-token lines grouped into 2-line paragraphs
+    (construction shared verbatim with the SQL oracle, the q_line_dedup
+    trick), then per doc: duplicate-line/paragraph fractions, their
+    character fractions, and top-2/3/4-gram character fractions — all
+    seven columns re-derived in SQL from scratch, rounded to 6dp."""
+    from .operators.textstats import gopher_repetition
+    k = 4
+    toks = F.split(F.col('text'), ' ')
+    n = F.size(toks)
+    linearr = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(k)).cast('int') - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k)), ' '))
+    d = (_t(spark, sf_dir, 'documents')
+         .withColumn('__lines', linearr))
+    paraarr = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size('__lines') / F.lit(2)).cast('int') - 1),
+        lambda j: F.array_join(
+            F.slice('__lines', j * F.lit(2) + F.lit(1), F.lit(2)), '\n'))
+    d2 = d.select('doc_id', F.array_join(paraarr, '\n\n').alias('text'))
+    return gopher_repetition(d2, 'doc_id', 'text').orderBy('doc_id')
+
+
 def q_substring_removal(spark, sf_dir):
     """Exact substring-span REMOVAL (dedup.remove_duplicated_substrings,
     round 6 — the Lee et al. dedup ACT, not just the signal): every
@@ -2953,6 +2980,96 @@ ORACLES: dict[str, str] = {
         FROM stats GROUP BY source ORDER BY source
     """,
 
+    # the full Gopher repetition family: the 4-token-line / 2-line-
+    # paragraph layout is constructed identically on both sides, then
+    # all seven signals (dup line/para fractions + char fractions,
+    # top-2/3/4-gram char fractions with the count-then-weight tie
+    # rule) are re-derived from scratch
+    'q_gopher_repetition': r"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        lin AS (SELECT doc_id, i AS pos,
+                       array_to_string(toks[(i*4+1):(i*4+4)], ' ')
+                           AS line
+                FROM t, LATERAL (SELECT unnest(range(0,
+                         CAST(ceil(len(toks)/4.0) AS INT))) AS i)),
+        par AS (SELECT doc_id, pos // 2 AS j,
+                       string_agg(line, chr(10) ORDER BY pos) AS para
+                FROM lin GROUP BY doc_id, pos // 2),
+        wa AS (SELECT doc_id,
+                      list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> len(x) > 0) AS ws
+               FROM t),
+        chars AS (SELECT doc_id,
+                         COALESCE(list_sum(list_transform(ws,
+                                  x -> len(x))), 0) AS total_chars
+                  FROM wa),
+        lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS w
+               FROM lin WHERE len(line) > 0 GROUP BY doc_id, line),
+        lstat AS (SELECT doc_id,
+                         round((sum(c) - count(*)) / sum(c), 6)
+                             AS dup_line_frac,
+                         round(sum(CASE WHEN c >= 2 THEN (c-1)*w
+                                        ELSE 0 END)
+                               / greatest(sum(c*w), 1), 6)
+                             AS dup_line_char_frac
+                  FROM lc GROUP BY doc_id),
+        pc AS (SELECT doc_id, para, count(*) AS c, len(para) AS w
+               FROM par WHERE len(para) > 0 GROUP BY doc_id, para),
+        pstat AS (SELECT doc_id,
+                         round((sum(c) - count(*)) / sum(c), 6)
+                             AS dup_para_frac,
+                         round(sum(CASE WHEN c >= 2 THEN (c-1)*w
+                                        ELSE 0 END)
+                               / greatest(sum(c*w), 1), 6)
+                             AS dup_para_char_frac
+                  FROM pc GROUP BY doc_id),
+        g AS (SELECT doc_id, 2 AS k,
+                     array_to_string(ws[(i+1):(i+2)], ' ') AS gram
+              FROM wa, LATERAL (SELECT unnest(range(0,
+                       greatest(len(ws) - 1, 0))) AS i)
+              UNION ALL
+              SELECT doc_id, 3 AS k,
+                     array_to_string(ws[(i+1):(i+3)], ' ') AS gram
+              FROM wa, LATERAL (SELECT unnest(range(0,
+                       greatest(len(ws) - 2, 0))) AS i)
+              UNION ALL
+              SELECT doc_id, 4 AS k,
+                     array_to_string(ws[(i+1):(i+4)], ' ') AS gram
+              FROM wa, LATERAL (SELECT unnest(range(0,
+                       greatest(len(ws) - 3, 0))) AS i)),
+        gc AS (SELECT doc_id, k, gram, count(*) AS c,
+                      len(gram) - (k-1) AS w
+               FROM g GROUP BY doc_id, k, gram),
+        gt AS (SELECT doc_id, k, c*w AS num,
+                      row_number() OVER (PARTITION BY doc_id, k
+                                         ORDER BY c DESC, w DESC) AS rn
+               FROM gc),
+        gp AS (SELECT doc_id,
+                      max(CASE WHEN k = 2 THEN num END) AS t2,
+                      max(CASE WHEN k = 3 THEN num END) AS t3,
+                      max(CASE WHEN k = 4 THEN num END) AS t4
+               FROM gt WHERE rn = 1 GROUP BY doc_id)
+        SELECT c0.doc_id,
+               COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+               COALESCE(l.dup_line_char_frac, 0.0)
+                   AS dup_line_char_frac,
+               COALESCE(p.dup_para_frac, 0.0) AS dup_para_frac,
+               COALESCE(p.dup_para_char_frac, 0.0)
+                   AS dup_para_char_frac,
+               round(COALESCE(g.t2, 0) / greatest(c0.total_chars, 1), 6)
+                   AS top_2gram_char_frac,
+               round(COALESCE(g.t3, 0) / greatest(c0.total_chars, 1), 6)
+                   AS top_3gram_char_frac,
+               round(COALESCE(g.t4, 0) / greatest(c0.total_chars, 1), 6)
+                   AS top_4gram_char_frac
+        FROM chars c0
+        LEFT JOIN lstat l USING (doc_id)
+        LEFT JOIN pstat p USING (doc_id)
+        LEFT JOIN gp g USING (doc_id)
+        ORDER BY c0.doc_id
+    """,
+
     # substring-span removal: windows, coverage, and the order-
     # preserving token rebuild all re-derived over window STRINGS;
     # cleaned_text checked byte-for-byte (q_line_dedup's contract at
@@ -4138,6 +4255,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_j2_broadcast_join': q_j2_broadcast_join,
         'q_substring_duplication': q_substring_duplication,
         'q_substring_removal': q_substring_removal,
+        'q_gopher_repetition': q_gopher_repetition,
         'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
         'q_ppl_buckets': q_ppl_buckets,
         'q_token_budget_mix': q_token_budget_mix,

@@ -299,6 +299,77 @@ def test_repetition_stats_values(spark):
     assert got[1]['top_word_frac'] == 0.2 and got[1]['distinct_word_ratio'] == 1.0
 
 
+def test_gopher_repetition_hand_goldens(spark):
+    from pdf_ai_mapper_spark.operators.textstats import gopher_repetition
+    docs = [
+        # 5 lines (2 dup pairs), 3 paras (1 dup pair)
+        (1, 'the cat\nthe cat\nother line\n\npara two here\n\npara two here'),
+        (2, ''),                              # everything zero
+        (3, 'unique words only here today'),  # no repetition at all
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in gopher_repetition(df).collect()}
+    # lines: ['the cat' x2, 'other line', 'para two here' x2]
+    assert abs(got[1]['dup_line_frac'] - 0.4) < 1e-9      # (5-3)/5
+    assert abs(got[1]['dup_line_char_frac'] - 0.4) < 1e-9  # (7+13)/50
+    assert abs(got[1]['dup_para_frac'] - 1 / 3) < 1e-6    # (3-2)/3
+    assert abs(got[1]['dup_para_char_frac'] - 0.25) < 1e-9  # 13/52
+    assert tuple(got[2])[1:] == (0.0,) * 7
+    assert got[3]['dup_line_frac'] == 0.0
+    assert got[3]['dup_para_frac'] == 0.0
+
+
+def test_gopher_repetition_matches_python_reference_randomized(spark):
+    import random
+    from collections import Counter
+    from pdf_ai_mapper_spark.operators.textstats import gopher_repetition
+    rng = random.Random(13)
+    vocab = ['Alpha', 'beta', 'GAMMA', 'delta', 'eps']
+
+    def mk_doc():
+        lines = [' '.join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 4)))
+                 for _ in range(rng.randint(0, 8))]
+        paras = []
+        i = 0
+        while i < len(lines):
+            j = i + rng.randint(1, 3)
+            paras.append('\n'.join(lines[i:j]))
+            i = j
+        return '\n\n'.join(paras)
+
+    docs = [(i, mk_doc()) for i in range(30)]
+
+    def ref(text):
+        words = [w for w in text.lower().split() if w]
+        chars = sum(len(w) for w in words)
+        out = []
+        for seq in ([x for x in text.split('\n') if x],
+                    [x for x in text.split('\n\n') if x]):
+            c = Counter(seq)
+            tot = sum(c.values())
+            out.append(round((tot - len(c)) / tot, 6) if tot else 0.0)
+            cw = sum(n * len(k) for k, n in c.items())
+            ex = sum((n - 1) * len(k) for k, n in c.items() if n >= 2)
+            out.append(round(ex / max(cw, 1), 6))
+        for k in (2, 3, 4):
+            grams = Counter(' '.join(words[i:i + k])
+                            for i in range(max(0, len(words) - k + 1)))
+            if grams:
+                c, w = max(((n, len(g) - (k - 1))
+                            for g, n in grams.items()))
+                out.append(round(c * w / max(chars, 1), 6))
+            else:
+                out.append(0.0)
+        return tuple(out)
+
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: tuple(r)[1:]
+           for r in gopher_repetition(df.repartition(4)).collect()}
+    for i, t in docs:
+        assert got[i] == ref(t), (i, t)
+
+
 def test_source_quality_gate_filters_groups(spark):
     from pdf_ai_mapper_spark.operators.textstats import source_quality_gate
     rows = ([(i, 'srcgood', 'purely alphabetic words only here') for i in range(5)]
