@@ -4231,13 +4231,18 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_catalog_window.py.
     """
     return {
-        # -- round-3 flagship oracles (driver-window priority) --------
-        'q_stream_windowed_counts': q_stream_windowed_counts,
+        # -- flagship oracles (driver-window priority); round 6 adds
+        # the r5 heavyweights (semantic decontamination, DSIR, exact
+        # AUC, MERGE upsert, bucketed layout) and the r6 trio
+        # (substring removal, gopher repetition, encode+pack) --------
         'q_bloom_incremental_ingest': q_bloom_incremental_ingest,
         'q_neardup_clusters': q_neardup_clusters,
         'q_decontamination': q_decontamination,
         'q_unigram_logprob': q_unigram_logprob,
         'q_pagerank_centrality': q_pagerank_centrality,
+        'q_semantic_decontamination': q_semantic_decontamination,
+        'q_dsir_select': q_dsir_select,
+        'q_model_auc': q_model_auc,
         # -- reference-parity and operator oracles --------------------
         'q_t2_t5_normalize': q_t2_t5_normalize,
         'q_t7_meaningful_tokens': q_t7_meaningful_tokens,
@@ -4250,19 +4255,16 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
         'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
         'q_a3_term_document_frequency': q_a3_term_document_frequency,
-        'q_hash_split': q_hash_split,
         'q_semantic_dedup': q_semantic_dedup,
         'q_j2_broadcast_join': q_j2_broadcast_join,
         'q_substring_duplication': q_substring_duplication,
         'q_substring_removal': q_substring_removal,
         'q_gopher_repetition': q_gopher_repetition,
-        'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
         'q_ppl_buckets': q_ppl_buckets,
         'q_token_budget_mix': q_token_budget_mix,
         'q_curation_pipeline': q_curation_pipeline,
         'q_model_quality_gate': q_model_quality_gate,
         'q_emb_cosine_topk': q_emb_cosine_topk,
-        'q_emb_centroid_per_label': q_emb_centroid_per_label,
         'q_token_counts_bpe': q_token_counts_bpe,
         'q_w2_search_snippets': q_w2_search_snippets,
         'q_stream_dedup': q_stream_dedup,
@@ -4270,10 +4272,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_ngram_jaccard_exact': q_ngram_jaccard_exact,
         'q_emb_cosine_dups': q_emb_cosine_dups,
         'q_skew_salted_agg': q_skew_salted_agg,
-        'q_pii_redaction': q_pii_redaction,
-        'q_repetition_stats': q_repetition_stats,
-        'q_source_quality_gate': q_source_quality_gate,
-        'q_doc_chunking': q_doc_chunking,
+        'q_recrawl_upsert': q_recrawl_upsert,
+        'q_bucketed_join': q_bucketed_join,
         'q_f4_category_overlap': q_f4_category_overlap,
         'q_f5_structured_semi_join': q_f5_structured_semi_join,
         'q_a6_topic_type': q_a6_topic_type,
@@ -4286,13 +4286,27 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_sessionization': q_sessionization,
         'q_multimodal_metadata': q_multimodal_metadata,
         'q_ivf_ann_exact': q_ivf_ann_exact,
-        # -- trivial oracles, hash-green in r03, outside the window ---
-        # (q_lang_id / q_quality_scores / q_rollup_orders demoted in
-        # round 5 for q_ppl_buckets / q_token_budget_mix /
-        # q_stream_dedup: the lang-ID signal is graded inside
-        # q_ppl_buckets' partitioning and q_f2's counts, the quality
-        # heuristics inside q_token_budget_mix's priority order and
-        # q_curation_pipeline's gate, grouping sets by q_cube_events)
+        # -- oracled, outside the window (still value-graded every CI
+        # run by tests/test_oracle_parity.py's full-catalog pass) -----
+        # Round-6 demotions, each with its in-window cover:
+        # q_stream_windowed_counts (1-row; streaming = q_stream_dedup +
+        # q_sessionization), q_tpch_q1 (thin aggregate),
+        # q_emb_centroid_per_label (thin agg; embeddings = topk/
+        # semantic_dedup/cosine_dups/semantic_decontamination),
+        # q_pii_redaction (native regexp), q_repetition_stats
+        # (superseded by q_gopher_repetition), q_source_quality_gate
+        # (gates = curation_pipeline + model_quality_gate),
+        # q_doc_chunking (window math graded inside q_encode_pack),
+        # q_hash_split (md5-threshold assignment also inside
+        # q_epoch_upsample's coin).
+        'q_stream_windowed_counts': q_stream_windowed_counts,
+        'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
+        'q_emb_centroid_per_label': q_emb_centroid_per_label,
+        'q_pii_redaction': q_pii_redaction,
+        'q_repetition_stats': q_repetition_stats,
+        'q_source_quality_gate': q_source_quality_gate,
+        'q_doc_chunking': q_doc_chunking,
+        'q_hash_split': q_hash_split,
         'q_lang_id': q_lang_id,
         'q_quality_scores': q_quality_scores,
         'q_rollup_orders': q_rollup_orders,
@@ -4313,23 +4327,18 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_skew_salted_counts': q_skew_salted_counts,
         'q_j1_anti_join': q_j1_anti_join,
         'q_w3_topk_events': q_w3_topk_events,
-        'q_dsir_select': q_dsir_select,
         'q_url_filter': q_url_filter,
-        'q_semantic_decontamination': q_semantic_decontamination,
         'q_epoch_upsample': q_epoch_upsample,
         'q_shuffle_shards': q_shuffle_shards,
         'q_mixture_fill': q_mixture_fill,
         'q_shard_export': q_shard_export,
         'q_append_shards': q_append_shards,
-        'q_model_auc': q_model_auc,
         'q_threshold_report': q_threshold_report,
         'q_calibration_bins': q_calibration_bins,
-        'q_bucketed_join': q_bucketed_join,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,
         'q_jsonl_export': q_jsonl_export,
-        'q_recrawl_upsert': q_recrawl_upsert,
         'q_stream_export': q_stream_export,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,

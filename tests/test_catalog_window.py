@@ -17,49 +17,50 @@ import sys
 
 sys.path.insert(0, '/root/repo')
 
-# The intended graded window, in order. Round-5 state: the six round-3
-# flagship oracles first, then reference-parity and operator oracles;
-# q_curation_pipeline (end-to-end composition oracle),
-# q_model_quality_gate (frozen linear quality model) and
-# q_token_counts_bpe (exact merge-loop BPE) and q_semantic_dedup
-# (SemDeDup with an assignment-independent construction oracle) and
-# q_pack_sequences (distributed-prefix-sum sequence packing) replaced
-# q_token_counts, q_fingerprint, q_skew_salted_counts, q_j1_anti_join
-# and q_w3_topk_events (thin aggregates / a 0-row check / an
-# orderBy+limit — the salting family stays covered in-window by
-# q_skew_salted_agg, top-k by q_w1; all five remain oracled at 51+).
-# Late round 5: q_ppl_buckets / q_token_budget_mix / q_stream_dedup
-# replaced q_lang_id / q_quality_scores / q_rollup_orders (the lang-ID
-# and quality signals are graded INSIDE the two new composition
-# oracles; grouping sets stay oracled by q_cube_events at 51+).
+# The intended graded window, in order. Round-6 state (VERDICT r5 #7:
+# grade the hardest oracles): IN — the r5 heavyweights
+# q_semantic_decontamination, q_dsir_select, q_model_auc,
+# q_recrawl_upsert, q_bucketed_join, plus the r6 flagships
+# q_substring_removal, q_gopher_repetition, q_encode_pack.
+# OUT (all remain oracled at 51+, each with an in-window cover):
+# q_stream_windowed_counts (1-row; streaming = q_stream_dedup +
+# q_sessionization), q_tpch_q1_pricing_summary (thin aggregate),
+# q_emb_centroid_per_label (thin agg), q_pii_redaction (native
+# regexp), q_repetition_stats (superseded by q_gopher_repetition),
+# q_source_quality_gate (gates = q_curation_pipeline +
+# q_model_quality_gate), q_doc_chunking (window math inside
+# q_encode_pack), q_hash_split (md5 assignment inside
+# q_epoch_upsample).
 GRADED_WINDOW = [
-    'q_stream_windowed_counts',
     'q_bloom_incremental_ingest',
     'q_neardup_clusters',
     'q_decontamination',
     'q_unigram_logprob',
     'q_pagerank_centrality',
+    'q_semantic_decontamination',
+    'q_dsir_select',
+    'q_model_auc',
     'q_t2_t5_normalize',
     'q_t7_meaningful_tokens',
     'q_line_dedup',
     'q_d2_dedup_first_seen',
     'q_w1_relevance_topk',
     'q_pack_sequences',
+    'q_encode_pack',
     'q_w5_first_event_per_user',
     'q_f2_lang_filter_counts',
     'q_a1_wordfreq_top3',
     'q_a3_term_document_frequency',
-    'q_hash_split',
     'q_semantic_dedup',
     'q_j2_broadcast_join',
     'q_substring_duplication',
-    'q_tpch_q1_pricing_summary',
+    'q_substring_removal',
+    'q_gopher_repetition',
     'q_ppl_buckets',
     'q_token_budget_mix',
     'q_curation_pipeline',
     'q_model_quality_gate',
     'q_emb_cosine_topk',
-    'q_emb_centroid_per_label',
     'q_token_counts_bpe',
     'q_w2_search_snippets',
     'q_stream_dedup',
@@ -67,10 +68,8 @@ GRADED_WINDOW = [
     'q_ngram_jaccard_exact',
     'q_emb_cosine_dups',
     'q_skew_salted_agg',
-    'q_pii_redaction',
-    'q_repetition_stats',
-    'q_source_quality_gate',
-    'q_doc_chunking',
+    'q_recrawl_upsert',
+    'q_bucketed_join',
     'q_f4_category_overlap',
     'q_f5_structured_semi_join',
     'q_a6_topic_type',
@@ -106,14 +105,16 @@ def test_out_of_window_oracles_still_covered_internally():
     import __spark_entry__ as e
     names = list(e.queries())
     oracled_outside = [n for n in names[50:] if n in e.oracle_sql()]
-    # the known residents: the trivial oracles moved out in rounds 4-5
-    assert 'q_token_counts' in oracled_outside
-    assert 'q_fingerprint' in oracled_outside
-    assert 'q_skew_salted_counts' in oracled_outside
-    assert 'q_j1_anti_join' in oracled_outside
-    assert 'q_w3_topk_events' in oracled_outside
-    assert 'q_event_percentiles' in oracled_outside
-    assert 'q_lang_id' in oracled_outside
-    assert 'q_quality_scores' in oracled_outside
-    assert 'q_rollup_orders' in oracled_outside
+    # the known residents: the oracles moved out in rounds 4-6
+    for demoted in ('q_token_counts', 'q_fingerprint',
+                    'q_skew_salted_counts', 'q_j1_anti_join',
+                    'q_w3_topk_events', 'q_event_percentiles',
+                    'q_lang_id', 'q_quality_scores', 'q_rollup_orders',
+                    # round-6 demotions
+                    'q_stream_windowed_counts',
+                    'q_tpch_q1_pricing_summary',
+                    'q_emb_centroid_per_label', 'q_pii_redaction',
+                    'q_repetition_stats', 'q_source_quality_gate',
+                    'q_doc_chunking', 'q_hash_split'):
+        assert demoted in oracled_outside, demoted
     assert len(oracled_outside) >= 15
