@@ -1081,6 +1081,58 @@ def q_neardup_pr(spark, sf_dir):
         rows, 'operator string, n_pairs long, precision double, recall double')
 
 
+def q_para_neardup_planted(spark, sf_dir):
+    """Paragraph-level fuzzy dedup with a FULL value oracle (round 6 —
+    VERDICT r5 #6: the q_semantic_dedup construction trick at
+    paragraph granularity). Corpus built deterministically from
+    documents' ids: every doc gets three 8-token paragraphs whose
+    tokens are doc-namespaced (cross-paragraph Jaccard EXACTLY 0),
+    except docs with doc_id % 50 < 3, whose first paragraph is a
+    group-namespaced sentinel shared verbatim within its group of
+    three (g = doc_id DIV 50; all eight tokens carry g, so
+    cross-GROUP Jaccard is also exactly 0). Identical paragraphs have
+    identical shingle sets → identical minhash signatures in every
+    band → guaranteed candidates with est-Jaccard exactly 1.0; every
+    other pair shares zero shingles, so nothing else can verify at
+    0.8 (margin 1.0 vs ~0). The LSH result is therefore EXACTLY the
+    planted all-pairs set, which the oracle re-derives from documents
+    by arithmetic alone (per-group pair counts, id sums, unit
+    jaccards, all cross-doc)."""
+    from .operators.dedup import paragraph_neardup_pairs
+    from .operators.dedup import release as _release
+    i = F.col('doc_id')
+    g = F.expr('doc_id DIV 50')
+
+    def filler(prefix):
+        return F.concat_ws(' ', *[
+            F.concat(F.lit(prefix), i.cast('string'), F.lit(f't{j}'))
+            for j in range(8)])
+
+    sentinel = F.concat_ws(' ', *[
+        F.concat(F.lit('g'), g.cast('string'), F.lit(f'd{j}'))
+        for j in range(8)])
+    para0 = F.when(i % 50 < 3, sentinel).otherwise(filler('d'))
+    corpus = (_t(spark, sf_dir, 'documents')
+              .select('doc_id',
+                      F.concat_ws('\n\n', para0, filler('x'),
+                                  filler('y')).alias('text')))
+    pairs = paragraph_neardup_pairs(corpus, jaccard_threshold=0.8)
+    rows = pairs.collect()
+    _release(pairs)
+    back = spark.createDataFrame(rows, pairs.schema)
+    return (back.withColumn('g', F.expr('doc_a DIV 50'))
+            .groupBy('g')
+            .agg(F.count('*').cast('long').alias('n_pairs'),
+                 F.sum('doc_a').cast('long').alias('id_sum_a'),
+                 F.sum('doc_b').cast('long').alias('id_sum_b'),
+                 F.sum('para_a').cast('long').alias('para_sum'),
+                 F.round(F.min('jaccard_est'), 6).alias('min_j'),
+                 F.round(F.max('jaccard_est'), 6).alias('max_j'),
+                 F.sum(F.col('cross_doc').cast('long')).cast('long')
+                 .alias('n_cross'))
+            .orderBy('g'))
+
+
 def q_para_neardup(spark, sf_dir):
     """Paragraph-level fuzzy dedup (dedup.paragraph_neardup_pairs /
     paragraph_neardup_rollup, round 5 — RefinedWeb runs line-EXACT and
@@ -3070,6 +3122,25 @@ ORACLES: dict[str, str] = {
         ORDER BY c0.doc_id
     """,
 
+    # paragraph fuzzy dedup, planted construction: the result is
+    # provably EXACTLY the planted all-pairs set (see the query's
+    # docstring), re-derived here by arithmetic over documents' ids
+    'q_para_neardup_planted': r"""
+        WITH m AS (SELECT doc_id, doc_id // 50 AS g FROM documents
+                   WHERE doc_id % 50 < 3),
+        p AS (SELECT a.g, a.doc_id AS da, b.doc_id AS db
+              FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(da) AS BIGINT) AS id_sum_a,
+               CAST(sum(db) AS BIGINT) AS id_sum_b,
+               CAST(0 AS BIGINT) AS para_sum,
+               round(1.0, 6) AS min_j,
+               round(1.0, 6) AS max_j,
+               CAST(count(*) AS BIGINT) AS n_cross
+        FROM p GROUP BY g ORDER BY g
+    """,
+
     # substring-span removal: windows, coverage, and the order-
     # preserving token rebuild all re-derived over window STRINGS;
     # cleaned_text checked byte-for-byte (q_line_dedup's contract at
@@ -4340,6 +4411,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_corpus_datasheet': q_corpus_datasheet,
         'q_jsonl_export': q_jsonl_export,
         'q_stream_export': q_stream_export,
+        'q_para_neardup_planted': q_para_neardup_planted,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
