@@ -329,6 +329,77 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
                   .alias(f'top_{k}gram_char_frac') for k in top_ns]))
 
 
+def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text',
+                      ns: 'tuple[int, ...]' = (5, 6, 7, 8, 9, 10)
+                      ) -> DataFrame:
+    """The other half of Gopher's repetition table (Rae et al. 2021,
+    round 6): per document and per n in ``ns``, the fraction of word
+    characters covered by words belonging to at least one n-gram that
+    occurs >= 2 times WITHIN the document (union of spans — the
+    duplicated-n-gram character fraction; ``gopher_repetition`` covers
+    the top-n-gram and line/paragraph halves). Output columns
+    ``dup_{n}gram_char_frac``.
+
+    Scale shape: positional windows hash in-row (xxhash64 — window
+    strings never leave the row); one union of narrow
+    (id, n, start, hash) rows, a within-doc duplicate count, span
+    expansion to (id, n, pos) longs, a char-weight join against the
+    (id, pos, len) word relation, and a per-doc pivot. All shuffles
+    carry longs only."""
+    from functools import reduce
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias('__id'),
+        F.filter(F.split(F.lower(t), r'\s+'),
+                 lambda x: F.length(x) > 0).alias('__w'))
+    base = base.withColumn(
+        '__chars', F.aggregate('__w', F.lit(0).cast('long'),
+                               lambda a, x: a + F.length(x)))
+    wl = (base.select('__id', F.posexplode('__w').alias('__pos', '__tok'))
+          .select('__id', '__pos',
+                  F.length('__tok').cast('long').alias('__len')))
+    wins = []
+    for k in ns:
+        n = F.size('__w')
+        m = n - F.lit(k - 1)
+        parts = [F.slice('__w', j + 1, F.greatest(m, F.lit(0)))
+                 for j in range(k)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(' '), b))
+        wins.append(base.select(
+            '__id', F.lit(k).alias('__n'),
+            F.posexplode(F.when(n >= k, F.transform(
+                g, lambda w: F.xxhash64(w))).otherwise(F.array()))
+            .alias('__start', '__h')))
+    ex = reduce(DataFrame.unionByName, wins)
+    dup = (ex.groupBy('__id', '__n', '__h')
+           .agg(F.count('*').alias('__c'))
+           .filter(F.col('__c') >= 2).select('__id', '__n', '__h'))
+    cov = (ex.join(dup, on=['__id', '__n', '__h'], how='left_semi')
+           .select('__id', '__n',
+                   F.explode(F.sequence(
+                       F.col('__start'),
+                       F.col('__start') + F.col('__n') - 1))
+                   .alias('__pos'))
+           .distinct())
+    covchars = (cov.join(wl, on=['__id', '__pos'])
+                .groupBy('__id', '__n')
+                .agg(F.sum('__len').alias('__cc')))
+    per = covchars.groupBy('__id').agg(
+        *[F.max(F.when(F.col('__n') == k, F.col('__cc')))
+          .alias(f'__c{k}') for k in ns])
+    return (base.select('__id', '__chars')
+            .join(per, on='__id', how='left')
+            .select(F.col('__id').alias(id_col),
+                    *[F.round(F.coalesce(F.col(f'__c{k}'), F.lit(0))
+                              / F.greatest(F.col('__chars'), F.lit(1)),
+                              6).alias(f'dup_{k}gram_char_frac')
+                      for k in ns]))
+
+
 def source_quality_gate(df: DataFrame, group_col: str = 'source',
                         text_col: str = 'text',
                         min_avg_alpha: float = 0.6) -> DataFrame:

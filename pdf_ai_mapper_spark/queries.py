@@ -422,6 +422,57 @@ def _pagerank_oracle_sql(iterations: int = 10, num: int = 85,
     return ''.join(parts)
 
 
+def _gopher_dup_ngrams_oracle_sql(ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """Generated oracle for q_gopher_dup_ngrams: one UNION ALL window
+    branch per n (a VALUES alias cannot be referenced inside a LATERAL
+    in DuckDB — measured INTERNAL binder error), then within-doc
+    duplicate counts, span-union coverage, char weights, and a pivot —
+    all re-derived from scratch."""
+    branches = '\n              UNION ALL\n'.join(f"""
+              SELECT doc_id, {k} AS n, i AS s,
+                     array_to_string(ws[(i+1):(i+{k})], ' ') AS gr
+              FROM wa, LATERAL (SELECT unnest(range(0,
+                       greatest(len(ws) - {k - 1}, 0))) AS i)""" [1:]
+                                                  for k in ns)
+    piv = ',\n                       '.join(
+        f'max(CASE WHEN n = {k} THEN cc END) AS c{k}' for k in ns)
+    outs = ',\n               '.join(
+        f'round(COALESCE(c{k}, 0) / greatest(total_chars, 1), 6) '
+        f'AS dup_{k}gram_char_frac' for k in ns)
+    return rf"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN doc_id % 4 = 0
+                               THEN text || ' ' || text
+                               ELSE text END AS text
+                   FROM documents),
+        wa AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                                     '\s+'),
+                                  x -> len(x) > 0) AS ws
+               FROM t),
+        chars AS (SELECT doc_id,
+                         COALESCE(list_sum(list_transform(ws,
+                                  x -> len(x))), 0) AS total_chars
+                  FROM wa),
+        g AS ({branches}),
+        d AS (SELECT doc_id, n, gr FROM g GROUP BY doc_id, n, gr
+              HAVING count(*) >= 2),
+        c AS (SELECT DISTINCT g.doc_id, g.n, p
+              FROM g JOIN d USING (doc_id, n, gr),
+                   LATERAL (SELECT unnest(range(g.s, g.s + g.n)) AS p)),
+        s AS (SELECT c.doc_id, c.n, sum(len(ws[p + 1])) AS cc
+              FROM c JOIN wa ON c.doc_id = wa.doc_id
+              GROUP BY c.doc_id, c.n),
+        piv AS (SELECT doc_id,
+                       {piv}
+                FROM s GROUP BY doc_id)
+        SELECT chars.doc_id,
+               {outs}
+        FROM chars LEFT JOIN piv USING (doc_id)
+        ORDER BY chars.doc_id
+    """
+
+
 def _search_pipeline_oracle_sql() -> str:
     """Full-pipeline oracle for q_search_pipeline: relevance (substring
     counts + the in-loop +10-per-token phrase bonus), score>0, top-10
@@ -988,6 +1039,23 @@ def q_gopher_repetition(spark, sf_dir):
             F.slice('__lines', j * F.lit(2) + F.lit(1), F.lit(2)), '\n'))
     d2 = d.select('doc_id', F.array_join(paraarr, '\n\n').alias('text'))
     return gopher_repetition(d2, 'doc_id', 'text').orderBy('doc_id')
+
+
+def q_gopher_dup_ngrams(spark, sf_dir):
+    """Within-doc duplicated-n-gram character coverage
+    (textstats.gopher_dup_ngrams, round 6 — the dup-5..10-gram half of
+    Gopher's repetition table). Docs with doc_id % 4 == 0 have their
+    text DOUBLED on both sides, guaranteeing duplicated n-grams at
+    every n (frac near 1); the rest carry natural values. All six
+    columns re-derived in SQL (windows, within-doc counts, span-union
+    coverage, char weights)."""
+    from .operators.textstats import gopher_dup_ngrams
+    d = _t(spark, sf_dir, 'documents').select(
+        'doc_id',
+        F.when(F.col('doc_id') % 4 == 0,
+               F.concat_ws(' ', F.col('text'), F.col('text')))
+        .otherwise(F.col('text')).alias('text'))
+    return gopher_dup_ngrams(d).orderBy('doc_id')
 
 
 def q_substring_removal(spark, sf_dir):
@@ -3003,6 +3071,7 @@ ORACLES: dict[str, str] = {
         FROM cent GROUP BY label ORDER BY label
     """,
     'q_search_pipeline': _search_pipeline_oracle_sql(),
+    'q_gopher_dup_ngrams': _gopher_dup_ngrams_oracle_sql(),
     'q_pagerank_centrality': _pagerank_oracle_sql(),
 
     'q_substring_duplication': r"""
@@ -4412,6 +4481,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_jsonl_export': q_jsonl_export,
         'q_stream_export': q_stream_export,
         'q_para_neardup_planted': q_para_neardup_planted,
+        'q_gopher_dup_ngrams': q_gopher_dup_ngrams,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

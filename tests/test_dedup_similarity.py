@@ -370,6 +370,51 @@ def test_gopher_repetition_matches_python_reference_randomized(spark):
         assert got[i] == ref(t), (i, t)
 
 
+def test_gopher_dup_ngrams_semantics(spark):
+    from pdf_ai_mapper_spark.operators.textstats import gopher_dup_ngrams
+    rep = ' '.join(['a b c d e'] * 3)          # every 5-gram duplicated
+    docs = [(1, rep), (2, 'all tokens here are different ones now'),
+            (3, '')]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in gopher_dup_ngrams(df, ns=(5,)).collect()}
+    assert got[1]['dup_5gram_char_frac'] == 1.0   # full coverage
+    assert got[2]['dup_5gram_char_frac'] == 0.0
+    assert got[3]['dup_5gram_char_frac'] == 0.0
+
+
+def test_gopher_dup_ngrams_matches_python_reference(spark):
+    import random
+    from collections import Counter
+    from pdf_ai_mapper_spark.operators.textstats import gopher_dup_ngrams
+    rng = random.Random(19)
+    vocab = ['aa', 'bb', 'cc', 'dd']
+    docs = [(i, ' '.join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 30))))
+            for i in range(30)]
+
+    def ref(text, ns):
+        ws = [w for w in text.lower().split() if w]
+        chars = sum(len(w) for w in ws)
+        out = []
+        for n in ns:
+            grams = Counter(tuple(ws[i:i + n])
+                            for i in range(max(0, len(ws) - n + 1)))
+            cov = set()
+            for i in range(max(0, len(ws) - n + 1)):
+                if grams[tuple(ws[i:i + n])] >= 2:
+                    cov.update(range(i, i + n))
+            out.append(round(sum(len(ws[p]) for p in cov)
+                             / max(chars, 1), 6))
+        return tuple(out)
+
+    ns = (3, 5, 7)
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: tuple(r)[1:]
+           for r in gopher_dup_ngrams(df.repartition(4), ns=ns).collect()}
+    for i, t in docs:
+        assert got[i] == ref(t, ns), (i, t)
+
+
 def test_source_quality_gate_filters_groups(spark):
     from pdf_ai_mapper_spark.operators.textstats import source_quality_gate
     rows = ([(i, 'srcgood', 'purely alphabetic words only here') for i in range(5)]
