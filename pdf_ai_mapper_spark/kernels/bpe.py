@@ -86,6 +86,53 @@ def encode_word(word: str, ranks: 'dict[tuple[str, str], int]' = _RANKS
     return tuple(syms)
 
 
+def learn_merges(word_counts: 'dict[str, int]',
+                 num_merges: int) -> 'tuple[tuple[str, str], ...]':
+    """The published BPE LEARNING step (Sennrich et al. 2016 §3.2,
+    public algorithm): repeatedly find the adjacent symbol pair with
+    the highest frequency-weighted count over the vocabulary and merge
+    it everywhere. Operates on a word-frequency dict — the algorithm
+    never needs the corpus itself, only its Zipf vocabulary, which is
+    what makes the Spark wrapper one aggregate at any scale.
+
+    Determinism pinned (the published code leaves ties arbitrary):
+    highest count first, then LEXICOGRAPHICALLY SMALLEST pair. Stops
+    early when the best pair's count is < 2 (merging a once-seen pair
+    buys nothing and would make goldens input-order-fragile)."""
+    vocab: 'dict[str, tuple[tuple[str, ...], int]]' = {
+        w: (tuple(w), int(c)) for w, c in word_counts.items() if w}
+    merges: 'list[tuple[str, str]]' = []
+    for _ in range(num_merges):
+        pairs: 'dict[tuple[str, str], int]' = {}
+        for syms, c in vocab.values():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for w, (syms, c) in vocab.items():
+            if len(syms) > 1:
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            new_vocab[w] = (syms, c)
+        vocab = new_vocab
+    return tuple(merges)
+
+
 # ---- encode-to-ids (round 6) ----
 #
 # Vocabulary rule, deterministic and total: a single-character symbol's

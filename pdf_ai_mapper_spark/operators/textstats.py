@@ -150,6 +150,34 @@ def with_exact_token_counts(df: DataFrame, text_col: str = 'text',
     return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
+def learn_bpe_merges(df: DataFrame, text_col: str = 'text',
+                     num_merges: int = 40, min_word_freq: int = 1,
+                     max_vocab: int = 1_000_000
+                     ) -> 'tuple[tuple[str, str], ...]':
+    """Learn a BPE merge table FROM the corpus (round 6 — the stage
+    before counting/encoding: a real pipeline trains its tokenizer on
+    the data it curates). The published algorithm needs only word
+    FREQUENCIES, so the distributed part is ONE groupBy(word) count —
+    100 TB collapses map-side to its Zipf vocabulary — and the merge
+    loop runs driver-side over the collected dict exactly as published
+    (kernels/bpe.learn_merges, ties pinned). ``max_vocab`` caps the
+    driver collect at the frequency head (deterministic order:
+    count desc, word asc); the tail it drops are hapax words whose
+    pair mass is negligible by Zipf. The result drops straight into
+    ``make_ranks``/``make_vocab`` — learn → count → encode → pack is
+    now end-to-end in-repo."""
+    from ..kernels.bpe import learn_merges
+    words = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                     lambda x: F.length(x) > 0)
+    rows = (df.select(F.explode(words).alias('w'))
+            .groupBy('w').agg(F.count('*').alias('c'))
+            .filter(F.col('c') >= min_word_freq)
+            .orderBy(F.col('c').desc(), F.col('w').asc())
+            .limit(max_vocab)
+            .collect())
+    return learn_merges({r['w']: int(r['c']) for r in rows}, num_merges)
+
+
 def with_input_ids(df: DataFrame, text_col: str = 'text',
                    out_col: str = 'input_ids') -> DataFrame:
     """EXACT BPE token-ID arrays (kernels/bpe.py `bpe_encode_ids`,

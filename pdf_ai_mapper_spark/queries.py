@@ -1041,6 +1041,24 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition(d2, 'doc_id', 'text').orderBy('doc_id')
 
 
+def q_learn_bpe(spark, sf_dir):
+    """BPE merge-table LEARNING (textstats.learn_bpe_merges →
+    kernels/bpe.learn_merges, round 6): the first 10 merges learned
+    from the documents corpus (one word-count aggregate + the
+    published driver-side loop, ties pinned count-desc/pair-asc).
+    Oracle: golden merge sequences measured per corpus (keyed by
+    (count, total text length) exactly like q_lda_categories' golden
+    histogram — an unknown dataset matches nothing and fails the
+    row-count check loudly); goldens derived from DuckDB word counts
+    + the kernel, independent of the Spark aggregation under test."""
+    from .operators.textstats import learn_bpe_merges
+    merges = learn_bpe_merges(_t(spark, sf_dir, 'documents'),
+                              num_merges=10)
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, 'merge_rank int, lhs string, rhs string').orderBy('merge_rank')
+
+
 def q_gopher_dup_ngrams(spark, sf_dir):
     """Within-doc duplicated-n-gram character coverage
     (textstats.gopher_dup_ngrams, round 6 — the dup-5..10-gram half of
@@ -3191,6 +3209,35 @@ ORACLES: dict[str, str] = {
         ORDER BY c0.doc_id
     """,
 
+    # BPE learning: golden merge sequences measured per corpus (the
+    # q_lda_categories golden-histogram pattern) — goldens computed
+    # from DuckDB word counts + kernels/bpe.learn_merges, keyed by
+    # corpus stats so unknown datasets fail loudly
+    'q_learn_bpe': r"""
+        WITH stat AS (SELECT count(*) AS n,
+                             CAST(sum(length(text)) AS BIGINT) AS tl
+                      FROM documents),
+        golden(n, tl, merge_rank, lhs, rhs) AS (VALUES
+            (500, 153156, 0, 'e', 'r'), (500, 153156, 1, 'o', 'r'),
+            (500, 153156, 2, 'i', 'n'), (500, 153156, 3, 'o', 'w'),
+            (500, 153156, 4, 's', 't'), (500, 153156, 5, 'l', 'u'),
+            (500, 153156, 6, 'a', 'r'), (500, 153156, 7, 'p', 'ar'),
+            (500, 153156, 8, 'm', 'er'), (500, 153156, 9, 'a', 't'),
+            (500, 149174, 0, 'e', 'r'), (500, 149174, 1, 'i', 'n'),
+            (500, 149174, 2, 'o', 'w'), (500, 149174, 3, 'o', 'r'),
+            (500, 149174, 4, 's', 't'), (500, 149174, 5, 'm', 'er'),
+            (500, 149174, 6, 'a', 't'), (500, 149174, 7, 'l', 'u'),
+            (500, 149174, 8, 'a', 'r'), (500, 149174, 9, 'p', 'ar'),
+            (5000, 1485576, 0, 'e', 'r'), (5000, 1485576, 1, 'i', 'n'),
+            (5000, 1485576, 2, 'o', 'r'), (5000, 1485576, 3, 's', 't'),
+            (5000, 1485576, 4, 'o', 'w'), (5000, 1485576, 5, 't', 'a'),
+            (5000, 1485576, 6, 'l', 'u'), (5000, 1485576, 7, 'm', 'er'),
+            (5000, 1485576, 8, 'a', 'r'), (5000, 1485576, 9, 'p', 'ar'))
+        SELECT CAST(g.merge_rank AS INT) AS merge_rank, g.lhs, g.rhs
+        FROM golden g JOIN stat s ON g.n = s.n AND g.tl = s.tl
+        ORDER BY merge_rank
+    """,
+
     # paragraph fuzzy dedup, planted construction: the result is
     # provably EXACTLY the planted all-pairs set (see the query's
     # docstring), re-derived here by arithmetic over documents' ids
@@ -4482,6 +4529,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stream_export': q_stream_export,
         'q_para_neardup_planted': q_para_neardup_planted,
         'q_gopher_dup_ngrams': q_gopher_dup_ngrams,
+        'q_learn_bpe': q_learn_bpe,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

@@ -70,6 +70,52 @@ def test_count_bounds(w):
     assert ''.join(encode_word(w)) == w
 
 
+def test_learn_merges_hand_derived():
+    """Derived by hand: {'aaab':2, 'ab':3} → (a,b) count 5 first;
+    round 2 ties (a,a)=2 vs (a,ab)=2 → lexicographically smallest
+    (a,a); round 3 merges (aa,ab); then no pairs remain."""
+    from pdf_ai_mapper_spark.kernels.bpe import learn_merges
+    got = learn_merges({'aaab': 2, 'ab': 3}, 10)
+    assert got == (('a', 'b'), ('a', 'a'), ('aa', 'ab'))
+    # num_merges truncates
+    assert learn_merges({'aaab': 2, 'ab': 3}, 1) == (('a', 'b'),)
+    # a once-seen pair is never merged (early stop)
+    assert learn_merges({'xy': 1}, 5) == ()
+    # empty-safe
+    assert learn_merges({}, 5) == ()
+    assert learn_merges({'': 7}, 5) == ()
+
+
+def test_learn_merges_feed_encoder_roundtrip():
+    """Learned tables drop into make_ranks/encode_word: frequent words
+    collapse to fewer symbols, and re-joining symbols reproduces the
+    word (merges only concatenate)."""
+    from pdf_ai_mapper_spark.kernels.bpe import learn_merges
+    corpus = {'stream': 50, 'streaming': 30, 'stream1': 5, 'xyz': 1}
+    merges = learn_merges(corpus, 20)
+    ranks = make_ranks(merges)
+    assert len(encode_word('stream', ranks)) == 1   # fully merged
+    for w in corpus:
+        if w:
+            assert ''.join(encode_word(w, ranks)) == w
+
+
+def test_learn_bpe_merges_spark_matches_kernel_and_partitioning(spark):
+    from pdf_ai_mapper_spark.kernels.bpe import learn_merges
+    from pdf_ai_mapper_spark.operators.textstats import learn_bpe_merges
+    texts = ['the query stream', 'the the stream', 'query the stream',
+             'stream stream', '']
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               'doc_id long, text string')
+    counts: dict = {}
+    for t in texts:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    exp = learn_merges(counts, 8)
+    assert learn_bpe_merges(df, num_merges=8) == exp
+    assert learn_bpe_merges(df.repartition(7), num_merges=8) == exp
+
+
 def test_encode_ids_hand_goldens():
     """Vocab rule derived by hand: single char → code point; merge →
     MERGE_ID_BASE + rank ('th' rank 0, 'the' rank 1, 'er' rank 3,
