@@ -799,7 +799,8 @@ def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
 
 def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
                                  text_col: str = 'text', k: int = 8,
-                                 min_df: int = 2) -> DataFrame:
+                                 min_df: int = 2,
+                                 keep: str = 'none') -> DataFrame:
     """Exact substring-span REMOVAL (round 6) — the act behind the
     ``substring_duplication_stats`` signal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -821,9 +822,20 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     in ``substring_duplication_stats`` (swap to the 128-bit variant
     past ~10^9 distinct windows).
 
+    ``keep`` pins the policy for the duplicated copies:
+    - ``'none'`` (default): every occurrence of a duplicated window is
+      dropped from every document (the boilerplate-scrub reading);
+    - ``'first'``: the globally FIRST occurrence of each duplicated
+      window value — min (doc id, position) — survives, all later
+      occurrences are dropped (Lee et al.'s paper policy: keep one
+      copy of each duplicated span). A token survives unless some
+      NON-first duplicated occurrence covers it.
+
     Returns (id_col, n_kept, n_removed, cleaned_text); fully-covered
     documents come back with cleaned_text='' rather than disappearing.
     """
+    if keep not in ('none', 'first'):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     toks = F.split(F.trim(F.col(text_col)), r'\s+')
     n = F.size(toks)
     m = n - F.lit(k - 1)
@@ -842,10 +854,17 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
         F.transform('__w', lambda w: F.xxhash64(w))
     ).alias('__start', '__h'))
     dup = (wins.groupBy('__h')
-           .agg(F.count_distinct('__id').alias('__df'))
+           .agg(F.count_distinct('__id').alias('__df'),
+                F.min(F.struct('__id', '__start')).alias('__first'))
            .filter(F.col('__df') >= min_df)
-           .select('__h'))
-    covered = (wins.join(dup, on='__h', how='left_semi')
+           .select('__h', '__first'))
+    dup_occ = wins.join(dup, on='__h', how='inner')
+    if keep == 'first':
+        # the globally first occurrence of each window value survives
+        dup_occ = dup_occ.filter(
+            (F.col('__id') != F.col('__first.__id'))
+            | (F.col('__start') != F.col('__first.__start')))
+    covered = (dup_occ
                .select('__id', F.explode(F.sequence(
                    F.col('__start'),
                    F.col('__start') + F.lit(k - 1))).alias('__pos'))

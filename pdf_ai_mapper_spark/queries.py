@@ -1059,6 +1059,20 @@ def q_learn_bpe(spark, sf_dir):
         rows, 'merge_rank int, lhs string, rhs string').orderBy('merge_rank')
 
 
+def q_substring_keep_first(spark, sf_dir):
+    """Substring-span removal with the Lee et al. PAPER policy
+    (keep='first'): the globally first occurrence of each duplicated
+    8-token window — min (doc_id, position) — survives; later copies
+    are dropped. Same full byte check as q_substring_removal; the
+    oracle replays the keep rule as a row_number over (doc_id, start)
+    per window value."""
+    from .operators.dedup import remove_duplicated_substrings
+    d = _t(spark, sf_dir, 'documents')
+    return (remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
+                                         min_df=2, keep='first')
+            .orderBy('doc_id'))
+
+
 def q_gopher_dup_ngrams(spark, sf_dir):
     """Within-doc duplicated-n-gram character coverage
     (textstats.gopher_dup_ngrams, round 6 — the dup-5..10-gram half of
@@ -3119,6 +3133,49 @@ ORACLES: dict[str, str] = {
         FROM stats GROUP BY source ORDER BY source
     """,
 
+    # keep-first substring removal: the survivor rule (globally first
+    # occurrence per duplicated window value) replayed as a
+    # row_number over (doc_id, start); rebuilt bytes checked
+    'q_substring_keep_first': r"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+                FROM t, LATERAL (SELECT unnest(range(0, len(toks)))
+                                 AS i)),
+        win AS (SELECT doc_id, i AS start,
+                       array_to_string(toks[(i + 1):(i + 8)], ' ') AS w
+                FROM t, LATERAL (SELECT unnest(range(0,
+                                 greatest(len(toks) - 7, 0))) AS i)),
+        dup AS (SELECT w FROM win GROUP BY w
+                HAVING count(DISTINCT doc_id) >= 2),
+        occ AS (SELECT win.doc_id, win.start,
+                       row_number() OVER (PARTITION BY win.w
+                                          ORDER BY win.doc_id,
+                                                   win.start) AS rn
+                FROM win JOIN dup USING (w)),
+        cov AS (SELECT DISTINCT occ.doc_id, p AS pos
+                FROM occ, LATERAL (SELECT unnest(range(occ.start,
+                                   occ.start + 8)) AS p)
+                WHERE occ.rn > 1),
+        tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_total
+                FROM t),
+        reb AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tok.pos)
+                           AS cleaned_text
+                FROM tok LEFT JOIN cov
+                     ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                WHERE cov.pos IS NULL
+                GROUP BY tok.doc_id)
+        SELECT tot.doc_id,
+               COALESCE(reb.n_kept, 0) AS n_kept,
+               CAST(tot.n_total - COALESCE(reb.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(reb.cleaned_text, '') AS cleaned_text
+        FROM tot LEFT JOIN reb USING (doc_id)
+        ORDER BY tot.doc_id
+    """,
+
     # the full Gopher repetition family: the 4-token-line / 2-line-
     # paragraph layout is constructed identically on both sides, then
     # all seven signals (dup line/para fractions + char fractions,
@@ -4530,6 +4587,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_para_neardup_planted': q_para_neardup_planted,
         'q_gopher_dup_ngrams': q_gopher_dup_ngrams,
         'q_learn_bpe': q_learn_bpe,
+        'q_substring_keep_first': q_substring_keep_first,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

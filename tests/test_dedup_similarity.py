@@ -542,6 +542,69 @@ def test_substring_removal_within_doc_repeat_survives(spark):
     assert got[1]['n_removed'] == 0
 
 
+def test_substring_removal_keep_first_policy(spark):
+    """Lee et al.'s paper policy: the globally FIRST occurrence of
+    each duplicated window — min (doc_id, position) — survives; later
+    copies are dropped."""
+    import pytest
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    shared = 'alpha beta gamma delta'
+    df = spark.createDataFrame(
+        [(1, 'one two three ' + shared + ' x y z'),
+         (2, 'start middle ' + shared + ' end bits'),
+         (3, 'untouched text lives here')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r
+           for r in remove_duplicated_substrings(
+               df, k=4, keep='first').collect()}
+    # doc 1 holds the first occurrence -> keeps everything
+    assert got[1]['cleaned_text'] == 'one two three ' + shared + ' x y z'
+    assert got[1]['n_removed'] == 0
+    # doc 2's copy is dropped
+    assert got[2]['cleaned_text'] == 'start middle end bits'
+    assert got[3]['n_removed'] == 0
+    with pytest.raises(ValueError):
+        remove_duplicated_substrings(df, keep='last')
+
+
+def test_substring_removal_keep_first_randomized(spark):
+    import random
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    rng = random.Random(23)
+    vocab = [f'w{i}' for i in range(10)]
+    k = 3
+    docs = [(i, ' '.join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 22))))
+            for i in range(30)]
+    toks = {i: t.split() for i, t in docs}
+    occ: dict = {}
+    for i, ts in sorted(toks.items()):
+        for s in range(max(0, len(ts) - k + 1)):
+            occ.setdefault(' '.join(ts[s:s + k]), []).append((i, s))
+    dup = {w for w, os_ in occ.items()
+           if len({d for d, _ in os_}) >= 2}
+    exp = {}
+    for i, ts in toks.items():
+        cov = set()
+        for s in range(max(0, len(ts) - k + 1)):
+            w = ' '.join(ts[s:s + k])
+            if w in dup and min(occ[w]) != (i, s):
+                cov.update(range(s, s + k))
+        kept = [t for p, t in enumerate(ts) if p not in cov]
+        exp[i] = (len(kept), len(ts) - len(kept), ' '.join(kept))
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_kept'], r['n_removed'], r['cleaned_text'])
+           for r in remove_duplicated_substrings(
+               df.repartition(5), k=k, keep='first').collect()}
+    for i, t in docs:
+        if t == '':
+            assert got[i] == (1, 0, '')
+        else:
+            assert got[i] == exp[i], (i, t)
+
+
 def test_substring_removal_matches_python_reference_randomized(spark):
     import random
     from pdf_ai_mapper_spark.operators.dedup import (
