@@ -105,6 +105,102 @@ def _auc_agg(scored: DataFrame, groups: 'list[str]') -> DataFrame:
                F.col('auc_num2').cast('double') / denom))
 
 
+def _pr_rows(df: DataFrame, score_col: str, label_col: str,
+             groups: 'list[str]') -> DataFrame:
+    """Per-distinct-score PR state: exact tp/fp at threshold s
+    (predict positive iff score >= s) via class totals minus exclusive
+    below-prefix sums — the auc_score collapse reused. Global mode
+    runs the two-phase scan twice (p then n) over the already-collapsed
+    score table; grouped mode shares ONE exchange+sort across its
+    windows. Callers release() the result (persisted range tables)."""
+    lab = _label01(label_col)
+    per = (df.groupBy(*groups, F.col(score_col).alias('__s'))
+           .agg(F.sum(lab).cast('long').alias('__p'),
+                (F.count('*') - F.sum(lab)).cast('long').alias('__n')))
+    deps: list = []
+    if groups:
+        wcum = (Window.partitionBy(*groups).orderBy('__s')
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wall = Window.partitionBy(*groups)
+        cur = (per
+               .withColumn('__pb', F.sum('__p').over(wcum) - F.col('__p'))
+               .withColumn('__nb', F.sum('__n').over(wcum) - F.col('__n'))
+               .withColumn('__ptot', F.sum('__p').over(wall))
+               .withColumn('__ntot', F.sum('__n').over(wall)))
+    else:
+        s1 = with_global_offset(per, '__s', '__p', out_col='__pb')
+        deps += getattr(s1, '_persisted_deps', [])
+        s2 = with_global_offset(s1, '__s', '__n', out_col='__nb')
+        deps += getattr(s2, '_persisted_deps', [])
+        # class totals as literals: two longs collected from the
+        # persisted ranged table (a crossJoin with per.agg() trips
+        # Spark's self-join AMBIGUOUS_REFERENCE on the shared lineage)
+        trow = s1.agg(F.sum('__p').cast('long'),
+                      F.sum('__n').cast('long')).collect()[0]
+        cur = (s2.withColumn('__ptot', F.lit(int(trow[0] or 0)))
+               .withColumn('__ntot', F.lit(int(trow[1] or 0))))
+    out = (cur.withColumn('tp', (F.col('__ptot') - F.col('__pb'))
+                          .cast('long'))
+           .withColumn('fp', (F.col('__ntot') - F.col('__nb'))
+                       .cast('long')))
+    out._persisted_deps = deps
+    return out
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str,
+             group_cols: 'list[str] | None' = None) -> DataFrame:
+    """Exact precision-recall curve (round 6 — the PR complement to
+    ``auc_score``): one row per observed distinct score value, with
+    exact BIGINT tp/fp at that threshold and precision/recall as
+    single IEEE divisions of them (hash-stable: every row is computed
+    independently from cumulative counts — no running float state).
+    precision is always defined at an observed score (tp+fp >= the
+    rows AT that score >= 1); recall is NULL when the positive class
+    is empty. release() the result (global mode persists the range
+    tables)."""
+    groups = list(group_cols or [])
+    rows = _pr_rows(df, score_col, label_col, groups)
+    prec = F.col('tp').cast('double') / (F.col('tp') + F.col('fp'))
+    rec = F.when(F.col('__ptot') > 0,
+                 F.col('tp').cast('double') / F.col('__ptot'))
+    out = (rows.select(*groups, F.col('__s').alias('score'), 'tp', 'fp',
+                       prec.alias('precision'), rec.alias('recall'))
+           .orderBy(*groups, F.col('score').desc()))
+    out._persisted_deps = getattr(rows, '_persisted_deps', [])
+    return out
+
+
+def average_precision(df: DataFrame, score_col: str, label_col: str,
+                      group_cols: 'list[str] | None' = None) -> DataFrame:
+    """Exact-after-pinned-rounding average precision (round 6 —
+    sklearn's step-wise AP = Σ_i (R_i − R_{i−1})·P_i over observed
+    thresholds): per distinct score the recall gain is p_s / P, so
+    AP·P = Σ_s p_s·precision_s. Each term is independent of every
+    other (no running float state); precision is pinned to 12 decimal
+    places and the sum runs in DECIMAL(38,12) — decimal addition is
+    exact, so the total is independent of aggregation ORDER, unlike a
+    double sum. Returns (pos_n, neg_n, ap); ap is NULL for an empty
+    positive class. Materialized one-row/per-group result (range
+    tables released internally, like auc_score)."""
+    groups = list(group_cols or [])
+    rows = _pr_rows(df, score_col, label_col, groups)
+    prec12 = F.round(F.col('tp').cast('double')
+                     / (F.col('tp') + F.col('fp')), 12)
+    term = F.round(F.col('__p') * prec12, 12).cast('decimal(38,12)')
+    agg = (rows.groupBy(*groups)
+           .agg(F.max('__ptot').cast('long').alias('pos_n'),
+                F.max('__ntot').cast('long').alias('neg_n'),
+                F.sum(term).alias('__apnum')))
+    out = agg.withColumn(
+        'ap', F.when(F.col('pos_n') > 0,
+                     F.col('__apnum').cast('double') / F.col('pos_n'))
+    ).drop('__apnum')
+    rows2 = out.collect()      # one row per group — driver-scale
+    for dep in getattr(rows, '_persisted_deps', ()):
+        dep.unpersist()
+    return df.sparkSession.createDataFrame(rows2, out.schema)
+
+
 def threshold_report(df: DataFrame, score_col: str, label_col: str,
                      thresholds: 'list[float]',
                      group_cols: 'list[str] | None' = None) -> DataFrame:

@@ -1728,6 +1728,48 @@ def q_model_auc(spark, sf_dir):
             .orderBy('source'))
 
 
+def q_pr_curve(spark, sf_dir):
+    """Exact precision-recall curve (operators/evaluate.pr_curve,
+    round 6): one row per distinct frozen-model score, exact BIGINT
+    tp/fp at that threshold (predict positive iff score >= s) and
+    precision/recall as single IEEE divisions, rounded 6 — every row
+    computed independently from cumulative counts, no running float
+    state. Oracle: the same class totals minus exclusive below-prefix
+    sums in SQL."""
+    from .operators.dedup import release as _release
+    from .operators.evaluate import pr_curve
+    from .operators.quality_model import model_quality_units
+    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+         .select(F.col('mq_units').alias('score'),
+                 (F.col('lang') == 'en').cast('int').alias('label')))
+    cur = pr_curve(d, 'score', 'label')
+    out = (cur.select('score', 'tp', 'fp',
+                      F.round('precision', 6).alias('precision'),
+                      F.round('recall', 6).alias('recall'))
+           .orderBy(F.col('score').desc()))
+    rows = out.collect()
+    _release(cur)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def q_average_precision(spark, sf_dir):
+    """Step-wise average precision per source
+    (operators/evaluate.average_precision, round 6): AP·P = Σ_s
+    p_s·precision_s with precision pinned to 12 places and the sum in
+    DECIMAL(38,12) — order-independent by construction, so the value
+    is hash-stable under any partitioning. Oracle: the identical
+    pinned arithmetic replayed in SQL."""
+    from .operators.evaluate import average_precision
+    from .operators.quality_model import model_quality_units
+    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+         .select('source', F.col('mq_units').alias('score'),
+                 (F.col('lang') == 'en').cast('int').alias('label')))
+    ap = average_precision(d, 'score', 'label', ['source'])
+    return (ap.select('source', 'pos_n', 'neg_n',
+                      F.round('ap', 6).alias('ap'))
+            .orderBy('source'))
+
+
 def q_threshold_report(spark, sf_dir):
     """Confusion counts + precision/recall/F1 at three gate cut
     points (operators/evaluate.threshold_report, late round 5): one
@@ -4331,6 +4373,97 @@ ORACLES: dict[str, str] = {
                END AS auc
         FROM g ORDER BY source
     """,
+    # PR curve: class totals minus exclusive below-prefix sums per
+    # distinct score; precision/recall single IEEE divisions of exact
+    # counts, every row independent
+    'q_pr_curve': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id,
+                      CASE WHEN any_value(lang) = 'en' THEN 1 ELSE 0 END
+                          AS y,
+                      -4700 + sum(coalesce(wt, 0)) AS s
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id),
+        per AS (SELECT s, sum(y) AS p, count(*) - sum(y) AS n
+                FROM sc GROUP BY s),
+        tot AS (SELECT sum(p) AS tp_all, sum(n) AS fn_all FROM per),
+        c AS (SELECT s, p, n,
+                     sum(p) OVER (ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - p AS pb,
+                     sum(n) OVER (ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n AS nb
+              FROM per)
+        SELECT s AS score,
+               CAST(tp_all - pb AS BIGINT) AS tp,
+               CAST(fn_all - nb AS BIGINT) AS fp,
+               round((tp_all - pb) * 1.0
+                     / ((tp_all - pb) + (fn_all - nb)), 6) AS precision,
+               round((tp_all - pb) * 1.0 / tp_all, 6) AS recall
+        FROM c, tot ORDER BY score DESC
+    """,
+
+    # average precision: the identical pinned arithmetic — precision
+    # rounded to 12 places, terms summed in DECIMAL(38,12)
+    'q_average_precision': r"""
+        WITH w(term, wt) AS (VALUES
+            ('query', 300), ('sort', 250), ('merge', 250), ('vector', 220),
+            ('stream', 200), ('window', 200), ('fast', 200), ('scan', 150),
+            ('join', 150), ('spark', 150), ('hash', 120), ('column', 120),
+            ('table', 100), ('batch', 100), ('agg', 100), ('group', 100),
+            ('order', 100), ('filter', 100), ('key', 80), ('row', 80),
+            ('value', 60), ('data', 60), ('line', 60), ('part', 60),
+            ('customer', 50), ('big', 50), ('small', -150), ('slow', -400),
+            ('dup', -500), ('a', -100), ('the', -100)),
+        tok AS (SELECT doc_id, source, lang,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS t
+                FROM documents),
+        sc AS (SELECT doc_id, any_value(source) AS source,
+                      CASE WHEN any_value(lang) = 'en' THEN 1 ELSE 0 END
+                          AS y,
+                      -4700 + sum(coalesce(wt, 0)) AS s
+               FROM tok LEFT JOIN w ON t = term
+               GROUP BY doc_id),
+        per AS (SELECT source, s, sum(y) AS p, count(*) - sum(y) AS n
+                FROM sc GROUP BY source, s),
+        c AS (SELECT source, s, p, n,
+                     sum(p) OVER (PARTITION BY source ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - p AS pb,
+                     sum(n) OVER (PARTITION BY source ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n AS nb,
+                     sum(p) OVER (PARTITION BY source) AS bigp,
+                     sum(n) OVER (PARTITION BY source) AS bign
+              FROM per),
+        terms AS (SELECT source, bigp, bign,
+                         CAST(round(p * round((bigp - pb) * 1.0
+                              / ((bigp - pb) + (bign - nb)), 12), 12)
+                              AS DECIMAL(38,12)) AS term
+                  FROM c)
+        SELECT source,
+               CAST(any_value(bigp) AS BIGINT) AS pos_n,
+               CAST(any_value(bign) AS BIGINT) AS neg_n,
+               CASE WHEN any_value(bigp) > 0 THEN
+                   round(CAST(sum(term) AS DOUBLE)
+                         / any_value(bigp), 6) END AS ap
+        FROM terms GROUP BY source ORDER BY source
+    """,
+
     # the conditional-aggregate confusion pass replayed per threshold;
     # ratios are single IEEE divisions of exact counts
     'q_threshold_report': r"""
@@ -4579,6 +4712,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_append_shards': q_append_shards,
         'q_threshold_report': q_threshold_report,
         'q_calibration_bins': q_calibration_bins,
+        'q_pr_curve': q_pr_curve,
+        'q_average_precision': q_average_precision,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,

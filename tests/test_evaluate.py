@@ -195,3 +195,96 @@ class TestAucReport:
         df = _labelled_df(spark, seed=2)
         with pytest.raises(ValueError):
             auc_report(df, 'score', 'label', [])
+
+
+def _brute_pr(pairs):
+    """Reference PR curve + step-wise AP over observed thresholds."""
+    scores = sorted({s for s, _ in pairs}, reverse=True)
+    P = sum(1 for _, y in pairs if y == 1)
+    N = len(pairs) - P
+    curve = []
+    ap_num = 0.0
+    for t in scores:
+        tp = sum(1 for s, y in pairs if s >= t and y == 1)
+        fp = sum(1 for s, y in pairs if s >= t and y == 0)
+        p_at = sum(1 for s, y in pairs if s == t and y == 1)
+        prec = tp / (tp + fp)
+        curve.append((t, tp, fp, round(prec, 6),
+                      round(tp / P, 6) if P else None))
+        ap_num += p_at * round(prec, 12)
+    return curve, (round(ap_num / P, 6) if P else None), P, N
+
+
+class TestPrCurve:
+    def test_global_matches_bruteforce(self, spark):
+        from pdf_ai_mapper_spark.operators.dedup import release
+        from pdf_ai_mapper_spark.operators.evaluate import pr_curve
+        df = _labelled_df(spark)
+        pairs = [(r['score'], r['label']) for r in df.collect()]
+        exp, _, _, _ = _brute_pr(pairs)
+        cur = pr_curve(df, 'score', 'label')
+        got = [(r['score'], r['tp'], r['fp'],
+                round(r['precision'], 6), round(r['recall'], 6))
+               for r in cur.collect()]
+        release(cur)
+        assert got == exp
+
+    def test_grouped_matches_per_group_bruteforce(self, spark):
+        from pdf_ai_mapper_spark.operators.dedup import release
+        from pdf_ai_mapper_spark.operators.evaluate import pr_curve
+        df = _labelled_df(spark)
+        cur = pr_curve(df, 'score', 'label', ['grp'])
+        rows = cur.collect()
+        release(cur)
+        data = [(r['grp'], r['score'], r['label']) for r in df.collect()]
+        for g in ('a', 'b', 'c'):
+            pairs = [(s, y) for gg, s, y in data if gg == g]
+            exp, _, _, _ = _brute_pr(pairs)
+            got = [(r['score'], r['tp'], r['fp'],
+                    round(r['precision'], 6), round(r['recall'], 6))
+                   for r in rows if r['grp'] == g]
+            assert sorted(got, reverse=True) == exp, g
+
+    def test_global_plan_no_single_partition(self, spark):
+        from pdf_ai_mapper_spark.operators.dedup import release
+        from pdf_ai_mapper_spark.operators.evaluate import pr_curve
+        df = _labelled_df(spark, n=200)
+        cur = pr_curve(df, 'score', 'label')
+        cur.collect()
+        plan = cur._jdf.queryExecution().executedPlan().toString()
+        release(cur)
+        assert 'SinglePartition' not in plan
+
+
+class TestAveragePrecision:
+    def test_matches_bruteforce_and_is_partition_invariant(self, spark):
+        from pdf_ai_mapper_spark.operators.evaluate import (
+            average_precision)
+        df = _labelled_df(spark)
+        pairs = [(r['score'], r['label']) for r in df.collect()]
+        _, exp_ap, P, N = _brute_pr(pairs)
+        for d in (df, df.repartition(3), df.repartition(17)):
+            row = average_precision(d, 'score', 'label').collect()[0]
+            assert (row['pos_n'], row['neg_n']) == (P, N)
+            assert round(row['ap'], 6) == exp_ap
+
+    def test_grouped_matches_bruteforce(self, spark):
+        from pdf_ai_mapper_spark.operators.evaluate import (
+            average_precision)
+        df = _labelled_df(spark)
+        got = {r['grp']: r for r in average_precision(
+            df, 'score', 'label', ['grp']).collect()}
+        data = [(r['grp'], r['score'], r['label']) for r in df.collect()]
+        for g in ('a', 'b', 'c'):
+            pairs = [(s, y) for gg, s, y in data if gg == g]
+            _, exp_ap, P, N = _brute_pr(pairs)
+            assert (got[g]['pos_n'], got[g]['neg_n']) == (P, N)
+            assert round(got[g]['ap'], 6) == exp_ap
+
+    def test_empty_positive_class_gives_null(self, spark):
+        from pdf_ai_mapper_spark.operators.evaluate import (
+            average_precision)
+        df = spark.createDataFrame([(1.0, 0), (0.5, 0)],
+                                   'score double, label int')
+        row = average_precision(df, 'score', 'label').collect()[0]
+        assert row['ap'] is None and row['pos_n'] == 0
