@@ -208,6 +208,8 @@ HEADLINE_QUERIES = [
     'q_decontamination',
     'q_search_pipeline',   # round 4: fully native (zero ArrowEvalPython)
     'q_model_auc',         # round 5: exact AUC via two-phase prefix sum
+    'q_substring_removal',  # round 6: Lee-et-al span removal + rebuild
+    'q_encode_pack',        # round 6: BPE encode + concat-and-chop
 ]
 
 

@@ -107,7 +107,8 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
 
 
 def pack_input_ids(df: DataFrame, id_col: str, ids_col: str,
-                   seq_len: int, order_col: str | None = None) -> DataFrame:
+                   seq_len: int, order_col: str | None = None,
+                   sep_id: int | None = None) -> DataFrame:
     """Materialized concat-and-chop (round 6 — VERDICT r5 #4): where
     ``pack_sequences`` assigns each document its window SPAN, this
     emits the windows themselves — one row per context window with the
@@ -125,11 +126,22 @@ def pack_input_ids(df: DataFrame, id_col: str, ids_col: str,
     construction. Window reassembly is an in-array sort by the piece's
     global offset (unique per doc), the ``line_dedup`` rebuild trick.
 
+    ``sep_id``: when set, a document separator token (GPT-2's
+    <|endoftext|> shape) is appended to EVERY document's ids before
+    the chop — including empty documents, which then contribute a
+    bare separator (the pinned convention: the separator marks a
+    document boundary, not content). Offsets and window cuts count
+    the separators.
+
     Returns (seq, n_docs, n_ids, input_ids), seq = 0..ceil(total/L)-1.
     """
     if seq_len <= 0:
         raise ValueError(f'seq_len must be positive, got {seq_len}')
     order_col = order_col or id_col
+    if sep_id is not None:
+        df = df.withColumn(
+            ids_col, F.concat(F.col(ids_col),
+                              F.array(F.lit(int(sep_id)).cast('long'))))
     base = df.withColumn('__n', F.size(F.col(ids_col)).cast('long'))
     out = with_global_offset(base, order_col, '__n')
     L = F.lit(seq_len)

@@ -1365,8 +1365,11 @@ def q_encode_pack(spark, sf_dir):
     from .operators.dedup import release as _release
     from .operators.packing import pack_input_ids
     d = textstats.with_input_ids(_t(spark, sf_dir, 'documents'), 'text')
+    # sep_id 1114111 = the last Unicode code point — never emitted by
+    # the encoder for fixture text, so it marks boundaries unambiguously
     packed = pack_input_ids(d.select('doc_id', 'input_ids'),
-                            'doc_id', 'input_ids', seq_len=512)
+                            'doc_id', 'input_ids', seq_len=512,
+                            sep_id=1114111)
     out = (packed.select(
         'seq', 'n_docs', 'n_ids',
         F.md5(F.array_join(
@@ -2790,7 +2793,9 @@ ORACLES: dict[str, str] = {
               FROM tok LEFT JOIN c ON tok.w = c.w),
         docx AS (SELECT doc_id,
                         CASE WHEN count(*) <> count(idl) THEN NULL
-                             ELSE flatten(list(idl ORDER BY wpos))
+                             ELSE list_append(
+                                 flatten(list(idl ORDER BY wpos)),
+                                 '1114111')
                         END AS idl
                  FROM m GROUP BY doc_id),
         off AS (SELECT doc_id, idl,

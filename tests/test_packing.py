@@ -305,6 +305,17 @@ class TestPackInputIds:
         for s, ids in got.items():
             assert len(ids) == (16 if s != last else len(seqs[last]))
 
+    def test_separator_token_between_docs(self, spark):
+        from pdf_ai_mapper_spark.operators.packing import pack_input_ids
+        docs = [(0, [10, 11]), (1, []), (2, [20, 21, 22])]
+        df = spark.createDataFrame(docs, 'doc_id long, input_ids array<long>')
+        out = pack_input_ids(df, 'doc_id', 'input_ids', seq_len=4,
+                             sep_id=99)
+        got = {r['seq']: r['input_ids'] for r in out.collect()}
+        release(out)
+        # stream: 10 11 99 | 99 | 20 21 22 99  (empty doc -> bare sep)
+        assert got == {0: [10, 11, 99, 99], 1: [20, 21, 22, 99]}
+
     def test_no_single_partition_stage(self, spark):
         from pdf_ai_mapper_spark.operators.packing import pack_input_ids
         df = spark.range(300).select(
