@@ -175,3 +175,61 @@ def test_asof_inline_single_window_no_join(spark):
     p = _plan(df)   # all-fixed-width left → auto routes to inline
     assert 'Join' not in p
     assert p.count('Window') == 1
+
+
+def test_substring_removal_text_never_in_exchange(spark):
+    """remove_duplicated_substrings (round 6): window strings hash
+    in-row — no Exchange may carry the text column or any window
+    string; shuffles are (id, pos/start, hash) longs plus the rebuilt
+    aggregate."""
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings)
+    docs = spark.read.parquet(f'{SF}/documents.parquet') \
+        .select('doc_id', 'text')
+    out = remove_duplicated_substrings(docs, k=8)
+    out.collect()
+    plan = _plan(out)
+    for line in plan.splitlines():
+        if 'Exchange' in line:
+            assert 'text#' not in line       # raw text never shuffles
+            assert '__w#' not in line        # window strings neither
+
+
+def test_gopher_repetition_text_never_in_exchange(spark):
+    """gopher_repetition (round 6): one exploded union of narrow
+    (id, kind, key) rows — the document text column itself must not
+    ride any Exchange (keys are lines/paragraphs/n-grams, bounded per
+    row; the full text never moves)."""
+    from pdf_ai_mapper_spark.operators.textstats import gopher_repetition
+    docs = spark.read.parquet(f'{SF}/documents.parquet') \
+        .select('doc_id', 'text')
+    out = gopher_repetition(docs)
+    out.collect()
+    plan = _plan(out)
+    for line in plan.splitlines():
+        if 'Exchange' in line:
+            assert 'text#' not in line
+
+
+def test_with_input_ids_single_arrow_stage(spark):
+    """with_input_ids must stay ONE ArrowEvalPython (chaining a second
+    pandas UDF doubles Python workers per task), and pack_input_ids on
+    top must not introduce a SinglePartition stage (covered in
+    test_packing) nor a second Python stage."""
+    from pdf_ai_mapper_spark.operators.packing import pack_input_ids
+    from pdf_ai_mapper_spark.operators.textstats import with_input_ids
+    docs = spark.read.parquet(f'{SF}/documents.parquet') \
+        .select('doc_id', 'text')
+    ids = with_input_ids(docs).select('doc_id', 'input_ids')
+    assert _plan(ids).count('ArrowEvalPython') == 1
+    packed = pack_input_ids(ids, 'doc_id', 'input_ids', seq_len=512)
+    packed.collect()
+    plan = _plan(packed)
+    for dep in getattr(packed, '_persisted_deps', ()):
+        dep.unpersist()
+    # AQE prints Final + Initial TREES (CLAUDE.md r5 note) — count
+    # Python stages in the FINAL tree only; the encode UDF must run at
+    # most once there (the ranged table is persisted downstream of it)
+    final = plan.split('== Initial Plan ==')[0]
+    assert final.count('ArrowEvalPython') <= 1
+    assert 'SinglePartition' not in plan
