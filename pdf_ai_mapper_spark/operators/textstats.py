@@ -694,6 +694,91 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
                  F.round(F.avg(logp), 6).alias('bigram_logprob')))
 
 
+def stupid_backoff_score(df: DataFrame, id_col: str, text_col: str,
+                         lm_df: DataFrame | None = None,
+                         lam: float = 0.4,
+                         alpha: float = 0.5) -> DataFrame:
+    """Per-document mean trigram log-score under STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the smoothing DESIGNED for distributed web-scale
+    LMs: no normalization pass, no held-out tuning, just raw counts
+    and a constant backoff factor λ=0.4), round 6 — the rung above
+    ``bigram_lm_score`` on the CCNet quality ladder:
+
+        s(w3|w1w2) = c(w1w2w3)/c(w1w2)          if the trigram is seen
+                   = λ · c(w2w3)/c(w2)           else if the bigram is
+                   = λ² · (c(w3)+α)/(N+α·V)      else (Lidstone floor —
+                     the published score leaves unseen words at 0,
+                     which a LOG score cannot; the floor is pinned and
+                     mirrored by the oracle)
+
+    score(doc) = mean ln s over its trigram positions; docs with < 3
+    tokens are absent. ``lm_df`` optionally provides the training
+    corpus (fit-on-reference, score-the-crawl — the CCNet shape);
+    default self-scored.
+
+    Shape at scale: trigrams/bigrams are built in-array (tokens never
+    leave their row); each count table shuffles once on its OWN key,
+    which is exactly the key its scoring join consumes. N and V are
+    two driver literals. At 10^12 tokens threshold the trigram table
+    (c ≥ 2) — stupid backoff explicitly tolerates dropped tails, the
+    λ-path absorbs them. Returns (id, n_trigrams, sb_logscore)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
+                    lambda t: t != '')
+
+    def grams(frame: DataFrame, n: int, names: 'list[str]',
+              keep_id: bool) -> DataFrame:
+        head = [F.col(id_col)] if keep_id else []
+        with_t = (frame.select(*head, toks.alias('__t'))
+                  .filter(F.size('__t') >= n))
+        idx = F.sequence(F.lit(n - 1), F.size('__t') - 1)
+        g = F.transform(idx, lambda i: F.struct(
+            *[F.get('__t', i - (n - 1 - j)).alias(names[j])
+              for j in range(n)]))
+        return (with_t.select(*([id_col] if keep_id else []),
+                              F.explode(g).alias('g'))
+                .select(*([id_col] if keep_id else []), 'g.*'))
+
+    src = lm_df if lm_df is not None else df
+    tri = (grams(src, 3, ['w1', 'w2', 'w3'], False)
+           .groupBy('w1', 'w2', 'w3').agg(F.count('*').alias('c3')))
+    big = (grams(src, 2, ['u', 'v'], False)
+           .groupBy('u', 'v').agg(F.count('*').alias('c2')))
+    uni = (src.select(F.explode(toks).alias('w'))
+           .groupBy('w').agg(F.count('*').alias('c1')))
+    tot = uni.agg(F.sum('c1').alias('n'),
+                  F.count('*').alias('v')).collect()[0]
+    n_tok, vocab = int(tot['n'] or 0), int(tot['v'] or 0)
+    if vocab == 0:
+        return df.sparkSession.createDataFrame(
+            [], f'{id_col} long, n_trigrams long, sb_logscore double')
+
+    b12 = big.select(F.col('u').alias('w1'), F.col('v').alias('w2'),
+                     F.col('c2').alias('c12'))
+    b23 = big.select(F.col('u').alias('w2'), F.col('v').alias('w3'),
+                     F.col('c2').alias('c23'))
+    u2 = uni.select(F.col('w').alias('w2'), F.col('c1').alias('cw2'))
+    u3 = uni.select(F.col('w').alias('w3'), F.col('c1').alias('cw3'))
+    floor = ((F.coalesce(F.col('cw3'), F.lit(0)) + F.lit(float(alpha)))
+             / F.lit(float(n_tok) + float(alpha) * float(vocab)))
+    s = (F.when(F.col('c3').isNotNull(),
+                F.col('c3') / F.col('c12'))
+         .when(F.col('c23').isNotNull(),
+               F.lit(float(lam)) * F.col('c23') / F.col('cw2'))
+         # λ·λ (not λ**2): keeps the bit pattern identical to an
+         # oracle writing `0.4 * 0.4 * floor`
+         .otherwise(F.lit(float(lam)) * F.lit(float(lam)) * floor))
+    return (grams(df, 3, ['w1', 'w2', 'w3'], True)
+            .join(tri, on=['w1', 'w2', 'w3'], how='left')
+            .join(b12, on=['w1', 'w2'], how='left')
+            .join(b23, on=['w2', 'w3'], how='left')
+            .join(u2, on='w2', how='left')
+            .join(u3, on='w3', how='left')
+            .groupBy(id_col)
+            .agg(F.count('*').cast('long').alias('n_trigrams'),
+                 F.round(F.avg(F.log(s)), 6).alias('sb_logscore')))
+
+
 def ppl_buckets(df: DataFrame, id_col: str, score_col: str,
                 group_col: str | None = None,
                 labels: 'tuple[str, ...]' = ('head', 'middle', 'tail'),

@@ -1445,6 +1445,21 @@ def q_bigram_lm(spark, sf_dir):
             .orderBy(F.asc('bigram_logprob'), F.asc('doc_id')).limit(20))
 
 
+def q_stupid_backoff(spark, sf_dir):
+    """Trigram Stupid Backoff LM score
+    (textstats.stupid_backoff_score, round 6 — Brants et al. 2007,
+    the smoothing built FOR distributed web-scale LMs): per-doc mean
+    ln s over trigram positions with the pinned λ=0.4 backoff chain
+    and Lidstone unigram floor, self-scored. Bottom-20 docs.
+    ORACLED: DuckDB rebuilds all three count tables, N/V, and the
+    exact CASE chain (λ·λ written as 0.4*0.4 on both sides for bit
+    parity)."""
+    from .operators.textstats import stupid_backoff_score
+    d = _t(spark, sf_dir, 'documents')
+    return (stupid_backoff_score(d, 'doc_id', 'text')
+            .orderBy(F.asc('sb_logscore'), F.asc('doc_id')).limit(20))
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity bucketing
     (textstats.ppl_buckets, Wenzek et al. 2020): score every doc with
@@ -3753,6 +3768,56 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY bigram_logprob ASC, doc_id ASC LIMIT 20
     """,
+    # stupid backoff: all three count tables, N/V, and the exact CASE
+    # chain rebuilt; λ·λ written 0.4*0.4 on both sides (0.4**2 differs
+    # in the last bit)
+    'q_stupid_backoff': r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ), trid AS (
+            SELECT doc_id, t[s.j] AS w1, t[s.j + 1] AS w2,
+                   t[s.j + 2] AS w3
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1))
+                                AS j) s
+            WHERE len(t) >= 3
+        ), tri AS (
+            SELECT w1, w2, w3, count(*) AS c3 FROM trid
+            GROUP BY w1, w2, w3
+        ), bigd AS (
+            SELECT t[s.j] AS u, t[s.j + 1] AS v
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS j) s
+            WHERE len(t) >= 2
+        ), big AS (
+            SELECT u, v, count(*) AS c2 FROM bigd GROUP BY u, v
+        ), uni AS (
+            SELECT x AS w, count(*) AS c1
+            FROM (SELECT unnest(t) AS x FROM toks) GROUP BY x
+        ), tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n, count(*) AS v FROM uni
+        ), scored AS (
+            SELECT trid.doc_id,
+                   CASE WHEN tri.c3 IS NOT NULL
+                        THEN tri.c3 * 1.0 / b12.c2
+                        WHEN b23.c2 IS NOT NULL
+                        THEN 0.4 * b23.c2 / u2.c1
+                        ELSE 0.4 * 0.4 * ((coalesce(u3.c1, 0) + 0.5)
+                             / (tot.n + 0.5 * tot.v)) END AS s
+            FROM trid
+            LEFT JOIN tri USING (w1, w2, w3)
+            LEFT JOIN big b12 ON trid.w1 = b12.u AND trid.w2 = b12.v
+            LEFT JOIN big b23 ON trid.w2 = b23.u AND trid.w3 = b23.v
+            LEFT JOIN uni u2 ON trid.w2 = u2.w
+            LEFT JOIN uni u3 ON trid.w3 = u3.w, tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(avg(ln(s)), 6) AS sb_logscore
+        FROM scored GROUP BY doc_id
+        ORDER BY sb_logscore ASC, doc_id ASC LIMIT 20
+    """,
+
     # CCNet head/middle/tail: the unigram-LM CTE verbatim, then the
     # identical NTILE(3) over (lang / rounded-score DESC, id ASC) —
     # both engines rank the same 6-rounded doubles, so tier boundaries
@@ -4719,6 +4784,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_calibration_bins': q_calibration_bins,
         'q_pr_curve': q_pr_curve,
         'q_average_precision': q_average_precision,
+        'q_stupid_backoff': q_stupid_backoff,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,

@@ -370,6 +370,51 @@ def test_gopher_repetition_matches_python_reference_randomized(spark):
         assert got[i] == ref(t), (i, t)
 
 
+def test_stupid_backoff_all_three_branches(spark):
+    """External LM so every branch is live: seen trigram (c3/c12),
+    bigram backoff (0.4 * c23/c(w2)), and the double-backoff Lidstone
+    floor for unseen words — replicated in python over the same
+    counts."""
+    import math
+    from collections import Counter
+    from pdf_ai_mapper_spark.operators.textstats import (
+        stupid_backoff_score)
+    lm_texts = ['the cat sat on the mat', 'the cat ran', 'a dog sat']
+    docs = [(1, 'the cat sat'),          # seen trigram
+            (2, 'dog sat on'),           # bigram path then trigram? mixed
+            (3, 'zzz the cat'),          # unseen word -> floor branch
+            (4, 'xy')]                   # <3 tokens -> absent
+    lm = spark.createDataFrame([(t,) for t in lm_texts], 'text string')
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in stupid_backoff_score(
+        df, 'doc_id', 'text', lm_df=lm).collect()}
+
+    toks = [t.split() for t in lm_texts]
+    tri = Counter(tuple(ts[i:i + 3]) for ts in toks
+                  for i in range(len(ts) - 2))
+    big = Counter(tuple(ts[i:i + 2]) for ts in toks
+                  for i in range(len(ts) - 1))
+    uni = Counter(w for ts in toks for w in ts)
+    N, V = sum(uni.values()), len(uni)
+
+    def s(w1, w2, w3):
+        if tri[(w1, w2, w3)]:
+            return tri[(w1, w2, w3)] / big[(w1, w2)]
+        if big[(w2, w3)]:
+            return 0.4 * big[(w2, w3)] / uni[w2]
+        return 0.4 * 0.4 * ((uni.get(w3, 0) + 0.5) / (N + 0.5 * V))
+
+    for i, text in docs:
+        ws = text.split()
+        if len(ws) < 3:
+            assert i not in got
+            continue
+        terms = [math.log(s(*ws[j:j + 3])) for j in range(len(ws) - 2)]
+        assert got[i]['n_trigrams'] == len(terms)
+        assert abs(got[i]['sb_logscore']
+                   - round(sum(terms) / len(terms), 6)) < 2e-6, i
+
+
 def test_gopher_dup_ngrams_semantics(spark):
     from pdf_ai_mapper_spark.operators.textstats import gopher_dup_ngrams
     rep = ' '.join(['a b c d e'] * 3)          # every 5-gram duplicated
