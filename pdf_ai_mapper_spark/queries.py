@@ -2451,6 +2451,48 @@ def q_curation_pipeline(spark, sf_dir):
             .orderBy('split', 'source'))
 
 
+def q_compaction_content(spark, sf_dir):
+    """Small-file compaction, VALUE-ORACLED (round 6 — the rows-only
+    q_compaction exercises the real extraction store; this one proves
+    content invariance end-to-end on SQL-derivable data): documents
+    written as a fragmented bucketed store in three append slices,
+    compacted behind the row-count check + atomic swap, read back —
+    count, id sum, order-independent ids-md5 and char sum must equal
+    the corpus exactly (compaction moves bytes, never rows). The
+    files-reduced invariant is asserted in-query so a no-op compactor
+    cannot pass."""
+    import shutil
+    import tempfile
+    from . import checkpoint as cp_mod
+    d = _t(spark, sf_dir, 'documents').select(
+        F.concat(F.lit('doc-'), F.col('doc_id').cast('string'))
+        .alias('url'),
+        'doc_id', 'text',
+        F.pmod(F.xxhash64(F.col('doc_id').cast('string')),
+               F.lit(8)).cast('int').alias('bucket'))
+    outdir = tempfile.mkdtemp(prefix='pam_q_compc_')
+    shutil.rmtree(outdir)
+    data = cp_mod.data_path(outdir)
+    try:
+        for r in range(3):
+            (d.filter(F.col('doc_id') % 3 == r).repartition(4)
+             .write.partitionBy('bucket').mode('append').parquet(data))
+        files_before = len(spark.read.parquet(data).inputFiles())
+        stats = cp_mod.compact_output(spark, outdir)
+        assert stats['files_after'] < files_before
+        back = cp_mod.read_output(spark, outdir)
+        res = back.agg(
+            F.count('*').cast('long').alias('n_docs'),
+            F.sum('doc_id').cast('long').alias('id_sum'),
+            F.md5(F.concat_ws(',', F.array_sort(F.collect_list(
+                F.col('doc_id').cast('string'))))).alias('ids_md5'),
+            F.sum(F.length('text')).cast('long').alias('chars'))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction (checkpoint.compact_output; rows-only):
     three incremental ingest batches fragment the bucketed layout, the
@@ -3768,6 +3810,17 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY bigram_logprob ASC, doc_id ASC LIMIT 20
     """,
+    # compaction content invariance: what comes back after the rewrite
+    # + swap must BE the corpus, independent of file layout
+    'q_compaction_content': r"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               md5(string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id::VARCHAR)) AS ids_md5,
+               CAST(sum(length(text)) AS BIGINT) AS chars
+        FROM documents
+    """,
+
     # stupid backoff: all three count tables, N/V, and the exact CASE
     # chain rebuilt; λ·λ written 0.4*0.4 on both sides (0.4**2 differs
     # in the last bit)
@@ -4785,6 +4838,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_pr_curve': q_pr_curve,
         'q_average_precision': q_average_precision,
         'q_stupid_backoff': q_stupid_backoff,
+        'q_compaction_content': q_compaction_content,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,
