@@ -150,6 +150,30 @@ def with_exact_token_counts(df: DataFrame, text_col: str = 'text',
     return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
+def with_nfc(df: DataFrame, text_col: str = 'text',
+             out_col: str = 'nfc_text') -> DataFrame:
+    """Unicode NFC normalization (round 6) — the standard pre-hash
+    step for byte-level dedup: 'é' (U+00E9) and 'e' + combining acute
+    (U+0301) are the SAME text to a reader but different bytes to
+    md5/xxhash64, so un-normalized corpora under-deduplicate exactly
+    the documents that differ only in encoder provenance. Arrow-batched
+    pandas UDF over stdlib ``unicodedata`` — the Unicode-standard
+    algorithm, engine-portable by spec (DuckDB's ``nfc_normalize``
+    reproduces it byte-for-byte, which is the oracle). Fast path: an
+    ``isascii()`` batch skips the normalizer (ASCII is NFC-closed)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+        norm = unicodedata.normalize
+        for s in batches:
+            yield s.map(lambda t: None if t is None
+                        else (t if t.isascii() else norm('NFC', t)))
+    return df.withColumn(out_col, _udf(F.col(text_col)))
+
+
 def learn_bpe_merges(df: DataFrame, text_col: str = 'text',
                      num_merges: int = 40, min_word_freq: int = 1,
                      max_vocab: int = 1_000_000

@@ -1445,6 +1445,25 @@ def q_bigram_lm(spark, sf_dir):
             .orderBy(F.asc('bigram_logprob'), F.asc('doc_id')).limit(20))
 
 
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (textstats.with_nfc, round 6): every
+    document's text gets a DECOMPOSED suffix appended (' cafe' +
+    combining acute U+0301 — bytes that NFC must recompose to 'é'),
+    then per-doc md5 of the normalized text plus char lengths before/
+    after. Oracle: DuckDB's nfc_normalize implements the same Unicode
+    standard — byte-for-byte agreement is the whole point."""
+    from .operators.textstats import with_nfc
+    d = _t(spark, sf_dir, 'documents').select(
+        'doc_id',
+        F.concat(F.col('text'), F.lit(' café')).alias('text'))
+    out = with_nfc(d)
+    return (out.select('doc_id',
+                       F.length('text').cast('long').alias('len_raw'),
+                       F.length('nfc_text').cast('long').alias('len_nfc'),
+                       F.md5('nfc_text').alias('nfc_md5'))
+            .orderBy('doc_id'))
+
+
 def q_stupid_backoff(spark, sf_dir):
     """Trigram Stupid Backoff LM score
     (textstats.stupid_backoff_score, round 6 — Brants et al. 2007,
@@ -3810,6 +3829,19 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY bigram_logprob ASC, doc_id ASC LIMIT 20
     """,
+    # NFC: both engines implement the Unicode standard algorithm —
+    # byte-for-byte md5 agreement on decomposed input is the check
+    'q_nfc_normalize': r"""
+        SELECT doc_id,
+               CAST(length(text || ' cafe' || chr(769)) AS BIGINT)
+                   AS len_raw,
+               CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+                   AS BIGINT) AS len_nfc,
+               md5(nfc_normalize(text || ' cafe' || chr(769)))
+                   AS nfc_md5
+        FROM documents ORDER BY doc_id
+    """,
+
     # compaction content invariance: what comes back after the rewrite
     # + swap must BE the corpus, independent of file layout
     'q_compaction_content': r"""
@@ -4839,6 +4871,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_average_precision': q_average_precision,
         'q_stupid_backoff': q_stupid_backoff,
         'q_compaction_content': q_compaction_content,
+        'q_nfc_normalize': q_nfc_normalize,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,

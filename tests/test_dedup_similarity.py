@@ -1075,3 +1075,23 @@ def test_bigram_lm_external_lm_unseen_bigrams(spark):
     v = len({'the', 'cat', 'sat', 'on', 'mat'})   # distinct LM tokens
     assert row['n_bigrams'] == 4
     assert row['bigram_logprob'] == round(math.log(1.0 / v), 6)
+
+
+def test_with_nfc_semantics(spark):
+    """NFC recomposes decomposed sequences; ASCII rides the fast path
+    untouched; None stays None; result is idempotent."""
+    import unicodedata
+    from pdf_ai_mapper_spark.operators.textstats import with_nfc
+    dec = 'café'                       # e + combining acute
+    comp = unicodedata.normalize('NFC', dec)  # 'café', one code point
+    rows = [(0, dec), (1, 'plain ascii'), (2, None), (3, comp)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r['nfc_text'] for r in with_nfc(df).collect()}
+    assert got[0] == comp and len(got[0]) == len(dec) - 1
+    assert got[1] == 'plain ascii'
+    assert got[2] is None
+    assert got[3] == comp
+    # idempotent: normalizing the normalized column changes nothing
+    again = with_nfc(with_nfc(df).select('doc_id',
+                                         F.col('nfc_text').alias('text')))
+    assert {r['doc_id']: r['nfc_text'] for r in again.collect()} == got
