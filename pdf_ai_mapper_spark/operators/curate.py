@@ -109,6 +109,47 @@ def curate_corpus(df: DataFrame,
     return hash_split(out, id_col, weights=split_weights)
 
 
+def cascade_report(df: DataFrame,
+                   stages: 'list[tuple[str, F.Column]]') -> DataFrame:
+    """Quality-cascade attrition funnel (round 6) — the report every
+    staged filter pipeline ships: documents flow through ``stages`` in
+    order and exit at the FIRST predicate they fail; per stage, how
+    many entered, failed, survived, and the pass rate. NULL predicates
+    FAIL their stage (crawl-safe: malformed rows must not slip through
+    on a NULL comparison).
+
+    Scale shape: the first-failing stage is ONE codegen CASE chain
+    (evaluated per row, no data movement), the counts are ONE narrow
+    groupBy over the stage tag, and the funnel arithmetic runs on the
+    driver over len(stages)+1 numbers. The corpus is scanned exactly
+    once however many stages there are.
+
+    Returns (stage_idx, stage, n_in, n_fail, n_pass, pass_rate) in
+    stage order; pass_rate = n_pass/n_in rounded 6, NULL when n_in=0.
+    """
+    if not stages:
+        raise ValueError('stages must be non-empty')
+    first_fail = F.lit('__pass__')
+    for name, pred in reversed(stages):
+        first_fail = F.when(~F.coalesce(pred, F.lit(False)),
+                            F.lit(name)).otherwise(first_fail)
+    counts = {r['__stage']: int(r['n'])
+              for r in df.select(first_fail.alias('__stage'))
+              .groupBy('__stage').agg(F.count('*').alias('n'))
+              .collect()}
+    n_in = sum(counts.values())
+    rows = []
+    for i, (name, _) in enumerate(stages):
+        n_fail = counts.get(name, 0)
+        n_pass = n_in - n_fail
+        rate = round(n_pass / n_in, 6) if n_in > 0 else None
+        rows.append((i, name, n_in, n_fail, n_pass, rate))
+        n_in = n_pass
+    return df.sparkSession.createDataFrame(
+        rows, 'stage_idx int, stage string, n_in long, n_fail long, '
+              'n_pass long, pass_rate double')
+
+
 def budgets_from_mixture(df: DataFrame, group_col: str, token_col: str,
                          target_weights: 'dict[str, float]',
                          total_tokens: int) -> 'dict[str, int]':

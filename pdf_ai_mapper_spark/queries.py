@@ -1445,6 +1445,25 @@ def q_bigram_lm(spark, sf_dir):
             .orderBy(F.asc('bigram_logprob'), F.asc('doc_id')).limit(20))
 
 
+def q_quality_cascade(spark, sf_dir):
+    """Staged quality funnel (curate.cascade_report, round 6): four
+    C4/Gopher-style gates in order — min length, min tokens, alpha
+    ratio, digit ratio — each document exiting at its FIRST failure;
+    per-stage attrition counts and pass rates from ONE corpus scan.
+    ORACLED: the first-fail CASE chain and the funnel arithmetic
+    replayed in SQL over the same rebuilt quality columns."""
+    from .operators.curate import cascade_report
+    from .operators.textstats import with_quality
+    q = with_quality(_t(spark, sf_dir, 'documents'))
+    stages = [
+        ('min_length', F.col('n_chars_q') >= 100),
+        ('min_tokens', F.col('n_tokens') >= 10),
+        ('alpha', F.col('alpha_ratio') > 0.6),
+        ('digit', F.col('digit_ratio') < 0.2),
+    ]
+    return cascade_report(q, stages).orderBy('stage_idx')
+
+
 def q_nfc_normalize(spark, sf_dir):
     """Unicode NFC normalization (textstats.with_nfc, round 6): every
     document's text gets a DECOMPOSED suffix appended (' cafe' +
@@ -3829,6 +3848,54 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY bigram_logprob ASC, doc_id ASC LIMIT 20
     """,
+    # cascade funnel: the first-fail CASE chain and funnel arithmetic
+    # replayed over the rebuilt quality columns
+    'q_quality_cascade': r"""
+        WITH q AS (
+            SELECT length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\s+')) AS n_toks,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '',
+                                               'g'))
+                         * 1.0 / greatest(length(text), 1), 6)
+                       AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6)
+                       AS digit_ratio
+            FROM documents),
+        tagged AS (
+            SELECT CASE WHEN NOT coalesce(n_chars >= 100, FALSE)
+                        THEN 'min_length'
+                        WHEN NOT coalesce(n_toks >= 10, FALSE)
+                        THEN 'min_tokens'
+                        WHEN NOT coalesce(alpha_ratio > 0.6, FALSE)
+                        THEN 'alpha'
+                        WHEN NOT coalesce(digit_ratio < 0.2, FALSE)
+                        THEN 'digit'
+                        ELSE '__pass__' END AS stage
+            FROM q),
+        c AS (SELECT stage, count(*) AS n FROM tagged GROUP BY stage),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        f(stage_idx, stage) AS (VALUES
+            (0, 'min_length'), (1, 'min_tokens'), (2, 'alpha'),
+            (3, 'digit')),
+        funnel AS (
+            SELECT f.stage_idx, f.stage,
+                   COALESCE(c.n, 0) AS n_fail,
+                   tot.total
+                   - COALESCE(CAST(sum(c.n) OVER (ORDER BY f.stage_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS n_in
+            FROM f LEFT JOIN c USING (stage), tot)
+        SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+               CAST(n_in AS BIGINT) AS n_in,
+               CAST(n_fail AS BIGINT) AS n_fail,
+               CAST(n_in - n_fail AS BIGINT) AS n_pass,
+               CASE WHEN n_in > 0
+                    THEN round((n_in - n_fail) * 1.0 / n_in, 6)
+               END AS pass_rate
+        FROM funnel ORDER BY stage_idx
+    """,
+
     # NFC: both engines implement the Unicode standard algorithm —
     # byte-for-byte md5 agreement on decomposed input is the check
     'q_nfc_normalize': r"""
@@ -4872,6 +4939,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stupid_backoff': q_stupid_backoff,
         'q_compaction_content': q_compaction_content,
         'q_nfc_normalize': q_nfc_normalize,
+        'q_quality_cascade': q_quality_cascade,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,

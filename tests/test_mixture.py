@@ -479,3 +479,24 @@ class TestEpochUpsample:
             epoch_upsample(self._df(spark), 'src', {'books': -1.0})
         with pytest.raises(ValueError):
             epoch_upsample(self._df(spark), 'src', {})
+
+
+def test_cascade_report_funnel_semantics(spark):
+    """First-fail routing, NULL-fails pinned, funnel arithmetic."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pdf_ai_mapper_spark.operators.curate import cascade_report
+    rows = [(0, 10, 1.0), (1, 10, 0.2),   # fails b
+            (2, 2, 1.0),                   # fails a
+            (3, 2, 0.1),                   # fails a (first fail wins)
+            (4, None, 1.0),                # NULL -> fails a
+            (5, 10, 0.9)]
+    df = spark.createDataFrame(rows, 'id long, x int, y double')
+    rep = cascade_report(df, [('a', F.col('x') >= 5),
+                              ('b', F.col('y') > 0.5)])
+    got = {r['stage']: (r['n_in'], r['n_fail'], r['n_pass'],
+                        r['pass_rate']) for r in rep.collect()}
+    assert got['a'] == (6, 3, 3, 0.5)
+    assert got['b'] == (3, 1, 2, round(2 / 3, 6))
+    with pytest.raises(ValueError):
+        cascade_report(df, [])
