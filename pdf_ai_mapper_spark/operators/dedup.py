@@ -836,6 +836,8 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     """
     if keep not in ('none', 'first'):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    from pyspark.storagelevel import StorageLevel
+
     toks = F.split(F.trim(F.col(text_col)), r'\s+')
     n = F.size(toks)
     m = n - F.lit(k - 1)
@@ -845,8 +847,13 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     for p in parts[1:]:
         sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(' '), b))
 
+    # persisted: three branches (windows, tokens, totals) read this —
+    # without the persist each one re-scans the corpus and re-builds
+    # the split + k-way zip_with arrays (measured: the dominant cost
+    # of the sf0.1 bench section). Callers release() the result.
     base = df.select(F.col(id_col).alias('__id'), toks.alias('__toks'),
-                     F.when(n >= k, sh).otherwise(F.array()).alias('__w'))
+                     F.when(n >= k, sh).otherwise(F.array()).alias('__w')
+                     ).persist(StorageLevel.MEMORY_AND_DISK)
     # one narrow exploded relation per role; the shared array column is
     # materialized in `base` (lambda-bearing exprs are excluded from
     # subexpression elimination — CLAUDE.md round-4 trap)
@@ -882,14 +889,16 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
                         ' ').alias('cleaned_text')))
     totals = base.select('__id', F.size('__toks').cast('long')
                          .alias('__n_total'))
-    return (totals.join(rebuilt, on='__id', how='left')
-            .select(F.col('__id').alias(id_col),
-                    F.coalesce(F.col('n_kept'), F.lit(0)).alias('n_kept'),
-                    (F.col('__n_total')
-                     - F.coalesce(F.col('n_kept'), F.lit(0))
-                     ).alias('n_removed'),
-                    F.coalesce(F.col('cleaned_text'),
-                               F.lit('')).alias('cleaned_text')))
+    out = (totals.join(rebuilt, on='__id', how='left')
+           .select(F.col('__id').alias(id_col),
+                   F.coalesce(F.col('n_kept'), F.lit(0)).alias('n_kept'),
+                   (F.col('__n_total')
+                    - F.coalesce(F.col('n_kept'), F.lit(0))
+                    ).alias('n_removed'),
+                   F.coalesce(F.col('cleaned_text'),
+                              F.lit('')).alias('cleaned_text')))
+    out._persisted_deps = [base]
+    return out
 
 
 # ------------------------------------------- paragraph-level fuzzy dedup

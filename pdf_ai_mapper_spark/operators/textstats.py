@@ -305,6 +305,8 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
     def _quote(sep: str) -> str:
         return '\\Q' + sep.replace('\\E', '\\E\\\\E\\Q') + '\\E'
 
+    from pyspark.storagelevel import StorageLevel
+
     t = F.col(text_col)
 
     def nonempty(arr):
@@ -315,9 +317,13 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
         nonempty(F.split(F.lower(t), r'\s+')).alias('__w'),
         nonempty(F.split(t, _quote(line_sep))).alias('__l'),
         nonempty(F.split(t, _quote(para_sep))).alias('__p'))
+    # persisted: 2 + len(top_ns) union branches plus the totals join
+    # all read these arrays — unpersisted, each branch re-scans the
+    # corpus and re-splits the text. Callers release() the result.
     base = base.withColumn(
         '__chars', F.aggregate('__w', F.lit(0).cast('long'),
-                               lambda acc, x: acc + F.length(x)))
+                               lambda acc, x: acc + F.length(x))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     kinds = [base.select('__id', F.lit('L').alias('kind'),
                          F.explode('__l').alias('key')),
@@ -369,16 +375,18 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
         *[_pick(f'T{k}', top_num).alias(f'__t{k}') for k in top_ns]))
 
     zero = F.lit(0.0)
-    return (base.select('__id', '__chars')
-            .join(per, on='__id', how='left')
-            .select(
-                F.col('__id').alias(id_col),
-                *[F.coalesce(F.col(c), zero).alias(c)
-                  for c in ('dup_line_frac', 'dup_line_char_frac',
-                            'dup_para_frac', 'dup_para_char_frac')],
-                *[F.round(F.coalesce(F.col(f'__t{k}'), F.lit(0))
-                          / F.greatest(F.col('__chars'), F.lit(1)), 6)
-                  .alias(f'top_{k}gram_char_frac') for k in top_ns]))
+    out = (base.select('__id', '__chars')
+           .join(per, on='__id', how='left')
+           .select(
+               F.col('__id').alias(id_col),
+               *[F.coalesce(F.col(c), zero).alias(c)
+                 for c in ('dup_line_frac', 'dup_line_char_frac',
+                           'dup_para_frac', 'dup_para_char_frac')],
+               *[F.round(F.coalesce(F.col(f'__t{k}'), F.lit(0))
+                         / F.greatest(F.col('__chars'), F.lit(1)), 6)
+                 .alias(f'top_{k}gram_char_frac') for k in top_ns]))
+    out._persisted_deps = [base]
+    return out
 
 
 def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
@@ -401,14 +409,20 @@ def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
     carry longs only."""
     from functools import reduce
 
+    from pyspark.storagelevel import StorageLevel
+
     t = F.col(text_col)
     base = df.select(
         F.col(id_col).alias('__id'),
         F.filter(F.split(F.lower(t), r'\s+'),
                  lambda x: F.length(x) > 0).alias('__w'))
+    # persisted: len(ns) window branches + the word-length relation +
+    # the totals join all read this array (see gopher_repetition).
+    # Callers release() the result.
     base = base.withColumn(
         '__chars', F.aggregate('__w', F.lit(0).cast('long'),
-                               lambda a, x: a + F.length(x)))
+                               lambda a, x: a + F.length(x))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     wl = (base.select('__id', F.posexplode('__w').alias('__pos', '__tok'))
           .select('__id', '__pos',
                   F.length('__tok').cast('long').alias('__len')))
@@ -443,13 +457,15 @@ def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
     per = covchars.groupBy('__id').agg(
         *[F.max(F.when(F.col('__n') == k, F.col('__cc')))
           .alias(f'__c{k}') for k in ns])
-    return (base.select('__id', '__chars')
-            .join(per, on='__id', how='left')
-            .select(F.col('__id').alias(id_col),
-                    *[F.round(F.coalesce(F.col(f'__c{k}'), F.lit(0))
-                              / F.greatest(F.col('__chars'), F.lit(1)),
-                              6).alias(f'dup_{k}gram_char_frac')
-                      for k in ns]))
+    out = (base.select('__id', '__chars')
+           .join(per, on='__id', how='left')
+           .select(F.col('__id').alias(id_col),
+                   *[F.round(F.coalesce(F.col(f'__c{k}'), F.lit(0))
+                             / F.greatest(F.col('__chars'), F.lit(1)),
+                             6).alias(f'dup_{k}gram_char_frac')
+                     for k in ns]))
+    out._persisted_deps = [base]
+    return out
 
 
 def source_quality_gate(df: DataFrame, group_col: str = 'source',

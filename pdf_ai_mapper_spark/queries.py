@@ -1038,7 +1038,11 @@ def q_gopher_repetition(spark, sf_dir):
         lambda j: F.array_join(
             F.slice('__lines', j * F.lit(2) + F.lit(1), F.lit(2)), '\n'))
     d2 = d.select('doc_id', F.array_join(paraarr, '\n\n').alias('text'))
-    return gopher_repetition(d2, 'doc_id', 'text').orderBy('doc_id')
+    from .operators.dedup import release as _release
+    out = gopher_repetition(d2, 'doc_id', 'text').orderBy('doc_id')
+    rows = out.collect()
+    _release(out)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_learn_bpe(spark, sf_dir):
@@ -1066,11 +1070,15 @@ def q_substring_keep_first(spark, sf_dir):
     are dropped. Same full byte check as q_substring_removal; the
     oracle replays the keep rule as a row_number over (doc_id, start)
     per window value."""
+    from .operators.dedup import release as _release
     from .operators.dedup import remove_duplicated_substrings
     d = _t(spark, sf_dir, 'documents')
-    return (remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
-                                         min_df=2, keep='first')
-            .orderBy('doc_id'))
+    out = remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
+                                       min_df=2,
+                                       keep='first').orderBy('doc_id')
+    rows = out.collect()
+    _release(out)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_gopher_dup_ngrams(spark, sf_dir):
@@ -1081,13 +1089,17 @@ def q_gopher_dup_ngrams(spark, sf_dir):
     every n (frac near 1); the rest carry natural values. All six
     columns re-derived in SQL (windows, within-doc counts, span-union
     coverage, char weights)."""
+    from .operators.dedup import release as _release
     from .operators.textstats import gopher_dup_ngrams
     d = _t(spark, sf_dir, 'documents').select(
         'doc_id',
         F.when(F.col('doc_id') % 4 == 0,
                F.concat_ws(' ', F.col('text'), F.col('text')))
         .otherwise(F.col('text')).alias('text'))
-    return gopher_dup_ngrams(d).orderBy('doc_id')
+    out = gopher_dup_ngrams(d).orderBy('doc_id')
+    rows = out.collect()
+    _release(out)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_substring_removal(spark, sf_dir):
@@ -1099,11 +1111,14 @@ def q_substring_removal(spark, sf_dir):
     q_line_dedup contract at token/window granularity); the Spark side
     hashes windows (xxhash64) before the shuffle while the oracle
     compares window STRINGS — equal absent 64-bit collisions."""
+    from .operators.dedup import release as _release
     from .operators.dedup import remove_duplicated_substrings
     d = _t(spark, sf_dir, 'documents')
-    return (remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
-                                         min_df=2)
-            .orderBy('doc_id'))
+    out = remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
+                                       min_df=2).orderBy('doc_id')
+    rows = out.collect()
+    _release(out)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_hash_split(spark, sf_dir):

@@ -189,6 +189,8 @@ def test_substring_removal_text_never_in_exchange(spark):
     out = remove_duplicated_substrings(docs, k=8)
     out.collect()
     plan = _plan(out)
+    for dep in getattr(out, '_persisted_deps', ()):
+        dep.unpersist()
     for line in plan.splitlines():
         if 'Exchange' in line:
             assert 'text#' not in line       # raw text never shuffles
@@ -206,6 +208,8 @@ def test_gopher_repetition_text_never_in_exchange(spark):
     out = gopher_repetition(docs)
     out.collect()
     plan = _plan(out)
+    for dep in getattr(out, '_persisted_deps', ()):
+        dep.unpersist()
     for line in plan.splitlines():
         if 'Exchange' in line:
             assert 'text#' not in line
