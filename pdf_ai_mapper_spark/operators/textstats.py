@@ -150,6 +150,37 @@ def with_exact_token_counts(df: DataFrame, text_col: str = 'text',
     return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
+def tokenizer_report(df: DataFrame, text_col: str = 'text',
+                     group_col: str = 'lang') -> DataFrame:
+    """Tokenizer evaluation report (round 6) — the two numbers every
+    tokenizer paper ships, per group: FERTILITY (BPE tokens per
+    whitespace word — how many subwords the tokenizer splits a word
+    into; 1.0 = every word is one token) and COMPRESSION (characters
+    per BPE token — how much text one token buys). Training budgets,
+    mixture weights and per-language cost all key on these; a
+    tokenizer trained on English text shows its bias as high fertility
+    on everything else.
+
+    Shape: ONE ArrowEvalPython pass (the exact merge-loop counter) +
+    one narrow aggregate; ratios are single IEEE divisions of exact
+    BIGINT sums, rounded 6 — hash-stable under any partitioning."""
+    d = with_exact_token_counts(df, text_col)
+    ws = F.size(F.split(F.trim(F.col(text_col)), r'\s+'))
+    return (d.groupBy(group_col)
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum(ws).cast('long').alias('ws_words'),
+                 F.sum('bpe_tokens').cast('long').alias('bpe_tokens'),
+                 F.sum(F.length(text_col)).cast('long').alias('chars'))
+            .withColumn('fertility',
+                        F.round(F.col('bpe_tokens')
+                                / F.greatest(F.col('ws_words'),
+                                             F.lit(1)), 6))
+            .withColumn('compression',
+                        F.round(F.col('chars')
+                                / F.greatest(F.col('bpe_tokens'),
+                                             F.lit(1)), 6)))
+
+
 def with_nfc(df: DataFrame, text_col: str = 'text',
              out_col: str = 'nfc_text') -> DataFrame:
     """Unicode NFC normalization (round 6) — the standard pre-hash

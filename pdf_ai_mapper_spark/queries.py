@@ -317,6 +317,18 @@ def q_token_counts_bpe(spark, sf_dir):
             .orderBy('lang'))
 
 
+def q_tokenizer_report(spark, sf_dir):
+    """Tokenizer fertility/compression per language
+    (textstats.tokenizer_report, round 6): exact-BPE tokens per
+    whitespace word and characters per token, from one Arrow pass +
+    one narrow aggregate. Oracle: the reference-BPE per-word count
+    map (q_token_counts_bpe's VALUES, loud on lexicon drift) + the
+    same exact-sum divisions."""
+    from .operators.textstats import tokenizer_report
+    return (tokenizer_report(_t(spark, sf_dir, 'documents'))
+            .orderBy('lang'))
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 + xxhash64 of normalized text;
     distinct-fingerprint count per lang."""
@@ -3863,6 +3875,41 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY bigram_logprob ASC, doc_id ASC LIMIT 20
     """,
+    # tokenizer report: the reference-BPE word->count map (loud NULL
+    # on lexicon drift) + exact-sum divisions
+    'q_tokenizer_report': r"""
+        WITH c(w, n) AS (VALUES
+            ('join', 3), ('hash', 3), ('row', 2), ('batch', 2),
+            ('scan', 1), ('column', 4), ('customer', 5), ('filter', 3),
+            ('small', 2), ('slow', 3), ('merge', 2), ('order', 3),
+            ('vector', 5), ('line', 2), ('table', 3), ('data', 3),
+            ('agg', 2), ('value', 3), ('key', 1), ('stream', 5),
+            ('window', 4), ('a', 1), ('spark', 3), ('part', 2),
+            ('group', 3), ('big', 3), ('sort', 3), ('query', 3),
+            ('fast', 3), ('the', 1), ('dup', 2)),
+        tok AS (SELECT doc_id, lang, length(text) AS chars,
+                       unnest(string_split_regex(trim(text), '\s+'))
+                           AS t
+                FROM documents),
+        j AS (SELECT doc_id, lang, chars, t, c.n
+              FROM tok LEFT JOIN c ON t = c.w),
+        per AS (SELECT doc_id, any_value(lang) AS lang,
+                       any_value(chars) AS chars,
+                       CAST(count(*) AS BIGINT) AS words,
+                       CAST(CASE WHEN count(*) <> count(n) THEN NULL
+                            ELSE sum(n) END AS BIGINT) AS toks
+                FROM j GROUP BY doc_id)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(words) AS BIGINT) AS ws_words,
+               CAST(sum(toks) AS BIGINT) AS bpe_tokens,
+               CAST(sum(chars) AS BIGINT) AS chars,
+               round(sum(toks) / greatest(sum(words), 1), 6)
+                   AS fertility,
+               round(sum(chars) / greatest(sum(toks), 1), 6)
+                   AS compression
+        FROM per GROUP BY lang ORDER BY lang
+    """,
+
     # cascade funnel: the first-fail CASE chain and funnel arithmetic
     # replayed over the rebuilt quality columns
     'q_quality_cascade': r"""
@@ -4955,6 +5002,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_compaction_content': q_compaction_content,
         'q_nfc_normalize': q_nfc_normalize,
         'q_quality_cascade': q_quality_cascade,
+        'q_tokenizer_report': q_tokenizer_report,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,
