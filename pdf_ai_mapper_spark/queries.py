@@ -785,9 +785,13 @@ def q_emb_cosine_dups(spark, sf_dir):
     dup = (vecs.filter(F.col('vec_id') % 5 == 0)
            .withColumn('vec_id', F.col('vec_id') + 100000))
     both = vecs.unionByName(dup)
-    return (pairwise_cosine_dups(both, threshold=0.95, planes=6,
-                                 max_bucket_size=1_000_000)
-            .orderBy('id_a', 'id_b'))
+    from .operators.dedup import release as _release
+    res = pairwise_cosine_dups(both, threshold=0.95, planes=6,
+                               max_bucket_size=1_000_000)
+    out = res.orderBy('id_a', 'id_b')   # orderBy drops _persisted_deps
+    rows = out.collect()
+    _release(res)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_ngram_jaccard_exact(spark, sf_dir):
@@ -797,11 +801,16 @@ def q_ngram_jaccard_exact(spark, sf_dir):
     replicates both the blocking contract and the exact arithmetic, so
     this is a full value-level check of operators/dedup.py:
     ngram_jaccard_pairs."""
+    from .operators.dedup import release as _release
     d = _t(spark, sf_dir, 'documents')
-    return (ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5,
-                                max_shingle_df=256)
-            .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
-            .orderBy('id_a', 'id_b'))
+    res = ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5,
+                              max_shingle_df=256)
+    out = (res.select('id_a', 'id_b',
+                      F.round('jaccard', 6).alias('jaccard'))
+           .orderBy('id_a', 'id_b'))   # select/orderBy drop deps
+    rows = out.collect()
+    _release(res)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -934,16 +943,26 @@ def q_event_percentiles(spark, sf_dir):
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-dup pairs over documents (no SQL oracle —
     LSH banding; driver records a rows-only check)."""
+    from .operators.dedup import release as _release
     d = _t(spark, sf_dir, 'documents')
-    return (minhash_lsh_pairs(d, 'doc_id', 'text',
-                              num_hashes=64, bands=16, jaccard_threshold=0.8)
-            .orderBy('id_a', 'id_b'))
+    res = minhash_lsh_pairs(d, 'doc_id', 'text',
+                            num_hashes=64, bands=16,
+                            jaccard_threshold=0.8)
+    out = res.orderBy('id_a', 'id_b')   # orderBy drops _persisted_deps
+    rows = out.collect()
+    _release(res)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs over documents (rows-only check)."""
+    from .operators.dedup import release as _release
     d = _t(spark, sf_dir, 'documents')
-    return simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3).orderBy('id_a', 'id_b')
+    res = simhash_near_pairs(d, 'doc_id', 'text', max_hamming=3)
+    out = res.orderBy('id_a', 'id_b')   # orderBy drops _persisted_deps
+    rows = out.collect()
+    _release(res)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_lda_categories(spark, sf_dir):
@@ -1051,9 +1070,10 @@ def q_gopher_repetition(spark, sf_dir):
             F.slice('__lines', j * F.lit(2) + F.lit(1), F.lit(2)), '\n'))
     d2 = d.select('doc_id', F.array_join(paraarr, '\n\n').alias('text'))
     from .operators.dedup import release as _release
-    out = gopher_repetition(d2, 'doc_id', 'text').orderBy('doc_id')
+    res = gopher_repetition(d2, 'doc_id', 'text')
+    out = res.orderBy('doc_id')     # orderBy drops _persisted_deps
     rows = out.collect()
-    _release(out)
+    _release(res)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1085,11 +1105,11 @@ def q_substring_keep_first(spark, sf_dir):
     from .operators.dedup import release as _release
     from .operators.dedup import remove_duplicated_substrings
     d = _t(spark, sf_dir, 'documents')
-    out = remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
-                                       min_df=2,
-                                       keep='first').orderBy('doc_id')
+    res = remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
+                                       min_df=2, keep='first')
+    out = res.orderBy('doc_id')     # orderBy drops _persisted_deps
     rows = out.collect()
-    _release(out)
+    _release(res)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1108,9 +1128,10 @@ def q_gopher_dup_ngrams(spark, sf_dir):
         F.when(F.col('doc_id') % 4 == 0,
                F.concat_ws(' ', F.col('text'), F.col('text')))
         .otherwise(F.col('text')).alias('text'))
-    out = gopher_dup_ngrams(d).orderBy('doc_id')
+    res = gopher_dup_ngrams(d)
+    out = res.orderBy('doc_id')     # orderBy drops _persisted_deps
     rows = out.collect()
-    _release(out)
+    _release(res)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -1126,10 +1147,11 @@ def q_substring_removal(spark, sf_dir):
     from .operators.dedup import release as _release
     from .operators.dedup import remove_duplicated_substrings
     d = _t(spark, sf_dir, 'documents')
-    out = remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
-                                       min_df=2).orderBy('doc_id')
+    res = remove_duplicated_substrings(d, 'doc_id', 'text', k=8,
+                                       min_df=2)
+    out = res.orderBy('doc_id')     # orderBy drops _persisted_deps
     rows = out.collect()
-    _release(out)
+    _release(res)
     return spark.createDataFrame(rows, out.schema)
 
 

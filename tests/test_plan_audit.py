@@ -237,3 +237,28 @@ def test_with_input_ids_single_arrow_stage(spark):
     final = plan.split('== Initial Plan ==')[0]
     assert final.count('ArrowEvalPython') <= 1
     assert 'SinglePartition' not in plan
+
+
+def test_release_contract_no_persist_leaks(spark):
+    """Every catalog query that persists internally (two-phase scans,
+    LSH signatures, shared array bases) must leave ZERO persisted RDDs
+    behind — a leak per call accumulates MEMORY_AND_DISK tables across
+    a bench loop or a long driver session."""
+    # NOT covered: q_pagerank_centrality / q_semantic_dedup /
+    # q_minhash_incremental — their operators localCheckpoint()
+    # iterations, and checkpointed RDDs stay registered until the JVM
+    # ContextCleaner GCs the unreferenced handles (bounded per call,
+    # self-cleaning; a hard unpersist would break the lineage
+    # truncation they exist for).
+    import __spark_entry__ as e
+    cat = e.queries()
+    sc = spark.sparkContext._jsc.sc()
+    for name in ('q_substring_removal', 'q_substring_keep_first',
+                 'q_gopher_repetition', 'q_gopher_dup_ngrams',
+                 'q_pack_sequences', 'q_encode_pack', 'q_pr_curve',
+                 'q_average_precision', 'q_model_auc',
+                 'q_ngram_jaccard_exact', 'q_minhash_near_dups',
+                 'q_simhash_near_dups', 'q_emb_cosine_dups'):
+        cat[name](spark, SF).collect()
+        leaked = sc.getPersistentRDDs().size()
+        assert leaked == 0, (name, leaked)
