@@ -397,6 +397,42 @@ def append_shards(spark, df: DataFrame, out_dir: str,
     return spark.read.parquet(mpath)
 
 
+def diff_manifests(spark, old_dir: str, new_dir: str) -> DataFrame:
+    """Export versioning diff (round 6) — what changed between two
+    shard exports, from their attested manifests alone: per shard,
+    status ``unchanged`` (same n_docs/n_tokens/ids_md5), ``changed``
+    (same shard id, different content), ``added`` or ``removed``.
+    The question every training run asks before switching to a newer
+    export — and the audit for the append-only contract: a correct
+    ``append_shards`` history diffs as unchanged + added, NEVER
+    changed or removed.
+
+    Driver-scale by construction: manifests are one row per shard (the
+    data files are never read), and the diff is one full-outer join on
+    the shard id."""
+    cols = ['shard', 'n_docs', 'n_tokens', 'ids_md5']
+    o = spark.read.parquet(f'{old_dir}/_manifest').select(
+        *[F.col(c).alias(f'o_{c}') for c in cols])
+    n = spark.read.parquet(f'{new_dir}/_manifest').select(
+        *[F.col(c).alias(f'n_{c}') for c in cols])
+    j = o.join(n, o['o_shard'] == n['n_shard'], 'full_outer')
+    status = (F.when(F.col('o_shard').isNull(), F.lit('added'))
+              .when(F.col('n_shard').isNull(), F.lit('removed'))
+              .when((F.col('o_ids_md5') == F.col('n_ids_md5'))
+                    & (F.col('o_n_docs') == F.col('n_n_docs'))
+                    & (F.col('o_n_tokens') == F.col('n_n_tokens')),
+                    F.lit('unchanged'))
+              .otherwise(F.lit('changed')))
+    return j.select(
+        F.coalesce(F.col('n_shard'), F.col('o_shard')).cast('long')
+        .alias('shard'),
+        status.alias('status'),
+        F.coalesce(F.col('n_n_docs'), F.col('o_n_docs')).cast('long')
+        .alias('n_docs'),
+        F.coalesce(F.col('n_n_tokens'), F.col('o_n_tokens'))
+        .cast('long').alias('n_tokens'))
+
+
 def export_jsonl(spark, df: DataFrame, out_dir: str, id_col: str,
                  n_files: int, compression: str = 'gzip') -> DataFrame:
     """JSONL export (late round 5) — the loader-interchange sink:

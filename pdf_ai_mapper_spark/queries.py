@@ -2145,6 +2145,53 @@ def q_stream_export(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_export_diff(spark, sf_dir):
+    """Export versioning diff (packing.diff_manifests, round 6):
+    export A = even docs; export B = a COPY of A with the odd docs
+    appended at the next boundary (append_shards). The diff must read
+    all of A's shards as UNCHANGED (the append-only immutability
+    contract, audited through the user-facing artifact) plus ADDED
+    shards carrying exactly the odd batch — never changed/removed.
+    ORACLED: per-status doc/token sums derive from documents by
+    arithmetic (shard layout is physical; the even/odd content split
+    is not)."""
+    import shutil
+    import tempfile
+    from .operators.dedup import release as _release
+    from .operators.packing import (append_shards, diff_manifests,
+                                    shuffle_shards, write_shards)
+    docs = (_t(spark, sf_dir, 'documents')
+            .select('doc_id',
+                    F.size(F.split(F.trim(F.col('text')), r'\s+'))
+                    .cast('long').alias('toks')))
+    a = tempfile.mkdtemp(prefix='pam_q_diff_a_')
+    b = tempfile.mkdtemp(prefix='pam_q_diff_b_')
+    shutil.rmtree(a)
+    try:
+        even = docs.filter(F.col('doc_id') % 2 == 0)
+        sharded = shuffle_shards(even, 'doc_id', 'toks', 5000,
+                                 seed='r6diff')
+        write_shards(spark, sharded, a, 'doc_id', 'toks')
+        _release(sharded)
+        shutil.rmtree(b)
+        shutil.copytree(a, b)
+        odd = docs.filter(F.col('doc_id') % 2 == 1)
+        append_shards(spark, odd, b, 'doc_id', 'toks', 5000,
+                      seed='r6diff2')
+        d = diff_manifests(spark, a, b)
+        # shard COUNTS are physical (md5-order dependent) — the oracle
+        # grades the layout-independent content sums per status
+        out = (d.groupBy('status')
+               .agg(F.sum('n_docs').cast('long').alias('sum_docs'),
+                    F.sum('n_tokens').cast('long').alias('sum_tokens'))
+               .orderBy('status'))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
+
+
 def q_mixture_fill(spark, sf_dir):
     """Mixture waterfilling end-to-end (curate.budgets_from_mixture →
     token_budget_fill, late round 5): weights en:3 / de:2 / zh:5
@@ -4488,6 +4535,25 @@ ORACLES: dict[str, str] = {
                               ORDER BY doc_id::VARCHAR)) AS ids_md5
         FROM m GROUP BY shard
     """,
+    # export diff: append-only history must read as unchanged + added
+    # with the even/odd content sums — never changed/removed
+    'q_export_diff': r"""
+        WITH t AS (SELECT doc_id,
+                          len(string_split_regex(trim(text), '\s+'))
+                              AS toks
+                   FROM documents)
+        SELECT 'added' AS status,
+               CAST(count(*) AS BIGINT) AS sum_docs,
+               CAST(sum(toks) AS BIGINT) AS sum_tokens
+        FROM t WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT 'unchanged' AS status,
+               CAST(count(*) AS BIGINT) AS sum_docs,
+               CAST(sum(toks) AS BIGINT) AS sum_tokens
+        FROM t WHERE doc_id % 2 = 0
+        ORDER BY status
+    """,
+
     # streaming export content witnessed corpus-wide — batching and
     # shard cuts are physical, the ids/token totals are not
     'q_stream_export': r"""
@@ -5025,6 +5091,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_nfc_normalize': q_nfc_normalize,
         'q_quality_cascade': q_quality_cascade,
         'q_tokenizer_report': q_tokenizer_report,
+        'q_export_diff': q_export_diff,
         'q_range_pruned_read': q_range_pruned_read,
         'q_salted_join': q_salted_join,
         'q_corpus_datasheet': q_corpus_datasheet,

@@ -457,6 +457,35 @@ class TestAppendShards:
             shutil.rmtree(out, ignore_errors=True)
 
 
+class TestDiffManifests:
+    def test_all_four_statuses(self, spark):
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import diff_manifests
+        old_rows = [(0, 10, 100, 'aaa'), (1, 20, 200, 'bbb'),
+                    (2, 5, 50, 'ccc')]
+        new_rows = [(0, 10, 100, 'aaa'),          # unchanged
+                    (1, 21, 210, 'ddd'),          # changed
+                    (3, 7, 70, 'eee')]            # added; shard 2 removed
+        schema = 'shard long, n_docs long, n_tokens long, ids_md5 string'
+        a = tempfile.mkdtemp(prefix='pam_diff_a_')
+        b = tempfile.mkdtemp(prefix='pam_diff_b_')
+        try:
+            spark.createDataFrame(old_rows, schema) \
+                .write.mode('overwrite').parquet(f'{a}/_manifest')
+            spark.createDataFrame(new_rows, schema) \
+                .write.mode('overwrite').parquet(f'{b}/_manifest')
+            got = {r['shard']: (r['status'], r['n_docs'], r['n_tokens'])
+                   for r in diff_manifests(spark, a, b).collect()}
+            assert got[0] == ('unchanged', 10, 100)
+            assert got[1] == ('changed', 21, 210)    # new side's counts
+            assert got[2] == ('removed', 5, 50)      # old side's counts
+            assert got[3] == ('added', 7, 70)
+        finally:
+            shutil.rmtree(a, ignore_errors=True)
+            shutil.rmtree(b, ignore_errors=True)
+
+
 class TestExportJsonl:
     def _df(self, spark, n=120):
         return spark.createDataFrame(
