@@ -416,13 +416,16 @@ def _assemble_output(attempts, load_readings, sf_dir, cpus, n_corpus,
     """Build the COMPACT result dict and write the full per-attempt
     blob to a sidecar file.
 
-    Output contract (round 6; VERDICT r5 #1): the stdout JSON line must
-    stay compact — the driver's tail capture truncated the r5 line
-    (every attempt's per-section stamps inflated it to tens of KB →
-    BENCH_r05.json parsed:null, the round's perf number lost). The full
-    stamp/iteration blob ships in BENCH/ATTEMPTS_LAST.json; stdout
-    carries the r3/r4 schema plus a bounded trust summary (worst
-    ambient readings across the final attempt, dirty-section names)."""
+    Output contract (round 7; VERDICT r6 #1): the driver tail-captures
+    only ~2,000 characters of stdout (BENCH_r03/r04 — the last parsed
+    artifacts — have exactly 2,000-char tails; the r5 AND r6 lines were
+    longer and both came back parsed:null). So the stdout line must fit
+    in 1,800 bytes: `raw_iterations` never ships inline (the sidecar
+    BENCH/ATTEMPTS_LAST.json carries the full per-attempt blob), dirty
+    section names are capped, and main() enforces a hard 1,800-byte
+    guard with progressive shedding. stdout keeps the r3/r4 schema keys
+    plus a bounded trust summary (worst ambient readings across the
+    final attempt, dirty-section names)."""
     timings = {q: min(a['timings'][q] for a in attempts)
                for q in attempts[0]['timings']}
     extraction_sec = timings['extraction_pipeline']
@@ -474,14 +477,17 @@ def _assemble_output(attempts, load_readings, sf_dir, cpus, n_corpus,
             'final_attempt_min_probe_rate': (min(probe_rates)
                                              if probe_rates else -1.0),
         },
-        'raw_iterations': {q: [t for a in attempts
-                               for t in a['raw_iterations'][q]]
-                           for q in attempts[0]['raw_iterations']},
+        # raw_iterations stay in the sidecar ONLY: 23 queries x 9
+        # floats pushed the r6 line to ~2.7 KB and past the driver's
+        # 2,000-char tail capture (parsed:null three rounds running).
+        'raw_iterations': 'see stamps_sidecar',
         'attempts': len(attempts),
-        'dirty_sections_per_attempt': [a['dirty_sections']
+        # cap defensively: 3 attempts x many long names could blow the
+        # budget on a pathological host storm
+        'dirty_sections_per_attempt': [a['dirty_sections'][:4]
                                        for a in attempts],
         'stamps_sidecar': sidecar_path,
-        'warmup_failures': warmup_failures,
+        'warmup_failures': warmup_failures[:4],
         **thresholds,
     }
 
@@ -490,16 +496,33 @@ def main() -> None:
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
     cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
     result = run_bench(sf_dir, cpus)
+    print(_budget_line(result))
+
+
+# The driver tail-captures ~2,000 characters of stdout (BENCH_r03/r04,
+# the last artifacts it parsed, have exactly 2,000-char tails). Leave
+# headroom for the runner's own framing.
+STDOUT_BUDGET = 1_800
+
+
+def _budget_line(result: dict) -> str:
+    """json.dumps `result`, progressively shedding non-essential keys
+    until the line fits the driver's ~2,000-char tail capture."""
     line = json.dumps(result)
-    # Hard output-budget guard: the driver tail-captures stdout and a
-    # line past ~16 KB risks truncation (the exact r5 failure). If the
-    # raw-iteration lists ever make the line long, drop them from
-    # stdout (they remain in the sidecar) rather than ship a line the
-    # driver cannot parse.
-    if len(line) > 16_000:
-        result['raw_iterations'] = 'see stamps_sidecar'
+    # shedding order: trust detail first, graded numbers never
+    for key in ('dirty_sections_per_attempt', 'warmup_failures',
+                'load_readings', 'stamps_sidecar'):
+        if len(line) <= STDOUT_BUDGET:
+            break
+        result.pop(key, None)
         line = json.dumps(result)
-    print(line)
+    if len(line) > STDOUT_BUDGET:
+        # last resort: per-query timings are the bulk; keep the suite
+        # total + extraction headline, which the driver grades on
+        result['queries'] = {'extraction_pipeline':
+                             result['queries'].get('extraction_pipeline')}
+        line = json.dumps(result)
+    return line
 
 
 if __name__ == '__main__':
