@@ -355,6 +355,34 @@ def append_shards(spark, df: DataFrame, out_dir: str,
     first_new = int(max_shard) + 1 if max_shard is not None else 0
     base = first_new * tokens_per_shard
 
+    data = os.path.join(out_dir, 'shards')
+    # Torn-retry purge (ADVICE r6 medium): shard dirs AT OR ABOVE
+    # first_new are provable orphans — the manifest attests nothing
+    # above max_shard, so they can only be the data half of a previous
+    # append that crashed before its manifest commit.  Without this, a
+    # retry (direct re-call, or stream_export_shards' foreachBatch
+    # replay in the data-written/manifest-lost window) recomputes the
+    # same first_new, mode('append')s duplicate files into the same
+    # shard=N dirs, and then attests the DOUBLED disk — silent
+    # duplication that verify_shards would bless.  Deleting the
+    # orphans first makes the whole data write idempotent; the
+    # manifest commit stays the single atomic publish point.  (Local
+    # FS here; on a real cluster this is the same listing+delete via
+    # the Hadoop FileSystem API, or a staging-dir rename — see
+    # checkpoint.upsert_output for that pattern.)
+    import shutil
+    if os.path.isdir(data):
+        for name in os.listdir(data):
+            if not name.startswith('shard='):
+                continue
+            try:
+                num = int(name.split('=', 1)[1])
+            except ValueError:
+                continue
+            if num >= first_new:
+                shutil.rmtree(os.path.join(data, name),
+                              ignore_errors=True)
+
     sharded = shuffle_shards(df, id_col, tokens_col, tokens_per_shard,
                              seed=seed, epoch_col=epoch_col)
     shifted = (sharded
@@ -366,7 +394,6 @@ def append_shards(spark, df: DataFrame, out_dir: str,
                            (F.col('offset') % F.lit(tokens_per_shard))
                            .cast('long')))
 
-    data = os.path.join(out_dir, 'shards')
     (shifted.repartition(F.col('shard'))
      .write.mode('append').partitionBy('shard').parquet(data))
     for dep in getattr(sharded, '_persisted_deps', ()):

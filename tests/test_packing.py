@@ -430,6 +430,57 @@ class TestAppendShards:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    def test_torn_append_retry_does_not_duplicate(self, spark):
+        """ADVICE r6 medium repro: a crash between the shard-data write
+        and the manifest commit leaves orphan shard dirs >= first_new.
+        A retry recomputes the same first_new and, without the purge,
+        mode('append')s duplicate files into the same dirs — then
+        attests the DOUBLED disk, so every doc in the batch is silently
+        duplicated and verify_shards PASSES on the corrupt tree. The
+        purge deletes the provable orphans (the manifest attests
+        nothing above max_shard) before writing, making the data write
+        idempotent."""
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import (append_shards,
+                                                           verify_shards)
+        out = tempfile.mkdtemp(prefix='pam_append_')
+        shutil.rmtree(out)
+        try:
+            self._write_batch1(spark, out)                  # 3700 tokens
+            mdir = f'{out}/_manifest'
+            manifest_files1 = set(os.listdir(mdir))
+
+            rows2 = [(1000 + i, 29) for i in range(80)]
+            df2 = spark.createDataFrame(rows2, 'doc_id long, toks long')
+            # full append, then roll the manifest back to batch 1 only:
+            # exactly the on-disk state of a crash after the data write
+            # but before the manifest commit
+            append_shards(spark, df2, out, 'doc_id', 'toks', 1000,
+                          seed='b2')
+            for name in set(os.listdir(mdir)) - manifest_files1:
+                os.remove(os.path.join(mdir, name))
+            orphans = [d for d in os.listdir(f'{out}/shards')
+                       if d.startswith('shard=')
+                       and int(d.split('=')[1]) >= 4]
+            assert orphans                                  # torn state real
+
+            # the retry
+            man = append_shards(spark, df2, out, 'doc_id', 'toks', 1000,
+                                seed='b2')
+            got = {r['shard']: (r['n_docs'], r['n_tokens'])
+                   for r in man.collect()}
+            # batch 2: 80 docs x 29 = 2320 tokens -> shards 4,5,6(320)
+            assert sum(n for s, (n, _) in got.items() if s >= 4) == 80
+            assert sum(t for s, (_, t) in got.items() if s >= 4) == 2320
+            disk = spark.read.parquet(f'{out}/shards')
+            assert disk.count() == 180                      # 100 + 80, once
+            assert (disk.select('doc_id').distinct().count() == 180)
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     def test_append_offsets_continue_from_boundary(self, spark):
         import shutil
         import tempfile
