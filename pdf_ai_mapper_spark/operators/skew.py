@@ -28,8 +28,22 @@ def host_of_url(url: Column) -> Column:
     return F.try_parse_url(url, F.lit('HOST'))
 
 
-def _row_salt(columns: Sequence[str], salt_buckets: int) -> Column:
-    """DETERMINISTIC per-row salt: pmod(xxhash64(all stable columns)).
+def _xxhashable(dt) -> bool:
+    """xxhash64 rejects MapType anywhere in the type tree (no canonical
+    element order) — an AnalysisException at plan time, not runtime."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _row_salt(df: DataFrame, salt_buckets: int,
+              salt_cols: Sequence[str] | None = None) -> Column:
+    """DETERMINISTIC per-row salt: pmod(xxhash64(stable columns)).
 
     monotonically_increasing_id() (the r5 form) is a nondeterministic
     shuffle key: under fetch-failure-driven partial stage retries a
@@ -37,26 +51,42 @@ def _row_salt(columns: Sequence[str], salt_buckets: int) -> Column:
     duplicates or drops rows at cluster scale (ADVICE r5 #4 — the same
     hazard class as nondeterministic repartitioning). Hashing the row's
     own columns makes retries reproduce identical shuffle placement.
-    Trade-off: byte-identical duplicate rows share a salt, so a hot key
-    whose rows are ALL identical would not spread — crawl tables carry
-    a distinguishing column (url, id, ts) in practice."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in columns]),
+
+    ``salt_cols`` picks the hashed subset explicitly (e.g. a cheap
+    high-cardinality id instead of a megabyte text column). By default
+    every column whose type xxhash64 accepts is hashed — MapType
+    columns (anywhere in the type tree) are excluded, since xxhash64
+    raises on them (ADVICE r6 low); if NOTHING is hashable the salt
+    degrades to a constant: no spreading, but correct and
+    deterministic. Trade-off either way: rows byte-identical in the
+    hashed columns share a salt, so a hot key whose rows are ALL
+    identical would not spread — crawl tables carry a distinguishing
+    column (url, id, ts) in practice."""
+    if salt_cols is None:
+        salt_cols = [f.name for f in df.schema.fields
+                     if _xxhashable(f.dataType)]
+    if not salt_cols:
+        return F.lit(0)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                   F.lit(salt_buckets))
 
 
 def salted_count(df: DataFrame, key: Column, salt_buckets: int = 16,
-                 key_name: str = 'key') -> DataFrame:
+                 key_name: str = 'key',
+                 salt_cols: Sequence[str] | None = None) -> DataFrame:
     """count(*) per key with a salt pre-aggregation: stage 1 groups on
     (key, salt) — hot keys split across salt_buckets reducers — stage 2
     merges the partials. Equivalent plan to two-level combining."""
-    salted = df.withColumn('__salt', _row_salt(df.columns, salt_buckets)) \
+    salted = df.withColumn('__salt',
+                           _row_salt(df, salt_buckets, salt_cols)) \
         .select(key.alias(key_name), '__salt')
     partial = salted.groupBy(key_name, '__salt').agg(F.count('*').alias('__c'))
     return partial.groupBy(key_name).agg(F.sum('__c').cast('long').alias('n'))
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: str,
-                salt_buckets: int = 8, how: str = 'inner') -> DataFrame:
+                salt_buckets: int = 8, how: str = 'inner',
+                salt_cols: Sequence[str] | None = None) -> DataFrame:
     """Equi-join a skew-keyed big table against a small-but-not-
     broadcastable table without a hot reducer: every big row gets a
     per-ROW salt (routing only — the salt never touches semantics),
@@ -77,7 +107,7 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     if salt_buckets <= 0:
         raise ValueError(f'salt_buckets must be positive, got {salt_buckets}')
     b = big.withColumn(
-        '__salt', _row_salt(big.columns, salt_buckets).cast('int'))
+        '__salt', _row_salt(big, salt_buckets, salt_cols).cast('int'))
     s = small.withColumn(
         '__salt', F.explode(F.array(*[F.lit(i)
                                       for i in range(salt_buckets)])))
@@ -87,10 +117,11 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
 def salted_agg(df: DataFrame, key_cols: Sequence[str],
                aggs_partial: Sequence[Column],
                aggs_merge: Sequence[Column],
-               salt_buckets: int = 16) -> DataFrame:
+               salt_buckets: int = 16,
+               salt_cols: Sequence[str] | None = None) -> DataFrame:
     """General two-stage salted aggregation for algebraic aggregates:
     ``aggs_partial`` run per (keys, salt); ``aggs_merge`` combine the
     partials per keys."""
-    salted = df.withColumn('__salt', _row_salt(df.columns, salt_buckets))
+    salted = df.withColumn('__salt', _row_salt(df, salt_buckets, salt_cols))
     partial = salted.groupBy(*key_cols, '__salt').agg(*aggs_partial)
     return partial.groupBy(*key_cols).agg(*aggs_merge)

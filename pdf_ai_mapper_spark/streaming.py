@@ -271,7 +271,15 @@ def stream_export_shards(spark: SparkSession, input_path: str,
         bseed = f'{seed}|b{batch_id}'
         sp = batch.sparkSession
         if os.path.exists(os.path.join(out_dir, '_manifest')):
-            stored = sp.read.parquet(os.path.join(out_dir, '_manifest'))
+            # mergeSchema: if the export was bootstrapped by a
+            # NON-streaming write_shards/append_shards (manifest files
+            # without a batch_id column) and the stream appended later
+            # files WITH it, default schema resolution may pick an old
+            # file, drop the column, and silently skip the
+            # committed-batch check — reopening the double-append
+            # window this guard exists to close (ADVICE r6 low).
+            stored = (sp.read.option('mergeSchema', 'true')
+                      .parquet(os.path.join(out_dir, '_manifest')))
             if ('batch_id' in stored.columns
                     and stored.filter(F.col('batch_id') == bid)
                     .limit(1).count() > 0):

@@ -704,6 +704,53 @@ class TestStreamExportShards:
             shutil.rmtree(inp, ignore_errors=True)
             shutil.rmtree(out, ignore_errors=True)
 
+    def test_batch_id_check_survives_batch_bootstrapped_export(self, spark):
+        """ADVICE r6 low: when the export is BOOTSTRAPPED by a
+        non-streaming write_shards (manifest files WITHOUT batch_id)
+        and the stream appends later files WITH it, default parquet
+        schema resolution may pick an old file, drop the batch_id
+        column, and silently skip the committed-batch check — reopening
+        the double-append window. The recovery read must mergeSchema."""
+        import os
+        import shutil
+        import tempfile
+        from pdf_ai_mapper_spark.operators.packing import (shuffle_shards,
+                                                           verify_shards,
+                                                           write_shards)
+        from pdf_ai_mapper_spark.streaming import stream_export_shards
+        inp = tempfile.mkdtemp(prefix='pam_sx_in_')
+        out = tempfile.mkdtemp(prefix='pam_sx_out_')
+        shutil.rmtree(out)
+        try:
+            # bootstrap WITHOUT the stream: no batch_id column on disk
+            boot = spark.createDataFrame([(i, 10) for i in range(20)],
+                                         'doc_id long, toks long')
+            sharded = shuffle_shards(boot, 'doc_id', 'toks', 100,
+                                     seed='boot')
+            write_shards(spark, sharded, out, 'doc_id', 'toks')
+            release(sharded)
+            # stream appends batch 0 (manifest rows WITH batch_id)
+            self._write_input(spark, inp,
+                              [(100 + i, 10) for i in range(20)])
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 100, seed='sx')
+            # torn window: marker + checkpoint lost, batch replays
+            os.remove(f'{out}/_stream_batches/0')
+            shutil.rmtree(f'{out}/_stream_checkpoint')
+            stream_export_shards(spark, inp, out,
+                                 'doc_id long, toks long',
+                                 'doc_id', 'toks', 100, seed='sx')
+            total = (spark.read.option('mergeSchema', 'true')
+                     .parquet(f'{out}/_manifest')
+                     .agg(F.sum('n_tokens')).collect()[0][0])
+            assert total == 400                # 200 boot + 200, once
+            assert spark.read.parquet(f'{out}/shards').count() == 40
+            assert verify_shards(spark, out, 'doc_id', 'toks')
+        finally:
+            shutil.rmtree(inp, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+
     def test_completed_batch_marker_skips_rerun(self, spark):
         import os
         import shutil

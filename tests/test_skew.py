@@ -89,8 +89,8 @@ class TestSaltedJoin:
         assert 'monotonically_increasing_id' not in plan
         assert 'xxhash64' in plan
         # re-evaluating the salt on the same rows reproduces it exactly
-        s1 = big.withColumn('s', _row_salt(big.columns, 8)).collect()
-        s2 = big.withColumn('s', _row_salt(big.columns, 8)).collect()
+        s1 = big.withColumn('s', _row_salt(big, 8)).collect()
+        s2 = big.withColumn('s', _row_salt(big, 8)).collect()
         assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
         # identical-value rows share a salt (the documented trade-off)
         assert len({tuple(r) for r in s1}) == len({tuple(r[:-1])
@@ -102,6 +102,48 @@ class TestSaltedJoin:
                               [F.sum('c').cast('long').alias('n')])):
             p = df._jdf.queryExecution().analyzed().toString()
             assert 'monotonically_increasing_id' not in p
+
+    def test_map_columns_are_skipped_not_fatal(self, spark):
+        """ADVICE r6 low: xxhash64 raises AnalysisException on MapType,
+        so hashing EVERY column broke salted_* on schemas the r5 form
+        accepted. Map-typed columns (anywhere in the type tree) must be
+        excluded from the salt hash, with results still exact."""
+        from pdf_ai_mapper_spark.operators.skew import (salted_agg,
+                                                        salted_count)
+        big = _skewed_big(spark, 400).withColumn(
+            'meta', F.create_map(F.lit('k'), F.col('row_id')))
+        # nested: array<struct<m: map>> must be skipped too
+        big = big.withColumn(
+            'nested', F.array(F.struct(F.col('meta').alias('m'))))
+        small = _small(spark)
+        got = _key(salted_join(big, small, 'host', 8)
+                   .select('host', 'row_id', 'weight').collect(),
+                   ['host', 'row_id', 'weight'])
+        exp = _key(big.join(small, 'host')
+                   .select('host', 'row_id', 'weight').collect(),
+                   ['host', 'row_id', 'weight'])
+        assert got == exp
+        counts = {r['key']: r['n']
+                  for r in salted_count(big, F.col('host')).collect()}
+        assert counts['hot.example.com'] == 360
+        agg = salted_agg(big, ['host'], [F.count('*').alias('c')],
+                         [F.sum('c').cast('long').alias('n')])
+        assert {r['host']: r['n'] for r in agg.collect()} == counts
+
+    def test_salt_cols_override_and_all_map_fallback(self, spark):
+        from pdf_ai_mapper_spark.operators.skew import _row_salt
+        big = _skewed_big(spark, 100)
+        # explicit subset: only row_id feeds the hash
+        plan = big.withColumn('s', _row_salt(big, 8, ['row_id'])) \
+            ._jdf.queryExecution().analyzed().toString()
+        assert 'xxhash64(row_id' in plan and 'host' not in \
+            plan.split('xxhash64', 1)[1].split(')')[0]
+        # nothing hashable -> constant salt: degraded spread, still
+        # deterministic and correct
+        allmap = spark.range(5).select(
+            F.create_map(F.lit('k'), F.col('id')).alias('m'))
+        got = allmap.withColumn('s', _row_salt(allmap, 8)).collect()
+        assert {r['s'] for r in got} == {0}
 
     def test_invalid_args_rejected(self, spark):
         big, small = _skewed_big(spark, 10), _small(spark)
