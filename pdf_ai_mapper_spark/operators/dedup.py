@@ -742,9 +742,31 @@ def group_quota(df: DataFrame, group_col: str,
     return df.join(keep, on=id_col, how='left_semi')
 
 
+def _window_hash(hash_bits: int):
+    """In-row window-content hash for the substring/n-gram family.
+
+    64: one xxhash64 long — fine to the birthday bound (~50% collision
+    odds near 4x10^9 DISTINCT windows; a k=8 sweep over 10^12 tokens is
+    ~10^12 keys, far past it). 128: a struct of TWO xxhash64s over
+    (window) and (window, salt) — independent 64-bit halves, so the
+    bound moves to ~2^64 distinct windows while the shuffle key stays
+    two longs (16 bytes), no strings ever ride an exchange. Struct keys
+    group/join natively in Catalyst."""
+    if hash_bits == 64:
+        return lambda w: F.xxhash64(w)
+    if hash_bits == 128:
+        # second half re-keys the input with a constant salt column —
+        # xxhash64's seed is fixed in SQL, so vary the INPUT instead
+        return lambda w: F.struct(
+            F.xxhash64(w).alias('h1'),
+            F.xxhash64(w, F.lit(-640531527)).alias('h2'))
+    raise ValueError(f'hash_bits must be 64 or 128, got {hash_bits!r}')
+
+
 def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
                                 text_col: str = 'text',
-                                k: int = 8) -> DataFrame:
+                                k: int = 8,
+                                hash_bits: int = 64) -> DataFrame:
     """Exact substring-level duplication measure (round 4) — the
     signal behind suffix-array training-data dedup (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"),
@@ -764,9 +786,13 @@ def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
     the shuffle); one count aggregate over the hash, one semi-join
     shape back onto the positional rows, one per-doc aggregate.
     Collision risk of the 64-bit hash at corpus scale is the standard
-    birthday bound (~1e-9 at 10^5 distinct windows; at 10^12 swap in
-    the 128-bit variant) — acceptable for a down-weighting signal.
+    birthday bound (~1e-9 at 10^5 distinct windows); past ~10^9
+    distinct windows pass ``hash_bits=128`` — the key becomes a struct
+    of two independent xxhash64 longs (see ``_window_hash``), still
+    16 shuffle bytes, results identical on collision-free inputs
+    (parametrized test pins 64 == 128 on fixtures).
     """
+    hfun = _window_hash(hash_bits)
     toks = F.split(F.lower(F.col(text_col)), r'\s+')
     n = F.size(toks)
     m = n - F.lit(k - 1)
@@ -780,8 +806,7 @@ def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
     ex = (df.select(F.col(id_col).alias('__id'),
                     F.when(n >= k, sh).otherwise(F.array()).alias('__w'))
           .select('__id', F.explode_outer(
-              F.transform(F.col('__w'),
-                          lambda w: F.xxhash64(w))).alias('__h')))
+              F.transform(F.col('__w'), hfun)).alias('__h')))
     freq = (ex.filter(F.col('__h').isNotNull())
             .groupBy('__h').agg(F.count('*').alias('__c')))
     joined = (ex.join(freq, on='__h', how='left')
@@ -800,7 +825,8 @@ def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
 def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
                                  text_col: str = 'text', k: int = 8,
                                  min_df: int = 2,
-                                 keep: str = 'none') -> DataFrame:
+                                 keep: str = 'none',
+                                 hash_bits: int = 64) -> DataFrame:
     """Exact substring-span REMOVAL (round 6) — the act behind the
     ``substring_duplication_stats`` signal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -819,8 +845,11 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     expands duplicated window starts to (id, token-pos) longs
     (<= k x duplicated windows); the rebuild is one anti-join plus one
     per-doc aggregate with an in-array sort. 64-bit collision bound as
-    in ``substring_duplication_stats`` (swap to the 128-bit variant
-    past ~10^9 distinct windows).
+    in ``substring_duplication_stats``; past ~10^9 distinct windows
+    pass ``hash_bits=128`` (struct of two xxhash64 longs, still a
+    16-byte shuffle key — see ``_window_hash``). A collision here is
+    worse than in the stats op (it DELETES innocent tokens), so the
+    128-bit form is the right default at true corpus scale.
 
     ``keep`` pins the policy for the duplicated copies:
     - ``'none'`` (default): every occurrence of a duplicated window is
@@ -836,6 +865,7 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     """
     if keep not in ('none', 'first'):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    hfun = _window_hash(hash_bits)
     from pyspark.storagelevel import StorageLevel
 
     toks = F.split(F.trim(F.col(text_col)), r'\s+')
@@ -858,8 +888,7 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     # materialized in `base` (lambda-bearing exprs are excluded from
     # subexpression elimination — CLAUDE.md round-4 trap)
     wins = base.select('__id', F.posexplode(
-        F.transform('__w', lambda w: F.xxhash64(w))
-    ).alias('__start', '__h'))
+        F.transform('__w', hfun)).alias('__start', '__h'))
     dup = (wins.groupBy('__h')
            .agg(F.count_distinct('__id').alias('__df'),
                 F.min(F.struct('__id', '__start')).alias('__first'))

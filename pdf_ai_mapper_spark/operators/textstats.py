@@ -422,8 +422,8 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
 
 def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
                       text_col: str = 'text',
-                      ns: 'tuple[int, ...]' = (5, 6, 7, 8, 9, 10)
-                      ) -> DataFrame:
+                      ns: 'tuple[int, ...]' = (5, 6, 7, 8, 9, 10),
+                      hash_bits: int = 64) -> DataFrame:
     """The other half of Gopher's repetition table (Rae et al. 2021,
     round 6): per document and per n in ``ns``, the fraction of word
     characters covered by words belonging to at least one n-gram that
@@ -437,8 +437,14 @@ def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
     (id, n, start, hash) rows, a within-doc duplicate count, span
     expansion to (id, n, pos) longs, a char-weight join against the
     (id, pos, len) word relation, and a per-doc pivot. All shuffles
-    carry longs only."""
+    carry longs only. The duplicate test is WITHIN-document, so the
+    64-bit hash is already safe to ~10^9-window DOCUMENTS; pass
+    ``hash_bits=128`` (struct of two xxhash64 longs, see
+    ``dedup._window_hash``) for pathological inputs."""
     from functools import reduce
+
+    from .dedup import _window_hash
+    hfun = _window_hash(hash_bits)
 
     from pyspark.storagelevel import StorageLevel
 
@@ -468,8 +474,8 @@ def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
             g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(' '), b))
         wins.append(base.select(
             '__id', F.lit(k).alias('__n'),
-            F.posexplode(F.when(n >= k, F.transform(
-                g, lambda w: F.xxhash64(w))).otherwise(F.array()))
+            F.posexplode(F.when(n >= k, F.transform(g, hfun))
+                         .otherwise(F.array()))
             .alias('__start', '__h')))
     ex = reduce(DataFrame.unionByName, wins)
     dup = (ex.groupBy('__id', '__n', '__h')

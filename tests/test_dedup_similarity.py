@@ -460,6 +460,45 @@ def test_gopher_dup_ngrams_matches_python_reference(spark):
         assert got[i] == ref(t, ns), (i, t)
 
 
+def test_window_hash_128_matches_64_on_fixtures(spark):
+    """VERDICT r6 #2: at 100 TB the 64-bit window space collides
+    (birthday ~4x10^9 distinct windows), so the substring family takes
+    hash_bits=128 — a struct of two independently-salted xxhash64
+    longs, still a 16-byte shuffle key. On collision-free fixtures the
+    two widths must produce IDENTICAL results for every op."""
+    import random
+    from pdf_ai_mapper_spark.operators.dedup import (
+        remove_duplicated_substrings, substring_duplication_stats)
+    from pdf_ai_mapper_spark.operators.textstats import gopher_dup_ngrams
+
+    rng = random.Random(23)
+    vocab = [f'w{i}' for i in range(12)]
+    boiler = ' '.join(vocab[:9])                 # shared 9-token span
+    docs = [(i, (' '.join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+                 + (f' {boiler}' if i % 3 == 0 else '')).strip())
+            for i in range(40)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+
+    def rows(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    for op in (lambda bits: substring_duplication_stats(df, k=4,
+                                                        hash_bits=bits),
+               lambda bits: remove_duplicated_substrings(df, k=4,
+                                                         hash_bits=bits),
+               lambda bits: remove_duplicated_substrings(df, k=4,
+                                                         keep='first',
+                                                         hash_bits=bits),
+               lambda bits: gopher_dup_ngrams(df, ns=(4, 6),
+                                              hash_bits=bits)):
+        assert rows(op(64)) == rows(op(128))
+
+    import pytest
+    from pdf_ai_mapper_spark.operators.dedup import _window_hash
+    with pytest.raises(ValueError):
+        _window_hash(96)
+
+
 def test_source_quality_gate_filters_groups(spark):
     from pdf_ai_mapper_spark.operators.textstats import source_quality_gate
     rows = ([(i, 'srcgood', 'purely alphabetic words only here') for i in range(5)]
