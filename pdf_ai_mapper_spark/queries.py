@@ -1282,6 +1282,84 @@ def q_para_neardup_planted(spark, sf_dir):
             .orderBy('g'))
 
 
+def _planted_corpus(spark, sf_dir, n_tokens: int = 12):
+    """Shared planted construction (round 7 — VERDICT r6 #3): every
+    doc is ``n_tokens`` doc-namespaced tokens (cross-doc token/shingle
+    sets EXACTLY disjoint), except docs with doc_id % 50 < 3, which
+    carry a group-namespaced sentinel text shared VERBATIM within
+    their group of three (g = doc_id DIV 50; every token carries g, so
+    cross-group overlap is also exactly zero). Identical texts make
+    near-dup discovery provable; disjoint texts make false pairs
+    impossible up to hash collisions (2^-31 per minhash slot and ~2^-47
+    per simhash pair — zero on the deterministic fixtures)."""
+    i = F.col('doc_id')
+    g = F.expr('doc_id DIV 50')
+    filler = F.concat_ws(' ', *[
+        F.concat(F.lit('d'), i.cast('string'), F.lit(f't{j}'))
+        for j in range(n_tokens)])
+    sentinel = F.concat_ws(' ', *[
+        F.concat(F.lit('g'), g.cast('string'), F.lit(f'd{j}'))
+        for j in range(n_tokens)])
+    return (_t(spark, sf_dir, 'documents')
+            .select('doc_id',
+                    F.when(i % 50 < 3, sentinel).otherwise(filler)
+                    .alias('text')))
+
+
+def q_minhash_planted(spark, sf_dir):
+    """Banded MinHash LSH with a FULL value oracle (round 7 — VERDICT
+    r6 #3: the construction that oracled q_semantic_dedup and
+    q_para_neardup_planted, applied to the MinHash operator itself;
+    q_minhash_near_dups stays as the natural-corpus rows check and
+    q_neardup_pr as the P/R pin). Identical sentinel texts have
+    identical shingle sets → identical signatures in EVERY band →
+    guaranteed candidates with est-Jaccard exactly 1.0; any other pair
+    has disjoint shingles, so passing 0.8 would need ≥52 of 64 slots
+    to collide in the 2^31 permutation space. The LSH output is
+    therefore EXACTLY the planted all-pairs set, which the oracle
+    re-derives from documents by arithmetic alone."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.dedup import release as _release
+    pairs = minhash_lsh_pairs(_planted_corpus(spark, sf_dir),
+                              'doc_id', 'text', num_hashes=64,
+                              bands=16, jaccard_threshold=0.8)
+    rows = pairs.collect()
+    _release(pairs)
+    back = spark.createDataFrame(rows, pairs.schema)
+    return (back.withColumn('g', F.expr('id_a DIV 50'))
+            .groupBy('g')
+            .agg(F.count('*').cast('long').alias('n_pairs'),
+                 F.sum('id_a').cast('long').alias('id_sum_a'),
+                 F.sum('id_b').cast('long').alias('id_sum_b'),
+                 F.round(F.min('jaccard_est'), 6).alias('min_j'),
+                 F.round(F.max('jaccard_est'), 6).alias('max_j'))
+            .orderBy('g'))
+
+
+def q_simhash_planted(spark, sf_dir):
+    """SimHash near-dup with a FULL value oracle (round 7 — VERDICT r6
+    #3, the q_minhash_planted construction through the SimHash path).
+    Identical sentinel texts → identical 64-bit simhashes → all four
+    16-bit chunks match (guaranteed candidates) at Hamming distance
+    exactly 0; disjoint-token docs land ~32 bits apart (P[≤3] ≈ 2^-47
+    per pair — zero on the deterministic fixtures). Output is exactly
+    the planted all-pairs set with max_hamming 0."""
+    from .operators.dedup import release as _release
+    from .operators.dedup import simhash_near_pairs
+    pairs = simhash_near_pairs(_planted_corpus(spark, sf_dir),
+                               'doc_id', 'text', max_hamming=3)
+    rows = pairs.collect()
+    _release(pairs)
+    back = spark.createDataFrame(rows, pairs.schema)
+    return (back.withColumn('g', F.expr('id_a DIV 50'))
+            .groupBy('g')
+            .agg(F.count('*').cast('long').alias('n_pairs'),
+                 F.sum('id_a').cast('long').alias('id_sum_a'),
+                 F.sum('id_b').cast('long').alias('id_sum_b'),
+                 F.max('hamming').cast('long').alias('max_h'))
+            .orderBy('g'))
+
+
 def q_para_neardup(spark, sf_dir):
     """Paragraph-level fuzzy dedup (dedup.paragraph_neardup_pairs /
     paragraph_neardup_rollup, round 5 — RefinedWeb runs line-EXACT and
@@ -3536,6 +3614,36 @@ ORACLES: dict[str, str] = {
     # paragraph fuzzy dedup, planted construction: the result is
     # provably EXACTLY the planted all-pairs set (see the query's
     # docstring), re-derived here by arithmetic over documents' ids
+    # MinHash / SimHash planted oracles (round 7): the construction
+    # makes the LSH output provably the planted all-pairs set, so the
+    # oracle is pure arithmetic over documents' ids
+    'q_minhash_planted': r"""
+        WITH m AS (SELECT doc_id, doc_id // 50 AS g FROM documents
+                   WHERE doc_id % 50 < 3),
+        p AS (SELECT a.g, a.doc_id AS da, b.doc_id AS db
+              FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(da) AS BIGINT) AS id_sum_a,
+               CAST(sum(db) AS BIGINT) AS id_sum_b,
+               round(1.0, 6) AS min_j,
+               round(1.0, 6) AS max_j
+        FROM p GROUP BY g ORDER BY g
+    """,
+
+    'q_simhash_planted': r"""
+        WITH m AS (SELECT doc_id, doc_id // 50 AS g FROM documents
+                   WHERE doc_id % 50 < 3),
+        p AS (SELECT a.g, a.doc_id AS da, b.doc_id AS db
+              FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id)
+        SELECT CAST(g AS BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(da) AS BIGINT) AS id_sum_a,
+               CAST(sum(db) AS BIGINT) AS id_sum_b,
+               CAST(0 AS BIGINT) AS max_h
+        FROM p GROUP BY g ORDER BY g
+    """,
+
     'q_para_neardup_planted': r"""
         WITH m AS (SELECT doc_id, doc_id // 50 AS g FROM documents
                    WHERE doc_id % 50 < 3),
@@ -4997,15 +5105,15 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_t7_meaningful_tokens': q_t7_meaningful_tokens,
         'q_line_dedup': q_line_dedup,
         'q_d2_dedup_first_seen': q_d2_dedup_first_seen,
-        'q_w1_relevance_topk': q_w1_relevance_topk,
+        'q_minhash_planted': q_minhash_planted,
         'q_pack_sequences': q_pack_sequences,
         'q_encode_pack': q_encode_pack,
-        'q_w5_first_event_per_user': q_w5_first_event_per_user,
-        'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
-        'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
+        'q_simhash_planted': q_simhash_planted,
+        'q_gopher_dup_ngrams': q_gopher_dup_ngrams,
+        'q_learn_bpe': q_learn_bpe,
         'q_a3_term_document_frequency': q_a3_term_document_frequency,
         'q_semantic_dedup': q_semantic_dedup,
-        'q_j2_broadcast_join': q_j2_broadcast_join,
+        'q_stupid_backoff': q_stupid_backoff,
         'q_substring_duplication': q_substring_duplication,
         'q_substring_removal': q_substring_removal,
         'q_gopher_repetition': q_gopher_repetition,
@@ -5013,7 +5121,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_token_budget_mix': q_token_budget_mix,
         'q_curation_pipeline': q_curation_pipeline,
         'q_model_quality_gate': q_model_quality_gate,
-        'q_emb_cosine_topk': q_emb_cosine_topk,
+        'q_quality_cascade': q_quality_cascade,
         'q_token_counts_bpe': q_token_counts_bpe,
         'q_w2_search_snippets': q_w2_search_snippets,
         'q_stream_dedup': q_stream_dedup,
@@ -5048,6 +5156,25 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_doc_chunking (window math graded inside q_encode_pack),
         # q_hash_split (md5-threshold assignment also inside
         # q_epoch_upsample's coin).
+        # Round-7 demotions (VERDICT r6 #4 — swap the thinnest slots
+        # for the strongest new oracles), each with in-window cover:
+        # q_w1_relevance_topk (relevance scoring graded inside
+        # q_search_pipeline and q_w2_search_snippets),
+        # q_w5_first_event_per_user (ranking windows = q_group_quota +
+        # q_sessionization), q_f2_lang_filter_counts (thin counts;
+        # lang heuristics stay oracled via q_lang_id),
+        # q_a1_wordfreq_top3 (same explode+agg shape as
+        # q_tfidf_top_terms), q_j2_broadcast_join (broadcast joins =
+        # q_f5_structured_semi_join + q_bucketed_join),
+        # q_emb_cosine_topk (embedding path = q_semantic_dedup +
+        # q_emb_cosine_dups + q_ivf_ann_exact +
+        # q_semantic_decontamination).
+        'q_w1_relevance_topk': q_w1_relevance_topk,
+        'q_w5_first_event_per_user': q_w5_first_event_per_user,
+        'q_f2_lang_filter_counts': q_f2_lang_filter_counts,
+        'q_a1_wordfreq_top3': q_a1_wordfreq_top3,
+        'q_j2_broadcast_join': q_j2_broadcast_join,
+        'q_emb_cosine_topk': q_emb_cosine_topk,
         'q_stream_windowed_counts': q_stream_windowed_counts,
         'q_tpch_q1_pricing_summary': q_tpch_q1_pricing_summary,
         'q_emb_centroid_per_label': q_emb_centroid_per_label,
@@ -5086,10 +5213,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_calibration_bins': q_calibration_bins,
         'q_pr_curve': q_pr_curve,
         'q_average_precision': q_average_precision,
-        'q_stupid_backoff': q_stupid_backoff,
         'q_compaction_content': q_compaction_content,
         'q_nfc_normalize': q_nfc_normalize,
-        'q_quality_cascade': q_quality_cascade,
         'q_tokenizer_report': q_tokenizer_report,
         'q_export_diff': q_export_diff,
         'q_range_pruned_read': q_range_pruned_read,
@@ -5098,8 +5223,6 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_jsonl_export': q_jsonl_export,
         'q_stream_export': q_stream_export,
         'q_para_neardup_planted': q_para_neardup_planted,
-        'q_gopher_dup_ngrams': q_gopher_dup_ngrams,
-        'q_learn_bpe': q_learn_bpe,
         'q_substring_keep_first': q_substring_keep_first,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,

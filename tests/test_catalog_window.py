@@ -17,20 +17,20 @@ import sys
 
 sys.path.insert(0, '/root/repo')
 
-# The intended graded window, in order. Round-6 state (VERDICT r5 #7:
-# grade the hardest oracles): IN — the r5 heavyweights
-# q_semantic_decontamination, q_dsir_select, q_model_auc,
-# q_recrawl_upsert, q_bucketed_join, plus the r6 flagships
-# q_substring_removal, q_gopher_repetition, q_encode_pack.
-# OUT (all remain oracled at 51+, each with an in-window cover):
-# q_stream_windowed_counts (1-row; streaming = q_stream_dedup +
-# q_sessionization), q_tpch_q1_pricing_summary (thin aggregate),
-# q_emb_centroid_per_label (thin agg), q_pii_redaction (native
-# regexp), q_repetition_stats (superseded by q_gopher_repetition),
-# q_source_quality_gate (gates = q_curation_pipeline +
-# q_model_quality_gate), q_doc_chunking (window math inside
-# q_encode_pack), q_hash_split (md5 assignment inside
-# q_epoch_upsample).
+# The intended graded window, in order. Round-7 state (VERDICT r6 #4:
+# swap the thinnest slots for the strongest new oracles): IN — the
+# planted MinHash/SimHash value oracles (q_minhash_planted,
+# q_simhash_planted — the last two pairwise ops previously rows-only),
+# q_gopher_dup_ngrams, q_learn_bpe, q_stupid_backoff,
+# q_quality_cascade.
+# OUT this round (all remain oracled at 51+, in-window cover named in
+# the catalog comment): q_w1_relevance_topk, q_w5_first_event_per_user,
+# q_f2_lang_filter_counts, q_a1_wordfreq_top3, q_j2_broadcast_join,
+# q_emb_cosine_topk.
+# Earlier demotions (rounds 4-6) unchanged: q_stream_windowed_counts,
+# q_tpch_q1_pricing_summary, q_emb_centroid_per_label,
+# q_pii_redaction, q_repetition_stats, q_source_quality_gate,
+# q_doc_chunking, q_hash_split.
 GRADED_WINDOW = [
     'q_bloom_incremental_ingest',
     'q_neardup_clusters',
@@ -44,15 +44,15 @@ GRADED_WINDOW = [
     'q_t7_meaningful_tokens',
     'q_line_dedup',
     'q_d2_dedup_first_seen',
-    'q_w1_relevance_topk',
+    'q_minhash_planted',
     'q_pack_sequences',
     'q_encode_pack',
-    'q_w5_first_event_per_user',
-    'q_f2_lang_filter_counts',
-    'q_a1_wordfreq_top3',
+    'q_simhash_planted',
+    'q_gopher_dup_ngrams',
+    'q_learn_bpe',
     'q_a3_term_document_frequency',
     'q_semantic_dedup',
-    'q_j2_broadcast_join',
+    'q_stupid_backoff',
     'q_substring_duplication',
     'q_substring_removal',
     'q_gopher_repetition',
@@ -60,7 +60,7 @@ GRADED_WINDOW = [
     'q_token_budget_mix',
     'q_curation_pipeline',
     'q_model_quality_gate',
-    'q_emb_cosine_topk',
+    'q_quality_cascade',
     'q_token_counts_bpe',
     'q_w2_search_snippets',
     'q_stream_dedup',
@@ -115,6 +115,10 @@ def test_out_of_window_oracles_still_covered_internally():
                     'q_tpch_q1_pricing_summary',
                     'q_emb_centroid_per_label', 'q_pii_redaction',
                     'q_repetition_stats', 'q_source_quality_gate',
-                    'q_doc_chunking', 'q_hash_split'):
+                    'q_doc_chunking', 'q_hash_split',
+                    # round-7 demotions
+                    'q_w1_relevance_topk', 'q_w5_first_event_per_user',
+                    'q_f2_lang_filter_counts', 'q_a1_wordfreq_top3',
+                    'q_j2_broadcast_join', 'q_emb_cosine_topk'):
         assert demoted in oracled_outside, demoted
     assert len(oracled_outside) >= 15
