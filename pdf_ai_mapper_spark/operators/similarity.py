@@ -179,6 +179,24 @@ def ivf_index(df: DataFrame, n_lists: int = 16,
     return model.transform(feats).drop('__v'), model
 
 
+def ivf_probe_cells(kmeans_model, query_vec: list[float],
+                    n_probe: int = 4) -> list[int]:
+    """The n_probe cell ids an IVF probe scans for this query: cells
+    ranked by centroid distance, driver-side (n_lists is tiny).
+    Factored out of ivf_topk so callers can report the scanned
+    fraction — the cost axis of the recall/cost tradeoff."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if getattr(kmeans_model, '_ivf_normalized', False):
+        nrm = np.linalg.norm(q)
+        if nrm > 0:
+            q = q / nrm
+    centers = np.array([np.asarray(c, dtype=np.float64)
+                        for c in kmeans_model.clusterCenters()])
+    order = np.argsort(np.linalg.norm(centers - q[None, :], axis=1),
+                       kind='stable')
+    return [int(c) for c in order[:n_probe]]
+
+
 def ivf_topk(indexed_df: DataFrame, kmeans_model, query_vec: list[float],
              k: int = 10, n_probe: int = 4,
              id_col: str = 'vec_id', vec_col: str = 'embedding') -> DataFrame:
@@ -186,19 +204,10 @@ def ivf_topk(indexed_df: DataFrame, kmeans_model, query_vec: list[float],
     the query (driver-side — n_lists tiny), scan only the n_probe
     nearest cells, exact cosine within them. Recall rises with n_probe;
     n_probe = n_lists degenerates to exact brute force."""
-    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    qq = q
-    if getattr(kmeans_model, '_ivf_normalized', False):
-        nrm = np.linalg.norm(q)
-        if nrm > 0:
-            qq = q / nrm
-    centers = np.array([np.asarray(c, dtype=np.float64)
-                        for c in kmeans_model.clusterCenters()])
-    order = np.argsort(np.linalg.norm(centers - qq[None, :], axis=1),
-                       kind='stable')
-    probe = [int(c) for c in order[:n_probe]]
+    probe = ivf_probe_cells(kmeans_model, query_vec, n_probe)
     cand = indexed_df.filter(F.col('ivf_cell').isin(probe))
-    return brute_force_topk(cand, list(q), id_col, vec_col, k)
+    return brute_force_topk(cand, [float(x) for x in query_vec],
+                            id_col, vec_col, k)
 
 
 # ------------------------------------------------- embedding near-dups

@@ -1521,6 +1521,85 @@ def q_ivf_ann_topk(spark, sf_dir):
             .orderBy(F.desc('cos_sim'), F.asc('vec_id')))
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k evidence for the ANN prune paths (round 7 — VERDICT r6
+    #5): LSH (planes=4, the q_lsh_ann_topk config) and IVF (probe
+    4-of-8 cells, the q_ivf_ann_topk config) measured against the
+    ORACLED exact twin (q_emb_cosine_topk's brute_force_topk) over
+    eight fixture query vectors, with the mean scanned corpus fraction
+    alongside — the cost axis of the recall/cost tradeoff (LSH scans
+    ~1/16 of the corpus for its recall; IVF ~half). Rows-only (recall
+    < 1.0 by construction; KMeans cells are not SQL), but the quality
+    floors are asserted IN-QUERY so a recall regression turns the
+    driver row RED instead of hiding behind a stable row count:
+    self-hit must be perfect (the query's bucket is its own; its cell
+    is the nearest), and mean recall must clear 0.15 (lsh) / 0.60
+    (ivf). Measured: 0.2375 / 0.85 at sf0.01 (0.275 lsh at sf0.001) —
+    leave margin because KMeans cell boundaries may shift with
+    partitioning; the LSH path is splitmix64-deterministic and pinned
+    EXACTLY by tests/test_dedup_similarity.py::test_ann_recall_pinned.
+    Scale shape: the corpus is bucketed/indexed ONCE and persisted;
+    each probe reads one bucket / n_probe cells (partition-prunable
+    when written bucketed by lsh_bucket / ivf_cell)."""
+    from pyspark import StorageLevel
+    from .operators.similarity import (brute_force_topk, ivf_index,
+                                       ivf_probe_cells, query_bucket,
+                                       with_lsh_bucket)
+    planes, n_lists, n_probe, k = 4, 8, 4, 10
+    vecs = _t(spark, sf_dir, 'embeddings')
+    qids = list(range(8))
+    queries = {r['vec_id']: [float(x) for x in r['embedding']]
+               for r in vecs.filter(F.col('vec_id').isin(qids))
+               .select('vec_id', 'embedding').collect()}
+    indexed, model = ivf_index(vecs, n_lists=n_lists)
+    both = (with_lsh_bucket(indexed, 'embedding', planes=planes)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    n_total = both.count()
+    bucket_n = {r['lsh_bucket']: r['n'] for r in
+                both.groupBy('lsh_bucket').agg(F.count('*').alias('n'))
+                .collect()}
+    cell_n = {r['ivf_cell']: r['n'] for r in
+              both.groupBy('ivf_cell').agg(F.count('*').alias('n'))
+              .collect()}
+
+    def ids(df):
+        return {r['vec_id'] for r in df.collect()}
+
+    per_method = {'lsh': [], 'ivf': []}  # (recall, self_hit, scanned)
+    for qid in qids:
+        qv = queries[qid]
+        exact = ids(brute_force_topk(vecs, qv, k=k))
+        b = query_bucket(qv, planes)
+        lsh = ids(brute_force_topk(
+            both.filter(F.col('lsh_bucket') == b), qv, k=k))
+        probe = ivf_probe_cells(model, qv, n_probe)
+        ivf = ids(brute_force_topk(
+            both.filter(F.col('ivf_cell').isin(probe)), qv, k=k))
+        per_method['lsh'].append(
+            (len(lsh & exact) / k, qid in lsh, bucket_n.get(b, 0)))
+        per_method['ivf'].append(
+            (len(ivf & exact) / k, qid in ivf,
+             sum(cell_n.get(c, 0) for c in probe)))
+    both.unpersist()
+    floors = {'lsh': 0.15, 'ivf': 0.60}
+    rows = []
+    for name in ('lsh', 'ivf'):
+        rs = per_method[name]
+        mean_r = sum(r for r, _, _ in rs) / len(rs)
+        min_r = min(r for r, _, _ in rs)
+        self_hit = sum(1 for _, s, _ in rs if s) / len(rs)
+        scan = sum(n for _, _, n in rs) / (len(rs) * n_total)
+        assert self_hit == 1.0, \
+            f'{name}: query vector missing from its own top-{k} ({self_hit})'
+        assert mean_r >= floors[name], \
+            f'{name}: mean recall@{k} {mean_r} below floor {floors[name]}'
+        rows.append((name, len(rs), k, round(mean_r, 6), round(min_r, 6),
+                     round(self_hit, 6), round(scan, 6)))
+    return spark.createDataFrame(
+        rows, 'operator string, n_queries long, k long, mean_recall double,'
+              ' min_recall double, self_hit double, mean_scan_frac double')
+
+
 def q_pagerank_centrality(spark, sf_dir):
     """Link-graph centrality (operators/graph.pagerank): 10 exact
     integer fixed-point power iterations over a deterministic synthetic
@@ -5233,6 +5312,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_neardup_pr': q_neardup_pr,
         'q_para_neardup': q_para_neardup,
         'q_ivf_ann_topk': q_ivf_ann_topk,
+        'q_ann_recall': q_ann_recall,
         'q_stream_ingest': q_stream_ingest,
         'q_warc_ingest': q_warc_ingest,
         'q_compaction': q_compaction,

@@ -165,6 +165,31 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.5, f'recall {recall}'
 
 
+def test_ann_recall_pinned(spark):
+    """q_ann_recall's fixture values (round 7 — VERDICT r6 #5): the LSH
+    leg is splitmix64-deterministic, so its recall is pinned EXACTLY;
+    the IVF leg depends on seeded-KMeans cell boundaries (which may
+    shift with partitioning), so it is floor-asserted — the same split
+    the query's in-query asserts use. Also checks the refactored
+    ivf_probe_cells == what ivf_topk scans (full probe == brute force
+    stays exact)."""
+    from pdf_ai_mapper_spark.queries import q_ann_recall
+
+    rows = {r['operator']: r
+            for r in q_ann_recall(spark, '/root/testdata/sf0.001').collect()}
+    assert set(rows) == {'lsh', 'ivf'}
+    lsh, ivf = rows['lsh'], rows['ivf']
+    # deterministic leg: exact pins (measured on the fixture)
+    assert lsh['mean_recall'] == 0.275, lsh  # sf0.001 (sf0.01 reads 0.2375)
+    assert lsh['min_recall'] == 0.1, lsh
+    assert lsh['self_hit'] == 1.0
+    assert 0.0 < lsh['mean_scan_frac'] < 0.2  # ~1/16 of the corpus
+    # KMeans leg: floors with margin
+    assert ivf['mean_recall'] >= 0.6, ivf
+    assert ivf['self_hit'] == 1.0
+    assert 0.3 < ivf['mean_scan_frac'] < 0.75  # ~4 of 8 cells
+
+
 def test_lsh_768dim_bounded_plan_and_star_expansion(spark):
     """768-dim vectors run LSH end-to-end (the old per-dimension
     expression tree exploded at this dim), the driver-side query bucket
