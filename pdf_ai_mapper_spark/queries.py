@@ -2709,6 +2709,70 @@ def q_warc_ingest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_warc_framing(spark, sf_dir):
+    """WARC framing arithmetic, VALUE-ORACLED (round 7 — VERDICT r6
+    #6: the rows-only q_warc_ingest byte-checks real extraction; this
+    one proves the OFFSET-INDEX path's record framing in SQL). A raw
+    WARC segment is synthesized from pure doc_id arithmetic (ASCII
+    payload 'p{id}:' + 'x'×((id·37)%256+1), fixed date, fixed-width
+    record id — build_warc's exact template), then (a) the streamed
+    offset-index sidecar (sources/warc.build_warc_index — the 2 GiB+
+    scale path) frames every record and (b) the span reader
+    (read_warc(index=...), target 8 KiB → ~10 seek+read tasks over one
+    file) recovers every payload. DuckDB re-derives each record's
+    offset and length from the construction template (raw-record
+    lengths TILE the file, so length == head+http+4 exactly, offset ==
+    the running sum) and each payload's md5 — a full value check that
+    the independently-written index framing and the reader agree with
+    the WARC 1.0 grammar byte-for-byte. Windows here are fixture-scale
+    (one row per record, collected before return); at 100 TB the index
+    is built once per segment and persisted (CDX-style)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+    from .fixtures.webpages import build_warc
+    from .sources.warc import build_warc_index, read_warc
+    i = F.col('doc_id')
+    payload = F.concat(
+        F.lit('p'), i.cast('string'), F.lit(':'),
+        F.repeat(F.lit('x'), ((i * 37) % 256 + 1).cast('int')))
+    rows = (_t(spark, sf_dir, 'documents').filter(i < 200)
+            .select('doc_id',
+                    F.concat(F.lit('http://w.example/'),
+                             i.cast('string')).alias('url'),
+                    payload.alias('payload'))
+            .orderBy('doc_id').collect())
+    tmp = tempfile.mkdtemp(prefix='pam_q_warcf_')
+    try:
+        with open(f'{tmp}/seg.warc', 'wb') as f:
+            f.write(build_warc([(r['url'], datetime(2025, 1, 1),
+                                 r['payload'].encode('ascii'))
+                                for r in rows]))
+        idx = build_warc_index(spark, tmp)
+        # offset order == build order == doc_id order: align by rank
+        recs = (idx.withColumn(
+            'rid', F.row_number().over(Window.orderBy('offset')) - 1)
+            .select('rid', 'offset', 'length'))
+        pages = read_warc(spark, tmp, index=idx, target_task_bytes=8192)
+        got = (pages.select(
+            F.regexp_extract('url', r'/(\d+)$', 1).cast('long')
+            .alias('doc_id'),
+            F.length('html').cast('long').alias('payload_len'),
+            F.md5('html').alias('payload_md5'))
+            .withColumn('rid',
+                        F.row_number().over(Window.orderBy('doc_id')) - 1))
+        out = (got.join(recs, 'rid')
+               .select('doc_id', 'offset', 'length', 'payload_len',
+                       'payload_md5')
+               .orderBy('doc_id').collect())
+        return spark.createDataFrame(
+            [tuple(r) for r in out],
+            'doc_id long, offset long, length long, payload_len long,'
+            ' payload_md5 string')
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation (operators/curate.curate_corpus):
     quality gate → exact dedup → line dedup → chrome-dedup → dup score
@@ -3721,6 +3785,46 @@ ORACLES: dict[str, str] = {
                CAST(sum(db) AS BIGINT) AS id_sum_b,
                CAST(0 AS BIGINT) AS max_h
         FROM p GROUP BY g ORDER BY g
+    """,
+
+    # WARC framing (round 7): DuckDB rebuilds build_warc's exact
+    # record template per doc (the record-id contributes only its
+    # fixed 32-char width, so a '0'×32 filler stands in), re-derives
+    # offset/length from the running sum (raw-record lengths tile the
+    # file), and recomputes each payload's md5 from the construction.
+    'q_warc_framing': r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'http://w.example/' || doc_id AS url,
+                 'p' || doc_id || ':'
+                   || repeat('x', (doc_id * 37) % 256 + 1) AS payload
+          FROM documents WHERE doc_id < 200),
+        r AS (
+          SELECT doc_id, url, payload,
+                 'HTTP/1.1 200 OK' || E'\r\n' || 'Content-Type: text/html'
+                   || E'\r\n\r\n' || payload AS http
+          FROM d),
+        h AS (
+          SELECT doc_id, payload, http,
+                 'WARC/1.0' || E'\r\n' || 'WARC-Type: response' || E'\r\n'
+                   || 'WARC-Target-URI: ' || url || E'\r\n'
+                   || 'WARC-Date: 2025-01-01T00:00:00Z' || E'\r\n'
+                   || 'WARC-Record-ID: <urn:uuid:' || repeat('0', 32)
+                   || '>' || E'\r\n'
+                   || 'Content-Type: application/http; msgtype=response'
+                   || E'\r\n'
+                   || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
+                   || E'\r\n\r\n' AS head
+          FROM r)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(SUM(length(head) + length(http) + 4)
+                     OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS offset,
+               CAST(length(head) + length(http) + 4 AS BIGINT) AS length,
+               CAST(length(payload) AS BIGINT) AS payload_len,
+               md5(payload) AS payload_md5
+        FROM h ORDER BY doc_id
     """,
 
     'q_para_neardup_planted': r"""
@@ -5303,6 +5407,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_stream_export': q_stream_export,
         'q_para_neardup_planted': q_para_neardup_planted,
         'q_substring_keep_first': q_substring_keep_first,
+        'q_warc_framing': q_warc_framing,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
