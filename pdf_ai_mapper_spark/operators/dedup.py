@@ -123,7 +123,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     overflow-safe under Spark 4's default ANSI arithmetic (h reduced
     mod 2³¹−1 first, so a·h < 2⁶²). The earlier explode + 64-way
     groupBy formulation shuffled |docs|·|shingles| rows; this one
-    shuffles nothing."""
+    shuffles nothing.
+
+    Deliberately NOT spread via ensure_min_parallelism: the per-row
+    work here (one split + one numpy batch op) is cheap enough that on
+    a one-split input the repartition costs more than it recovers
+    (interleaved A/B r7: minhash steady-state 2.75 s → 2.80 s, cold
+    first run 3.5 s → 4.8 s). The spread guard pays off only for the
+    heavy window-building ops (substring/gopher family)."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, k)
     base = F.transform(F.col('shingles'),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
@@ -319,7 +326,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     the quadratic blowup on template-heavy corpora."""
     from pyspark.storagelevel import StorageLevel
     # consumed by the chunk table AND the hub join — persist, or the
-    # 64-way signed-bit aggregation runs twice (cf. minhash_lsh_pairs)
+    # 64-way signed-bit aggregation runs twice (cf. minhash_lsh_pairs).
+    # NOT spread (ensure_min_parallelism): per-row simhash packing is
+    # cheap — on a one-split input the repartition cost exceeded the
+    # parallelism gain (interleaved A/B r7: 1.48 s → 2.23 s steady)
     sh = with_simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         id_col, 'simhash',
@@ -396,11 +406,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
        every doc in the corpus; linear, but corpus-wide array state
        for rows that are never read)."""
     from pyspark.storagelevel import StorageLevel
-    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
-          .filter(F.size('shingles') > 0)
-          .select(id_col, 'shingles')
+    from .skew import ensure_min_parallelism
+    # spread a one-split scan BEFORE the per-row shingle work (and the
+    # cache write below) — no-op on any real multi-split input
+    base = ensure_min_parallelism(df.select(id_col, text_col))
+    # persist the FLAT postings, not the array column: caching an
+    # array<string> column pays the in-memory columnar builder ~5× the
+    # compute cost (measured r7: 4.1 s cache write vs 0.7 s compute at
+    # sf0.1); flat (id, shingle) strings encode cheaply and every
+    # branch below reads this relation anyway. Per-doc set sizes are
+    # recovered exactly by count(*) — with_shingles emits DISTINCT
+    # shingles per row, and explode drops the empty arrays the old
+    # size>0 filter removed.
+    ex = (with_shingles(base, text_col, k)
+          .select(id_col, F.explode('shingles').alias('sh'))
           .persist(StorageLevel.MEMORY_AND_DISK))  # feeds 4 branches
-    ex = sh.select(id_col, F.explode('shingles').alias('sh'))
     dfreq = ex.groupBy('sh').agg(F.count('*').alias('__df'))
     rare = dfreq.filter(F.col('__df') <= max_shingle_df).select('sh')
     common = dfreq.filter(F.col('__df') > max_shingle_df).select('sh')
@@ -418,7 +438,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     doc_common_n = (ex.join(common, on='sh')
                     .groupBy(id_col)
                     .agg(F.count('*').alias('__n_common')))
-    stats = (sh.select(id_col, F.size('shingles').alias('__n_sh'))
+    stats = (ex.groupBy(id_col).agg(F.count('*').alias('__n_sh'))
              .join(doc_common_n, on=id_col, how='left')
              .select(id_col, '__n_sh',
                      F.coalesce('__n_common', F.lit(0)).alias('__n_common')))
@@ -465,7 +485,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           n_inter / (F.col('__n_a') + F.col('__n_b') - n_inter))
               .filter(F.col('jaccard') >= threshold)
               .select('id_a', 'id_b', 'jaccard'))
-    result._persisted_deps = [sh, cand]  # for release() once materialized
+    result._persisted_deps = [ex, cand]  # for release() once materialized
     return result
 
 
@@ -792,6 +812,9 @@ def substring_duplication_stats(df: DataFrame, id_col: str = 'doc_id',
     16 shuffle bytes, results identical on collision-free inputs
     (parametrized test pins 64 == 128 on fixtures).
     """
+    from .skew import ensure_min_parallelism
+    df = ensure_min_parallelism(df)  # one-split scans serialize the
+    # per-row window hashing onto one core; no-op on real inputs
     hfun = _window_hash(hash_bits)
     toks = F.split(F.lower(F.col(text_col)), r'\s+')
     n = F.size(toks)
@@ -867,6 +890,10 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     hfun = _window_hash(hash_bits)
     from pyspark.storagelevel import StorageLevel
+    from .skew import ensure_min_parallelism
+    # spread BEFORE the persist below: a one-split scan would build the
+    # cached token/window arrays on a single core (no-op on real inputs)
+    df = ensure_min_parallelism(df)
 
     toks = F.split(F.trim(F.col(text_col)), r'\s+')
     n = F.size(toks)

@@ -28,6 +28,35 @@ def host_of_url(url: Column) -> Column:
     return F.try_parse_url(url, F.lit('HOST'))
 
 
+def ensure_min_parallelism(df: DataFrame,
+                           min_parts: int | None = None) -> DataFrame:
+    """Spread a too-few-partition input before per-row-heavy map work;
+    NO-OP when the plan already has enough partitions.
+
+    The failure mode this guards (measured round 7): a single parquet
+    file with one row group yields a ONE-task scan regardless of
+    ``spark.sql.files.maxPartitionBytes`` (byte-range splits assign row
+    groups whole), so every pre-shuffle map stage — shingling, window
+    hashing, signature UDFs, and crucially the cache WRITE of a
+    persisted base — serializes onto one core of the cluster
+    (q_ngram_jaccard at sf0.1: 6.8 s → 4.8 s from the spread alone).
+
+    Scale semantics: a 100 TB table scans as thousands of splits, so
+    the guard never fires and never adds a shuffle. It fires exactly
+    in the pathological case the extracted() docstring warns about —
+    a handful of giant unsplittable files — where a one-time shuffle
+    of the payload is the price of using the cluster at all. Plain
+    round-robin ``repartition(n)`` (sort-based, deterministic under
+    task retries since Spark 2.4) — no key, so no pmod-rehash
+    occupancy loss and no AQE coalescing (explicit counts are
+    pinned)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts if min_parts is not None else sc.defaultParallelism
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _xxhashable(dt) -> bool:
     """xxhash64 rejects MapType anywhere in the type tree (no canonical
     element order) — an AnalysisException at plan time, not runtime."""

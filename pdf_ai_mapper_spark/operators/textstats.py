@@ -338,6 +338,9 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
 
     from pyspark.storagelevel import StorageLevel
 
+    from .skew import ensure_min_parallelism
+    df = ensure_min_parallelism(df)  # one-split scans would build the
+    # cached arrays below on a single core; no-op on real inputs
     t = F.col(text_col)
 
     def nonempty(arr):
@@ -447,6 +450,8 @@ def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
     hfun = _window_hash(hash_bits)
 
     from pyspark.storagelevel import StorageLevel
+    from .skew import ensure_min_parallelism
+    df = ensure_min_parallelism(df)  # cf. gopher_repetition
 
     t = F.col(text_col)
     base = df.select(
