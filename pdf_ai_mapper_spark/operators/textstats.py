@@ -84,6 +84,75 @@ def with_lang_id(df: DataFrame, text_col: str = 'text',
             .drop('__lang_toks'))
 
 
+# Unicode code-point ranges per script (BMP, pinned; ISO 15924-ish
+# labels). Dict order IS the tie order — earlier wins. The SQL oracle
+# repeats the ranges verbatim (DuckDB's RE2 accepts the same \x{hhhh}
+# class escapes as Java regex), so both engines count the exact same
+# code points. latn deliberately includes U+00D7/U+00F7 (× ÷ sit inside
+# the Latin-1/Extended block ranges) — purity matters less than a
+# pinned, engine-independent contract.
+SCRIPT_RANGES: dict[str, str] = {
+    'latn': r'A-Za-z\x{00C0}-\x{024F}',
+    'hani': r'\x{4E00}-\x{9FFF}',
+    'cyrl': r'\x{0400}-\x{04FF}',
+    'arab': r'\x{0600}-\x{06FF}',
+    'deva': r'\x{0900}-\x{097F}',
+    'kore': r'\x{1100}-\x{11FF}\x{AC00}-\x{D7A3}',
+    'kana': r'\x{3040}-\x{30FF}',
+    'grek': r'\x{0370}-\x{03FF}',
+    'hebr': r'\x{0590}-\x{05FF}',
+    'thai': r'\x{0E00}-\x{0E7F}',
+}
+
+
+def with_script_id(df: DataFrame, text_col: str = 'text',
+                   out_col: str = 'script') -> DataFrame:
+    """Dominant-Unicode-script classification — the routing step a
+    webtext pipeline runs BEFORE per-script language ID (per-language
+    marker lists only make sense within one script; cf. with_lang_id's
+    Han pre-check, which this generalizes).
+
+    Contract (exact integer arithmetic, no floats, engine-independent):
+    per-script code-point counts over SCRIPT_RANGES; total = their sum.
+    - total == 0            -> 'und'  (no script letters at all)
+    - kana >= 1 and
+      kana*20 >= total      -> 'jpan' (Japanese mixes Han + kana; >=5%
+                                       kana fingerprints ja before the
+                                       majority rule hands it to hani)
+    - 2*max(counts) < total -> 'mixed' (no script holds a majority)
+    - else the FIRST script in SCRIPT_RANGES order whose count equals
+      the max ('kana' relabels to 'jpan').
+
+    Scale shape: one regexp_count traversal per script (10 total) —
+    pure codegen column expressions, zero shuffle, zero Python; same
+    cost class as with_lang_id's marker scans. The SQL oracle derives
+    the counts independently via length(regexp_replace(...,'g')) and
+    repeats the CASE chain in the same pinned order."""
+    t = F.col(text_col)
+    counts = {s: F.regexp_count(t, F.lit(f'[{r}]'))
+              for s, r in SCRIPT_RANGES.items()}
+    # materialize the counts once: they feed total, max, the jpan
+    # pre-check AND the argmax chain (regexp_count is NOT cheap; the
+    # round-4 no-CSE-for-repeated-expensive-exprs trap applies)
+    cnt_cols = {s: f'__sc_{s}' for s in SCRIPT_RANGES}
+    for s, c in counts.items():
+        df = df.withColumn(cnt_cols[s], c)
+    cc = {s: F.col(cnt_cols[s]) for s in SCRIPT_RANGES}
+    total = sum(list(cc.values())[1:], list(cc.values())[0])
+    mx = F.greatest(*cc.values())
+    label = F.lit('mixed')
+    for s in reversed(list(SCRIPT_RANGES)):   # earlier wins ties
+        name = 'jpan' if s == 'kana' else s
+        label = F.when(cc[s] == mx, F.lit(name)).otherwise(label)
+    out = (F.when(total == 0, F.lit('und'))
+           .when((cc['kana'] >= 1) & (cc['kana'] * 20 >= total),
+                 F.lit('jpan'))
+           .when(mx * 2 < total, F.lit('mixed'))
+           .otherwise(label))
+    return (df.withColumn(out_col, out)
+            .drop(*cnt_cols.values()))
+
+
 def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Quality heuristics: length, alpha ratio, digit ratio, stopword
     ratio, mean word length — the standard web-corpus filters

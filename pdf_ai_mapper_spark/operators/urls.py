@@ -119,3 +119,37 @@ def url_quality_filter(df: DataFrame, url_col: str = 'url',
             .withColumn('url_block', blocked)
             .withColumn('url_ok',
                         (~blocked) & (score < F.lit(int(threshold)))))
+
+
+def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = 'url',
+                content_col: str = 'text') -> DataFrame:
+    """Per-document delta between two crawl snapshots — the report a
+    recrawl pipeline reads before acting (the act is checkpoint.py's
+    recrawl upsert): which urls were added, removed, changed, or are
+    byte-identical. Reference parity: the reference reprocesses a
+    re-uploaded document wholesale (document_processor.py's id-keyed
+    overwrite); the delta report is the corpus-scale generalization
+    that decides WHICH documents are worth reprocessing.
+
+    Returns one row per url in either snapshot:
+    (id_col, status in {'added','removed','changed','unchanged'}).
+
+    Scale shape: content hashes (md5 over the raw bytes) are computed
+    in-row inside each scan projection, so the ONLY thing that rides
+    the full-outer-join exchange is (url, 32-char hash) — document
+    payloads never shuffle regardless of document size. One hash
+    shuffle per side on the join key; at 10^12 rows both sides
+    partition on url and AQE handles snapshot-size asymmetry (a daily
+    delta joining a small new crawl against a huge base broadcasts
+    the small side)."""
+    o = old.select(F.col(id_col),
+                   F.md5(F.col(content_col).cast('binary')).alias('__h_old'))
+    n = new.select(F.col(id_col),
+                   F.md5(F.col(content_col).cast('binary')).alias('__h_new'))
+    j = o.join(n, on=id_col, how='full_outer')
+    status = (F.when(F.col('__h_old').isNull(), F.lit('added'))
+              .when(F.col('__h_new').isNull(), F.lit('removed'))
+              .when(F.col('__h_old') == F.col('__h_new'),
+                    F.lit('unchanged'))
+              .otherwise(F.lit('changed')))
+    return j.select(id_col, status.alias('status'))

@@ -260,6 +260,46 @@ def q_lang_id(spark, sf_dir):
             .orderBy('lang', 'lang_pred'))
 
 
+# One sample per script family + the contract's edge cases; sid pins
+# the construction. The SQL oracle inlines the same rows as VALUES.
+_SCRIPT_SAMPLES: list[tuple[int, str]] = [
+    (1, 'The quick brown fox jumps over the lazy dog'),
+    (2, 'Привет мир это тест русского текста'),
+    (3, 'مرحبا بالعالم هذا نص عربي للاختبار'),
+    (4, 'नमस्ते दुनिया यह परीक्षण है'),
+    (5, '안녕하세요 세계 한국어 테스트입니다'),
+    (6, 'こんにちは世界 これはテストです'),      # kana+han → jpan
+    (7, 'Γεια σου κόσμε αυτό είναι δοκιμή'),
+    (8, 'שלום עולם זה מבחן'),
+    (9, 'สวัสดีชาวโลก นี่คือการทดสอบ'),
+    (10, '你好世界这是中文测试文本'),              # pure han → hani
+    (11, '12345 67890 !!! ???'),                  # no script chars → und
+    (12, 'abc где αβγ'),                          # 3-way tie → mixed
+    (13, '漢字漢字漢字漢字漢字の'),                # han-heavy + 1 kana → jpan
+    (14, 'hello world это'),                      # latn majority → latn
+]
+
+
+def q_script_id(spark, sf_dir):
+    """Dominant-script classification (textstats.with_script_id, round
+    7 — the routing step before per-script language ID): per-(src,
+    script) doc counts over the corpus UNION 14 planted samples that
+    exercise every script family plus the und/mixed/jpan-threshold
+    edges. Each planted script appears exactly once, so the (planted,
+    script) rows pin every sample's label individually; the corpus
+    rows pin the latn/hani split of the real documents table. The
+    DuckDB oracle re-derives all ten code-point counts independently
+    (length(regexp_replace)) and repeats the pinned CASE chain."""
+    d = (_t(spark, sf_dir, 'documents')
+         .select(F.lit('corpus').alias('src'), 'text'))
+    planted = (spark.createDataFrame(_SCRIPT_SAMPLES, 'sid long, text string')
+               .select(F.lit('planted').alias('src'), 'text'))
+    out = textstats.with_script_id(d.unionByName(planted), 'text')
+    return (out.groupBy('src', 'script')
+            .agg(F.count('*').cast('long').alias('n'))
+            .orderBy('src', 'script'))
+
+
 def q_quality_scores(spark, sf_dir):
     """Quality heuristics aggregated per source."""
     d = textstats.with_quality(_t(spark, sf_dir, 'documents'), 'text')
@@ -897,6 +937,40 @@ def q_url_canonicalization(spark, sf_dir):
                  F.countDistinct('canonical_url').cast('long').alias('n_canonical'),
                  F.countDistinct('host').cast('long').alias('n_hosts'))
             .orderBy('domain'))
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Crawl-snapshot delta report (operators/urls.crawl_delta, round
+    7): old = the documents corpus with urls derived from doc_id; new
+    = a deterministic mutation (doc_id%7==3 removed, doc_id%5==0
+    rewritten with an ' [updated]' suffix, one '?page=2' sibling added
+    per doc_id%11==0). The operator classifies every url as added /
+    removed / changed / unchanged from content md5s; the report is
+    per-status count + order-independent urls_md5, so the oracle
+    value-checks EVERY url's classification, not just the counts. The
+    oracle re-derives the mutation and the full-outer-join delta in
+    SQL from the same arithmetic."""
+    from .operators.urls import crawl_delta
+    d = _t(spark, sf_dir, 'documents')
+    url = F.concat(F.lit('https://crawl.example/p/'),
+                   F.col('doc_id').cast('string'))
+    old = d.select(url.alias('url'), 'text')
+    new_kept = (d.filter(F.col('doc_id') % 7 != 3)
+                .select(url.alias('url'),
+                        F.when(F.col('doc_id') % 5 == 0,
+                               F.concat(F.col('text'), F.lit(' [updated]')))
+                        .otherwise(F.col('text')).alias('text')))
+    new_added = (d.filter(F.col('doc_id') % 11 == 0)
+                 .select(F.concat(url, F.lit('?page=2')).alias('url'),
+                         F.concat(F.lit('continuation of '),
+                                  F.col('doc_id').cast('string'))
+                         .alias('text')))
+    res = crawl_delta(old, new_kept.unionByName(new_added), 'url', 'text')
+    return (res.groupBy('status')
+            .agg(F.count('*').cast('long').alias('n'),
+                 F.md5(F.concat_ws(',', F.array_sort(F.collect_list('url'))))
+                 .alias('urls_md5'))
+            .orderBy('status'))
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -2910,6 +2984,27 @@ _LANG_ID_CASE = (
     + " ELSE 'und' END"
 )
 
+# script-ID SQL mirror, generated from the same pinned SCRIPT_RANGES
+# (counts re-derived via length(regexp_replace) — an independent
+# derivation of the same code-point counts; CASE chain in dict order,
+# earlier wins ties, 'kana' relabels to 'jpan')
+_SCRIPTS = list(textstats.SCRIPT_RANGES)
+_SCRIPT_COUNTS_SQL = ', '.join(
+    "length(regexp_replace(text, '[^" + r + "]', '', 'g')) AS c_" + s
+    for s, r in textstats.SCRIPT_RANGES.items())
+_SCRIPT_TOTAL_SQL = ' + '.join('c_' + s for s in _SCRIPTS)
+_SCRIPT_MAX_SQL = 'GREATEST(' + ', '.join('c_' + s for s in _SCRIPTS) + ')'
+_SCRIPT_CASE = (
+    "CASE WHEN total = 0 THEN 'und' "
+    "WHEN c_kana >= 1 AND c_kana * 20 >= total THEN 'jpan' "
+    "WHEN 2 * m < total THEN 'mixed' "
+    + ' '.join(
+        "WHEN c_" + s + " = m THEN '" + ('jpan' if s == 'kana' else s) + "'"
+        for s in _SCRIPTS)
+    + ' END')
+_SCRIPT_VALUES_SQL = ', '.join(
+    "(" + str(sid) + ", '" + txt + "')" for sid, txt in _SCRIPT_SAMPLES)
+
 # A6 topic-type SQL mirror, generated from the same pinned keyword dict
 # (first-in-dict-order wins ties — the CASE chain in dict order)
 _TOPIC_TYPES = list(TOPIC_KEYWORDS)
@@ -3079,6 +3174,47 @@ ORACLES: dict[str, str] = {
         "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n "
         "FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
     ),
+    # dominant-script ID: ten independent code-point counts + the
+    # pinned CASE chain over corpus ∪ planted samples
+    'q_script_id': (
+        "WITH planted(sid, text) AS (VALUES " + _SCRIPT_VALUES_SQL + "), "
+        "uni AS (SELECT 'corpus' AS src, text FROM documents "
+        "UNION ALL SELECT 'planted', text FROM planted), "
+        "c AS (SELECT src, " + _SCRIPT_COUNTS_SQL + " FROM uni), "
+        "t AS (SELECT src, " + _SCRIPT_TOTAL_SQL + " AS total, "
+        + _SCRIPT_MAX_SQL + " AS m, c.* FROM c) "
+        "SELECT src, " + _SCRIPT_CASE + " AS script, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM t GROUP BY src, script ORDER BY src, script"
+    ),
+    # crawl delta: the mutation arithmetic + full-outer content-hash
+    # join re-derived; urls_md5 witnesses every url's classification
+    'q_crawl_delta': r"""
+        WITH old AS (
+            SELECT 'https://crawl.example/p/' || doc_id::VARCHAR AS url,
+                   text FROM documents),
+        newt AS (
+            SELECT 'https://crawl.example/p/' || doc_id::VARCHAR AS url,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 != 3
+            UNION ALL
+            SELECT 'https://crawl.example/p/' || doc_id::VARCHAR
+                       || '?page=2',
+                   'continuation of ' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 11 = 0),
+        o AS (SELECT url, md5(text) AS h FROM old),
+        n AS (SELECT url, md5(text) AS h FROM newt),
+        d AS (SELECT coalesce(o.url, n.url) AS url,
+                     CASE WHEN o.url IS NULL THEN 'added'
+                          WHEN n.url IS NULL THEN 'removed'
+                          WHEN o.h = n.h THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.url = n.url)
+        SELECT status, CAST(count(*) AS BIGINT) AS n,
+               md5(string_agg(url, ',' ORDER BY url)) AS urls_md5
+        FROM d GROUP BY status ORDER BY status
+    """,
     'q_quality_scores': r"""
         WITH q AS (
             SELECT source,
@@ -5408,6 +5544,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_para_neardup_planted': q_para_neardup_planted,
         'q_substring_keep_first': q_substring_keep_first,
         'q_warc_framing': q_warc_framing,
+        'q_script_id': q_script_id,
+        'q_crawl_delta': q_crawl_delta,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

@@ -126,3 +126,39 @@ def test_canonical_url_rules(spark):
         assert got[i]['canonical_url'] == canon, (u, got[i]['canonical_url'])
         assert got[i]['host'] == host, (u, got[i]['host'])
         assert got[i]['domain'] == domain, (u, got[i]['domain'])
+
+
+class TestCrawlDelta:
+    """crawl_delta (round 7): per-url snapshot diff from content md5s.
+    The q_crawl_delta oracle value-checks the whole corpus-scale
+    construction; these pin the row-level contract and the plan shape
+    (payloads must hash in-row, never ride the join exchange)."""
+
+    def _delta(self, spark, old_rows, new_rows):
+        from pdf_ai_mapper_spark.operators.urls import crawl_delta
+        old = spark.createDataFrame(old_rows, 'url string, text string')
+        new = spark.createDataFrame(new_rows, 'url string, text string')
+        return {r['url']: r['status']
+                for r in crawl_delta(old, new).collect()}
+
+    def test_all_four_statuses(self, spark):
+        got = self._delta(
+            spark,
+            [('u1', 'same'), ('u2', 'old text'), ('u3', 'goes away')],
+            [('u1', 'same'), ('u2', 'new text'), ('u4', 'brand new')])
+        assert got == {'u1': 'unchanged', 'u2': 'changed',
+                       'u3': 'removed', 'u4': 'added'}
+
+    def test_empty_sides(self, spark):
+        assert self._delta(spark, [], [('u', 't')]) == {'u': 'added'}
+        assert self._delta(spark, [('u', 't')], []) == {'u': 'removed'}
+
+    def test_payload_never_rides_the_exchange(self, spark):
+        from pdf_ai_mapper_spark.operators.urls import crawl_delta
+        old = spark.createDataFrame([('u', 'x')], 'url string, text string')
+        new = spark.createDataFrame([('u', 'x')], 'url string, text string')
+        plan = (crawl_delta(old, new)
+                ._jdf.queryExecution().executedPlan().toString())
+        for line in plan.splitlines():
+            if 'Exchange' in line:
+                assert 'text#' not in line  # only (url, md5) shuffles

@@ -143,6 +143,48 @@ class TestLangIdHanScript:
         assert with_lang_id(df).collect()[0]['lang_pred'] == 'zh'
 
 
+class TestScriptId:
+    """with_script_id (round 7): dominant-Unicode-script routing. The
+    q_script_id oracle re-derives the counts in DuckDB; these tests
+    pin the per-row contract edges the grouped oracle view blurs."""
+
+    def _classify(self, spark, rows):
+        from pdf_ai_mapper_spark.operators.textstats import with_script_id
+        df = spark.createDataFrame(rows, 'sid long, text string')
+        return {r['sid']: r['script'] for r in with_script_id(df).collect()}
+
+    def test_each_planted_sample_label(self, spark):
+        from pdf_ai_mapper_spark.queries import _SCRIPT_SAMPLES
+        out = self._classify(spark, _SCRIPT_SAMPLES)
+        expected = {1: 'latn', 2: 'cyrl', 3: 'arab', 4: 'deva',
+                    5: 'kore', 6: 'jpan', 7: 'grek', 8: 'hebr',
+                    9: 'thai', 10: 'hani', 11: 'und', 12: 'mixed',
+                    13: 'jpan', 14: 'latn'}
+        assert out == expected
+
+    def test_jpan_threshold_and_majority_edges(self, spark):
+        out = self._classify(spark, [
+            # kana exactly at the 5% boundary: 1 kana, 19 han ->
+            # 1*20 >= 20 holds -> jpan
+            (1, '漢' * 19 + 'の'),
+            # below it: 1 kana, 20 han -> 20 < 21 -> majority -> hani
+            (2, '漢' * 20 + 'の'),
+            # exact majority boundary: 3 latn vs 3 cyrl, 2*3 >= 6 ->
+            # not mixed; latn earlier in pinned order wins the tie
+            (3, 'abc где'),
+            # empty string -> und
+            (4, ''),
+        ])
+        assert out == {1: 'jpan', 2: 'hani', 3: 'latn', 4: 'und'}
+
+    def test_pure_codegen_no_python(self, spark):
+        from pdf_ai_mapper_spark.operators.textstats import with_script_id
+        df = spark.createDataFrame([(1, 'abc')], 'sid long, text string')
+        plan = with_script_id(df)._jdf.queryExecution().executedPlan().toString()
+        assert 'ArrowEvalPython' not in plan
+        assert 'BatchEvalPython' not in plan
+
+
 class TestTokenBudgetFill:
     def _docs(self, spark):
         rows = [(i, ['en', 'de'][i % 2], 10 + (i * 7) % 50,

@@ -278,3 +278,18 @@ def test_release_contract_no_persist_leaks(spark):
         cat[name](spark, SF).collect()
         new = _ids() - baseline
         assert not new, (name, new)
+
+
+def test_cluster_spark_conf_contract():
+    """cluster_spark_conf (round 7, from the DRIFT_AB_r7 straggler
+    finding): the real-cluster conf must enable speculation and
+    decommissioning and must NOT be baked into get_spark's local-mode
+    defaults (speculation double-runs tasks inside one JVM)."""
+    import inspect
+    from pdf_ai_mapper_spark.session import cluster_spark_conf, get_spark
+    conf = cluster_spark_conf()
+    assert conf['spark.speculation'] == 'true'
+    assert conf['spark.decommission.enabled'] == 'true'
+    assert all(isinstance(v, str) for v in conf.values())  # builder-safe
+    src = inspect.getsource(get_spark)
+    assert 'speculation' not in src
