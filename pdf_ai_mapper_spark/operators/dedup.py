@@ -568,6 +568,34 @@ def connected_components(pairs: DataFrame, id_a: str = 'id_a',
     return labels
 
 
+def keep_best_per_cluster(docs: DataFrame, components: DataFrame,
+                          id_col: str = 'doc_id',
+                          order_by: tuple[str, ...] = ('n_chars',)
+                          ) -> DataFrame:
+    """Act on resolved near-dup clusters: keep exactly ONE document per
+    cluster — the best by ``order_by`` (descending, exact-integer
+    columns recommended), ties broken by ascending ``id_col`` — and
+    every unclustered document untouched. The policy production
+    pipelines actually want is usually not min-id (the
+    connected_components label) but best-quality/longest; this
+    separates the graph resolution from the keep policy.
+
+    Scale shape: the ranking window runs over a NARROW projection —
+    (id, component, order keys only), i.e. the clustered subset, which
+    at corpus scale is a small fraction of the table (duplicate
+    clusters, not the corpus). Document payloads never ride the window
+    exchange; the final step is one left-anti join of docs against the
+    loser id set (ids only). Returns docs' full schema unchanged."""
+    comp = components.select(F.col('node').alias(id_col), 'component')
+    w = Window.partitionBy('component').orderBy(
+        *[F.desc(c) for c in order_by], F.asc(id_col))
+    losers = (comp.join(docs.select(id_col, *order_by), on=id_col)
+              .withColumn('__rk', F.row_number().over(w))
+              .filter(F.col('__rk') > 1)
+              .select(id_col))
+    return docs.join(losers, on=id_col, how='left_anti')
+
+
 # ---------------------------------------------- incremental MinHash index
 
 def minhash_index_update(spark, new_df: DataFrame, index_path: str,

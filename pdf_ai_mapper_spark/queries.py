@@ -2524,6 +2524,34 @@ def q_neardup_clusters(spark, sf_dir):
         'component long, n_members long, id_sum long')
 
 
+def q_cluster_keep_best(spark, sf_dir):
+    """Acting on near-dup clusters (dedup.keep_best_per_cluster, round
+    7): the oracled exact-Jaccard pairs resolve to clusters
+    (connected_components), then ONE survivor per cluster is kept by
+    the production policy — longest document wins (n_chars DESC),
+    doc_id ASC breaks ties — instead of the min-id label. Unclustered
+    docs pass through untouched. The corpus-level witness (count,
+    id sum, order-independent ids_md5, char sum) pins every keep/drop
+    decision. ORACLED: DuckDB replays pairs → recursive-CTE closure →
+    the same ROW_NUMBER policy."""
+    from .operators.dedup import (connected_components,
+                                  keep_best_per_cluster, release)
+    d = _t(spark, sf_dir, 'documents')
+    pairs = ngram_jaccard_pairs(d, 'doc_id', 'text', k=3, threshold=0.5)
+    cc = connected_components(pairs)
+    kept = keep_best_per_cluster(d, cc, 'doc_id', ('n_chars',))
+    res = kept.agg(
+        F.count('*').cast('long').alias('n_kept'),
+        F.sum('doc_id').cast('long').alias('id_sum'),
+        F.md5(F.concat_ws(',', F.array_sort(
+            F.collect_list(F.col('doc_id').cast('string'))))).alias('ids_md5'),
+        F.sum('n_chars').cast('long').alias('char_sum'))
+    rows = res.collect()
+    release(cc)
+    release(pairs)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_bloom_incremental_ingest(spark, sf_dir):
     """Bloom-prefiltered incremental ingest (operators/bloom.py +
     run_extraction(bloom_prefilter=True)): batch A (even doc_ids) is
@@ -4776,6 +4804,59 @@ ORACLES: dict[str, str] = {
                CAST(sum(u) AS BIGINT) AS id_sum
         FROM lab GROUP BY component ORDER BY component
     """,
+    # keep-best-per-cluster: pairs → recursive closure → the SAME
+    # ROW_NUMBER policy (n_chars DESC, doc_id ASC); kept = all docs
+    # minus the losers — every keep/drop decision witnessed by ids_md5
+    'q_cluster_keep_best': r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE []::VARCHAR[] END AS shingles
+            FROM toks
+        ), shne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shne),
+        rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 256),
+        exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM exr a JOIN exr b USING (s) WHERE a.doc_id < b.doc_id),
+        j AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                   (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+            FROM cand JOIN shne sa ON sa.doc_id = id_a
+                      JOIN shne sb ON sb.doc_id = id_b),
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        n AS (SELECT DISTINCT u FROM e),
+        comp(u, m) AS (
+            SELECT u, u FROM n
+            UNION
+            SELECT e.u, c.m FROM e JOIN comp c ON c.u = e.v
+        ),
+        lab AS (SELECT u, min(m) AS component FROM comp GROUP BY u),
+        ranked AS (
+            SELECT lab.u AS doc_id,
+                   row_number() OVER (PARTITION BY lab.component
+                                      ORDER BY d.n_chars DESC,
+                                               lab.u ASC) AS rk
+            FROM lab JOIN documents d ON d.doc_id = lab.u),
+        losers AS (SELECT doc_id FROM ranked WHERE rk > 1),
+        kept AS (SELECT * FROM documents
+                 WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        SELECT CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               md5(string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id::VARCHAR)) AS ids_md5,
+               CAST(sum(n_chars) AS BIGINT) AS char_sum
+        FROM kept
+    """,
     # the Bloom filter moves bytes, never answers: the committed set is
     # exactly batch A ∪ batch B, reconstructed here from doc_id alone
     'q_bloom_incremental_ingest': """
@@ -5546,6 +5627,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_warc_framing': q_warc_framing,
         'q_script_id': q_script_id,
         'q_crawl_delta': q_crawl_delta,
+        'q_cluster_keep_best': q_cluster_keep_best,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,
