@@ -713,6 +713,48 @@ def minhash_index_update(spark, new_df: DataFrame, index_path: str,
     return result
 
 
+def line_dedup_within_doc(df: DataFrame, id_col: str = 'doc_id',
+                          text_col: str = 'text',
+                          sep: str = '\n') -> DataFrame:
+    """WITHIN-document exact line dedup — the in-doc sibling of the
+    cross-document ``line_dedup``: keep the FIRST occurrence of every
+    non-empty line inside each document, drop later repeats (in-page
+    nav chrome, repeated headers in concatenated page dumps), preserve
+    order. Empty lines are ALWAYS kept — they carry paragraph
+    structure, and collapsing them would merge unrelated paragraphs.
+
+    Scale shape: ZERO shuffle — the whole operator is one in-row
+    column expression (split → indexed HOF filter → array_join), so it
+    runs at scan speed inside the projection, composable before any
+    shuffle-bearing stage. Cost note: the first-occurrence check is
+    O(L²) string compares per doc (array_position over the line
+    prefix, per line); for web-page line counts (10²–10³) this is
+    noise. For pathological million-line documents use the exploded
+    (id, line) window formulation instead (one narrow shuffle), which
+    is exactly what the SQL oracle runs — the parity check doubles as
+    the equivalence proof between the two formulations.
+
+    Returns (id_col, n_kept, n_removed, cleaned_text)."""
+    sep_rx = '\\Q' + sep.replace('\\E', '\\E\\\\E\\Q') + '\\E'
+    # materialize the array once: HOF lambda bodies are re-evaluated
+    # per element with NO subexpression elimination (CLAUDE.md r4) —
+    # referencing an unmaterialized split would re-split per line
+    base = df.select(F.col(id_col),
+                     F.split(F.col(text_col), sep_rx).alias('__lines'))
+    lines = F.col('__lines')
+    kept = F.filter(
+        lines,
+        lambda x, i: (x == '') | (
+            F.array_position(F.slice(lines, F.lit(1), i), x) == 0))
+    return (base
+            .withColumn('__kept', kept)
+            .select(id_col,
+                    F.size('__kept').cast('long').alias('n_kept'),
+                    (F.size('__lines') - F.size('__kept')).cast('long')
+                    .alias('n_removed'),
+                    F.array_join('__kept', sep).alias('cleaned_text')))
+
+
 def line_dedup(df: DataFrame, id_col: str = 'doc_id',
                text_col: str = 'text', min_df: int = 2,
                sep: str = '\n') -> DataFrame:

@@ -1084,6 +1084,26 @@ def q_line_dedup(spark, sf_dir):
             .orderBy('doc_id'))
 
 
+def q_line_dedup_within(spark, sf_dir):
+    """Within-document line dedup (dedup.line_dedup_within_doc, round
+    7 — zero-shuffle in-row HOF form): each doc becomes a 6-line page
+    with its own text twice, a nav-chrome banner three times, and an
+    empty line (construction shared verbatim with the oracle) — keep
+    first occurrence of each non-empty line, keep empties. FULL value
+    check per doc including the rebuilt cleaned_text; the oracle runs
+    the EXPLODED window formulation, so parity doubles as the
+    in-row ≡ exploded equivalence proof."""
+    from .operators.dedup import line_dedup_within_doc
+    nl = F.lit('\n')
+    page = F.concat(F.col('text'), nl, F.lit('HOME | ABOUT | CONTACT'),
+                    nl, F.col('text'), nl, F.lit('HOME | ABOUT | CONTACT'),
+                    nl, F.lit(''), nl, F.lit('HOME | ABOUT | CONTACT'))
+    d = (_t(spark, sf_dir, 'documents')
+         .select('doc_id', page.alias('text')))
+    return (line_dedup_within_doc(d, 'doc_id', 'text')
+            .orderBy('doc_id'))
+
+
 def q_group_quota(spark, sf_dir):
     """Per-source row quota (dedup.group_quota, round 4 — crawl
     balancing): keep the 30 longest docs per source (n_chars desc,
@@ -4192,6 +4212,39 @@ ORACLES: dict[str, str] = {
     # line_dedup: the 4-token-line layout is constructed identically on
     # both sides, then the full dedup (exact distinct-doc frequency,
     # >=2 removed, ordered rebuild) is value-checked including the
+    # within-doc line dedup: the EXPLODED window formulation (keep
+    # first occurrence per (doc, line), empties always kept) — parity
+    # vs the engine's zero-shuffle in-row HOF form proves the two
+    # formulations equivalent
+    'q_line_dedup_within': """
+        WITH page AS (
+            SELECT doc_id,
+                   text || chr(10) || 'HOME | ABOUT | CONTACT' ||
+                   chr(10) || text || chr(10) ||
+                   'HOME | ABOUT | CONTACT' || chr(10) || '' ||
+                   chr(10) || 'HOME | ABOUT | CONTACT' AS text
+            FROM documents),
+        ex AS (
+            SELECT doc_id, u.line, u.pos
+            FROM page, LATERAL (
+                SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos) u),
+        keep AS (
+            SELECT doc_id, line, pos,
+                   CASE WHEN line = '' THEN TRUE
+                        ELSE pos = min(pos) OVER (PARTITION BY doc_id,
+                                                  line) END AS k,
+                   count(*) OVER (PARTITION BY doc_id) AS n_total
+            FROM ex)
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE k) AS BIGINT) AS n_kept,
+               CAST(any_value(n_total)
+                    - count(*) FILTER (WHERE k) AS BIGINT) AS n_removed,
+               string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE k) AS cleaned_text
+        FROM keep GROUP BY doc_id ORDER BY doc_id
+    """,
     # rebuilt text bytes.
     'q_line_dedup': """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -5628,6 +5681,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_script_id': q_script_id,
         'q_crawl_delta': q_crawl_delta,
         'q_cluster_keep_best': q_cluster_keep_best,
+        'q_line_dedup_within': q_line_dedup_within,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

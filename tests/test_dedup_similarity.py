@@ -1159,3 +1159,38 @@ def test_with_nfc_semantics(spark):
     again = with_nfc(with_nfc(df).select('doc_id',
                                          F.col('nfc_text').alias('text')))
     assert {r['doc_id']: r['nfc_text'] for r in again.collect()} == got
+
+
+class TestLineDedupWithinDoc:
+    """line_dedup_within_doc (round 7): keep-first per non-empty line
+    WITHIN each doc, empties always kept; zero-shuffle in-row HOF. The
+    q_line_dedup_within oracle proves in-row ≡ exploded-window; these
+    pin row-level edges and the no-Exchange plan."""
+
+    def test_keep_first_and_empties(self, spark):
+        from pdf_ai_mapper_spark.operators.dedup import line_dedup_within_doc
+        df = spark.createDataFrame(
+            [(1, 'a\nb\na\n\nb\n\nc'), (2, 'x'), (3, '')],
+            'doc_id long, text string')
+        got = {r['doc_id']: r for r in
+               line_dedup_within_doc(df).collect()}
+        assert got[1]['cleaned_text'] == 'a\nb\n\n\nc'
+        assert (got[1]['n_kept'], got[1]['n_removed']) == (5, 2)
+        assert got[2]['cleaned_text'] == 'x'
+        # ''.split -> [''] = one empty line, kept
+        assert (got[3]['n_kept'], got[3]['n_removed']) == (1, 0)
+
+    def test_custom_separator_with_metachar(self, spark):
+        from pdf_ai_mapper_spark.operators.dedup import line_dedup_within_doc
+        df = spark.createDataFrame([(1, 'a|b|a|b')],
+                                   'doc_id long, text string')
+        r = line_dedup_within_doc(df, sep='|').collect()[0]
+        assert r['cleaned_text'] == 'a|b'
+
+    def test_zero_shuffle_plan(self, spark):
+        from pdf_ai_mapper_spark.operators.dedup import line_dedup_within_doc
+        df = spark.createDataFrame([(1, 'a\nb')], 'doc_id long, text string')
+        plan = (line_dedup_within_doc(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert 'Exchange' not in plan
+        assert 'ArrowEvalPython' not in plan
