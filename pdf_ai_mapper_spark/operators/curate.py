@@ -202,6 +202,43 @@ def budgets_from_mixture(df: DataFrame, group_col: str, token_col: str,
     return {g: b for g, b in budgets.items() if b > 0}
 
 
+def temperature_weights(df: DataFrame, group_col: str, token_col: str,
+                        alpha: float = 0.5) -> 'dict[str, int]':
+    """Derive mixture weights from the corpus itself: w_g ∝ n_g^alpha —
+    temperature-scaled sampling (the multilingual-corpus standard;
+    alpha < 1 upweights low-resource groups relative to proportional
+    sampling, alpha=0 is uniform, alpha=1 proportional). Feed the
+    result straight into ``budgets_from_mixture`` (integer weights are
+    exact Fractions there).
+
+    Returns INTEGER weights so every downstream step stays exact:
+    - alpha == 0.5 (the default and the usual published choice) uses
+      ``math.isqrt`` — exactly floor(sqrt(n)). A SQL oracle replicates
+      it as floor(sqrt(n::DOUBLE)): IEEE-754 sqrt is CORRECTLY rounded
+      (unlike pow), and for n < 2^52 the rounded double can never
+      cross an integer boundary (gap to the next square ≈ 1/(2·√n) ≫
+      ulp), so floor agrees with isqrt bit-for-bit in that range —
+      token sums at any per-group scale this applies to.
+    - other alphas use round(n**alpha) — fine driver-side (one float
+      per GROUP, not per row), but pow is not correctly rounded, so
+      cross-engine oracles should pin alpha=0.5.
+
+    Cost: ONE narrow (group, sum) aggregate + a driver dict of a few
+    dozen groups — same class as budgets_from_mixture."""
+    import math
+    rows = (df.groupBy(group_col)
+            .agg(F.sum(token_col).alias('__t')).collect())
+    out: dict[str, int] = {}
+    for r in rows:
+        n = int(r[1]) if r[1] is not None else 0
+        if n <= 0:
+            continue
+        w = math.isqrt(n) if alpha == 0.5 else int(round(n ** alpha))
+        if w > 0:
+            out[r[0]] = w
+    return out
+
+
 def token_budget_fill(df: DataFrame, group_col: str,
                       budgets: 'dict[str, int]',
                       token_col: str,

@@ -1838,6 +1838,33 @@ def q_token_budget_mix(spark, sf_dir):
                  F.sum('doc_id').cast('long').alias('id_sum')))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture (curate.temperature_weights →
+    budgets_from_mixture → token_budget_fill, round 7): per-language
+    weights DERIVED from the corpus as isqrt(sum n_tokens) (alpha=0.5,
+    the multilingual-sampling standard), total budget 6000 tokens —
+    chosen clamp-free at the gate scales so the waterfilling loop is
+    provably its single proportional round and the oracle can replay
+    budget_g = floor(total·w_g / Σw) in pure integer SQL. Fill order
+    (alpha_ratio DESC, doc_id ASC) as in q_token_budget_mix; per-lang
+    doc/token/id sums witness the exact kept set."""
+    from .operators.curate import (budgets_from_mixture,
+                                   temperature_weights,
+                                   token_budget_fill)
+    from .operators.textstats import with_quality
+    d = _t(spark, sf_dir, 'documents')
+    q = with_quality(d, 'text')
+    w = temperature_weights(q, 'lang', 'n_tokens', alpha=0.5)
+    budgets = budgets_from_mixture(q, 'lang', 'n_tokens', w, 6000)
+    kept = token_budget_fill(q, 'lang', budgets, 'n_tokens',
+                             [('alpha_ratio', 'desc'), ('doc_id', 'asc')])
+    return (kept.groupBy('lang')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum('n_tokens').cast('long').alias('sum_tokens'),
+                 F.sum('doc_id').cast('long').alias('id_sum'))
+            .orderBy('lang'))
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming dedup within a watermark (streaming.dedup_stream,
     dropDuplicatesWithinWatermark): every doc_id % 3 == 0 document is
@@ -4665,6 +4692,40 @@ ORACLES: dict[str, str] = {
         WHERE cum_before < budget
         GROUP BY lang
     """,
+    # temperature mixture: weights = floor(sqrt(per-lang token sums))
+    # (IEEE sqrt correctly rounded → agrees with Python isqrt below
+    # 2^52), budgets = single proportional round in integer floor
+    # division (clamp-free total by construction), then the same
+    # exclusive-running-sum fill as q_token_budget_mix
+    'q_temperature_mix': r"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio
+            FROM documents
+        ), w AS (
+            SELECT lang,
+                   CAST(floor(sqrt(sum(n_tokens)::DOUBLE)) AS BIGINT) AS w
+            FROM q GROUP BY lang HAVING sum(n_tokens) > 0
+        ), b AS (
+            SELECT lang, (6000 * w) // (SELECT sum(w) FROM w) AS budget
+            FROM w
+        ), c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang
+                                       ORDER BY alpha_ratio DESC, doc_id ASC
+                                       ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS cum_before
+            FROM q
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM c JOIN b USING (lang)
+        WHERE cum_before < budget
+        GROUP BY lang ORDER BY lang
+    """,
     # every injected +120s re-crawl pair sits inside the 1-hour
     # watermark, so dropDuplicatesWithinWatermark GUARANTEES one
     # survivor per text: the deduped stream == documents' distinct
@@ -5682,6 +5743,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_crawl_delta': q_crawl_delta,
         'q_cluster_keep_best': q_cluster_keep_best,
         'q_line_dedup_within': q_line_dedup_within,
+        'q_temperature_mix': q_temperature_mix,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

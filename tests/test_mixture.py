@@ -542,3 +542,42 @@ def test_cascade_report_funnel_semantics(spark):
     assert got['b'] == (3, 1, 2, round(2 / 3, 6))
     with pytest.raises(ValueError):
         cascade_report(df, [])
+
+
+class TestTemperatureWeights:
+    """temperature_weights (round 7): corpus-derived w_g ∝ n_g^alpha as
+    INTEGER weights; the q_temperature_mix oracle replays the alpha=0.5
+    path end-to-end. These pin the alpha semantics and composition."""
+
+    def _df(self, spark):
+        rows = [(i, 'g' + str(i % 3), (i % 3 + 1) * 100) for i in range(30)]
+        return spark.createDataFrame(rows, 'doc_id long, g string, toks long')
+
+    def test_isqrt_weights_and_alpha_direction(self, spark):
+        import math
+        from pdf_ai_mapper_spark.operators.curate import temperature_weights
+        df = self._df(spark)
+        sums = {'g0': 10 * 100, 'g1': 10 * 200, 'g2': 10 * 300}
+        w = temperature_weights(df, 'g', 'toks', alpha=0.5)
+        assert w == {g: math.isqrt(n) for g, n in sums.items()}
+        # alpha=1 proportional; alpha=0.5 compresses the ratio toward 1
+        w1 = temperature_weights(df, 'g', 'toks', alpha=1.0)
+        assert w1 == sums
+        assert w['g2'] / w['g0'] < w1['g2'] / w1['g0']
+
+    def test_zero_and_null_groups_dropped(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import temperature_weights
+        df = spark.createDataFrame(
+            [(1, 'a', 100), (2, 'b', 0), (3, 'c', None)],
+            'doc_id long, g string, toks long')
+        assert temperature_weights(df, 'g', 'toks') == {'a': 10}
+
+    def test_composes_with_budgets(self, spark):
+        from pdf_ai_mapper_spark.operators.curate import (
+            budgets_from_mixture, temperature_weights)
+        df = self._df(spark)
+        w = temperature_weights(df, 'g', 'toks', alpha=0.5)
+        b = budgets_from_mixture(df, 'g', 'toks', w, 600)
+        wsum = sum(w.values())
+        # clamp-free single round: exact floor shares
+        assert b == {g: 600 * wg // wsum for g, wg in w.items()}
