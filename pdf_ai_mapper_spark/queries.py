@@ -5607,7 +5607,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AUC, MERGE upsert, bucketed layout) and the r6 trio
         # (substring removal, gopher repetition, encode+pack) --------
         'q_bloom_incremental_ingest': q_bloom_incremental_ingest,
-        'q_neardup_clusters': q_neardup_clusters,
+        'q_cluster_keep_best': q_cluster_keep_best,
         'q_decontamination': q_decontamination,
         'q_unigram_logprob': q_unigram_logprob,
         'q_pagerank_centrality': q_pagerank_centrality,
@@ -5632,7 +5632,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_substring_removal': q_substring_removal,
         'q_gopher_repetition': q_gopher_repetition,
         'q_ppl_buckets': q_ppl_buckets,
-        'q_token_budget_mix': q_token_budget_mix,
+        'q_temperature_mix': q_temperature_mix,
         'q_curation_pipeline': q_curation_pipeline,
         'q_model_quality_gate': q_model_quality_gate,
         'q_quality_cascade': q_quality_cascade,
@@ -5645,7 +5645,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_skew_salted_agg': q_skew_salted_agg,
         'q_recrawl_upsert': q_recrawl_upsert,
         'q_bucketed_join': q_bucketed_join,
-        'q_f4_category_overlap': q_f4_category_overlap,
+        'q_script_id': q_script_id,
         'q_f5_structured_semi_join': q_f5_structured_semi_join,
         'q_a6_topic_type': q_a6_topic_type,
         'q_error_taxonomy': q_error_taxonomy,
@@ -5739,11 +5739,11 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_para_neardup_planted': q_para_neardup_planted,
         'q_substring_keep_first': q_substring_keep_first,
         'q_warc_framing': q_warc_framing,
-        'q_script_id': q_script_id,
+        'q_neardup_clusters': q_neardup_clusters,
+        'q_token_budget_mix': q_token_budget_mix,
+        'q_f4_category_overlap': q_f4_category_overlap,
         'q_crawl_delta': q_crawl_delta,
-        'q_cluster_keep_best': q_cluster_keep_best,
         'q_line_dedup_within': q_line_dedup_within,
-        'q_temperature_mix': q_temperature_mix,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
         'q_minhash_incremental': q_minhash_incremental,

@@ -27,13 +27,20 @@ sys.path.insert(0, '/root/repo')
 # the catalog comment): q_w1_relevance_topk, q_w5_first_event_per_user,
 # q_f2_lang_filter_counts, q_a1_wordfreq_top3, q_j2_broadcast_join,
 # q_emb_cosine_topk.
+# Late round-7 swaps (each IN entry SUBSUMES or outweighs its OUT):
+# q_cluster_keep_best IN for q_neardup_clusters (same pairs +
+# recursive closure, PLUS the keep policy and a full-corpus kept-set
+# md5); q_temperature_mix IN for q_token_budget_mix (derives the
+# weights the latter hardcodes, then runs the same budgets + fill);
+# q_script_id IN for q_f4_category_overlap (new operator family vs a
+# thin arrays_overlap filter; F4 stays oracled at 51+).
 # Earlier demotions (rounds 4-6) unchanged: q_stream_windowed_counts,
 # q_tpch_q1_pricing_summary, q_emb_centroid_per_label,
 # q_pii_redaction, q_repetition_stats, q_source_quality_gate,
 # q_doc_chunking, q_hash_split.
 GRADED_WINDOW = [
     'q_bloom_incremental_ingest',
-    'q_neardup_clusters',
+    'q_cluster_keep_best',
     'q_decontamination',
     'q_unigram_logprob',
     'q_pagerank_centrality',
@@ -57,7 +64,7 @@ GRADED_WINDOW = [
     'q_substring_removal',
     'q_gopher_repetition',
     'q_ppl_buckets',
-    'q_token_budget_mix',
+    'q_temperature_mix',
     'q_curation_pipeline',
     'q_model_quality_gate',
     'q_quality_cascade',
@@ -70,7 +77,7 @@ GRADED_WINDOW = [
     'q_skew_salted_agg',
     'q_recrawl_upsert',
     'q_bucketed_join',
-    'q_f4_category_overlap',
+    'q_script_id',
     'q_f5_structured_semi_join',
     'q_a6_topic_type',
     'q_error_taxonomy',
