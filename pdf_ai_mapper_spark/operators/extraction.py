@@ -51,6 +51,55 @@ def with_doctype(df: DataFrame, payload_col: str = 'html') -> DataFrame:
     return df.withColumn('doctype', doctype_col(F.col(payload_col)))
 
 
+# head-metadata patterns, pinned for the SQL oracle: Java regex and
+# DuckDB's RE2 agree on (?is) flags, lazy quantifiers, [^"]* classes,
+# group-1 extraction, AND the no-match result ('' in both engines)
+_TITLE_RX = r'(?is)<title[^>]*>(.*?)</title>'
+_ROBOTS_RX = r'(?is)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"'
+_CANONICAL_RX = r'(?is)<link[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"'
+
+
+def with_html_meta(df: DataFrame, payload_col: str = 'html',
+                   url_col: str = 'url') -> DataFrame:
+    """Head-metadata extraction for HTML payloads — the crawl-hygiene
+    step a Common-Crawl pipeline runs BEFORE content extraction and
+    URL-level dedup: pages that declare ``<meta name="robots"
+    content="noindex">`` must not enter the corpus, and pages that
+    declare ``<link rel="canonical">`` should consolidate onto the
+    canonical target (the publisher's own dedup hint — catches mobile/
+    AMP/print/session-URL variants that no syntactic URL
+    canonicalization can).
+
+    Adds columns (all native regexp on the decoded payload — pure
+    codegen inside the scan projection, zero shuffle, zero Python):
+    - ``html_title``: first <title> text ('' when absent),
+    - ``meta_robots``: robots meta content ('' when absent),
+    - ``noindex``: true iff meta_robots contains 'noindex'
+      (case-insensitive) — the corpus-exclusion gate,
+    - ``canonical_target``: the rel=canonical href when present and
+      non-empty, else the page's own ``url_col`` — group directly on
+      this column for canonical consolidation (first grouped stage
+      shuffles only (target, narrow keys), never payloads).
+
+    First-attribute-wins and double-quoted attributes are the pinned
+    contract (regexes above are shared verbatim with the SQL oracle;
+    single-quoted/unquoted attribute variants are a documented
+    non-goal — at corpus scale they route through the full DOM parse
+    in kernels/html_extract, not this fast path)."""
+    page = F.decode(F.col(payload_col), 'UTF-8') \
+        if dict(df.dtypes)[payload_col] == 'binary' else F.col(payload_col)
+    robots = F.regexp_extract(page, _ROBOTS_RX, 1)
+    canon = F.regexp_extract(page, _CANONICAL_RX, 1)
+    return (df
+            .withColumn('html_title', F.regexp_extract(page, _TITLE_RX, 1))
+            .withColumn('meta_robots', robots)
+            .withColumn('noindex',
+                        F.lower(robots).contains('noindex'))
+            .withColumn('canonical_target',
+                        F.when(canon != '', canon)
+                        .otherwise(F.col(url_col))))
+
+
 def size_ok_col(payload: Column, max_bytes: int) -> Column:
     """F1 file-size predicate as a native expression (reference
     document_processor.py:66-73; the per-row kernel mirror is

@@ -939,6 +939,50 @@ def q_url_canonicalization(spark, sf_dir):
             .orderBy('domain'))
 
 
+def q_html_meta(spark, sf_dir):
+    """HTML head-metadata extraction (extraction.with_html_meta, round
+    7 — the crawl-hygiene step before content extraction): pages are
+    synthesized deterministically around the documents corpus (title
+    from doc_id; a noindex robots meta on doc_id%4==0, an index one on
+    %4==1, none otherwise; a rel=canonical to target doc_id//9 on
+    doc_id%3==0 — so ~3 live pages consolidate per canonical target),
+    passed through as BINARY payloads (the input-hint schema). Reports
+    corpus totals: doc count, noindex count, distinct canonical
+    targets among live pages, max consolidation fan-in, and an
+    order-independent titles digest. The oracle re-derives every
+    column with the same pinned regexes (Java regex and RE2 agree on
+    these constructs, including ''-on-no-match)."""
+    from .operators.extraction import with_html_meta
+    d = _t(spark, sf_dir, 'documents')
+    did = F.col('doc_id')
+    html = F.concat(
+        F.lit('<html><head><title>Doc '), did.cast('string'),
+        F.lit('</title>'),
+        F.when(did % 4 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 4 == 1,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit('')),
+        F.when(did % 3 == 0, F.concat(
+            F.lit('<link rel="canonical" href="https://canon.example/p/'),
+            F.floor(did / 9).cast('long').cast('string'), F.lit('">')))
+        .otherwise(F.lit('')),
+        F.lit('</head><body>'), F.col('text'), F.lit('</body></html>'))
+    url = F.concat(F.lit('https://crawl.example/p/'), did.cast('string'))
+    m = with_html_meta(d.select(
+        'doc_id', html.cast('binary').alias('html'), url.alias('url')))
+    per_t = (m.filter(~F.col('noindex'))
+             .groupBy('canonical_target').agg(F.count('*').alias('n')))
+    return (m.agg(
+        F.count('*').cast('long').alias('n_docs'),
+        F.sum(F.col('noindex').cast('long')).cast('long').alias('n_noindex'),
+        F.md5(F.concat_ws('\x1f', F.array_sort(
+            F.collect_list('html_title')))).alias('titles_md5'))
+        .crossJoin(per_t.agg(
+            F.count('*').cast('long').alias('n_targets'),
+            F.max('n').cast('long').alias('max_consolidation'))))
+
+
 def q_crawl_delta(spark, sf_dir):
     """Crawl-snapshot delta report (operators/urls.crawl_delta, round
     7): old = the documents corpus with urls derived from doc_id; new
@@ -3262,6 +3306,52 @@ ORACLES: dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n "
         "FROM t GROUP BY src, script ORDER BY src, script"
     ),
+    # html head metadata: same pinned regexes replayed by RE2 (''-on-
+    # no-match matches Spark's regexp_extract), same page construction
+    'q_html_meta': r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || doc_id::VARCHAR
+                   || '</title>' ||
+                   CASE WHEN doc_id % 4 = 0 THEN
+                            '<meta name="robots" content="noindex, nofollow">'
+                        WHEN doc_id % 4 = 1 THEN
+                            '<meta name="robots" content="index, follow">'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 3 = 0 THEN
+                            '<link rel="canonical" href="https://canon.example/p/'
+                            || (doc_id // 9)::VARCHAR || '">'
+                        ELSE '' END ||
+                   '</head><body>' || text || '</body></html>' AS html,
+                   'https://crawl.example/p/' || doc_id::VARCHAR AS url
+            FROM documents),
+        m AS (
+            SELECT doc_id, url,
+                   regexp_extract(html,
+                       '(?is)<title[^>]*>(.*?)</title>', 1) AS html_title,
+                   regexp_extract(html,
+                       '(?is)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"',
+                       1) AS meta_robots,
+                   regexp_extract(html,
+                       '(?is)<link[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"',
+                       1) AS canon
+            FROM pages),
+        mm AS (
+            SELECT *, contains(lower(meta_robots), 'noindex') AS noindex,
+                   CASE WHEN canon != '' THEN canon ELSE url END
+                       AS canonical_target
+            FROM m),
+        pt AS (SELECT canonical_target, count(*) AS n FROM mm
+               WHERE NOT noindex GROUP BY canonical_target)
+        SELECT CAST((SELECT count(*) FROM mm) AS BIGINT) AS n_docs,
+               CAST((SELECT count(*) FILTER (WHERE noindex) FROM mm)
+                    AS BIGINT) AS n_noindex,
+               (SELECT md5(string_agg(html_title, chr(31)
+                                      ORDER BY html_title)) FROM mm)
+                   AS titles_md5,
+               CAST((SELECT count(*) FROM pt) AS BIGINT) AS n_targets,
+               CAST((SELECT max(n) FROM pt) AS BIGINT) AS max_consolidation
+    """,
     # crawl delta: the mutation arithmetic + full-outer content-hash
     # join re-derived; urls_md5 witnesses every url's classification
     'q_crawl_delta': r"""
@@ -5743,6 +5833,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'q_token_budget_mix': q_token_budget_mix,
         'q_f4_category_overlap': q_f4_category_overlap,
         'q_crawl_delta': q_crawl_delta,
+        'q_html_meta': q_html_meta,
         'q_line_dedup_within': q_line_dedup_within,
         # rows-only (no SQL oracle):
         'q_minhash_near_dups': q_minhash_near_dups,
