@@ -388,19 +388,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ALL its shared shingles exceed the cap). This contract is mirrored
     exactly by the DuckDB oracle in queries.py (q_ngram_jaccard_exact).
 
-    Plan shape (measured at sf0.1: 1.13M candidate pairs → 256 final;
-    the naive attach-both-arrays-to-every-candidate formulation spent
-    14 s shuffling 50-element string arrays):
-    1. |∩ ∩ rare| per pair from the rare-postings self-join as a
+    Plan shape (round 8 reshape; measured at sf1.0/50k docs: 64.9 s →
+    the pinned co-partitioned form below — the old shape spent 40 s of
+    it in a 10-TASK self-join stage because AQE coalesced the 15 MB
+    post-shuffle input of a join that EXPLODES to ~1 GB of pair rows):
+    0. shingles hash to xxhash64 longs IN-ROW before anything shuffles
+       (the substring/decontamination contract: equal absent 64-bit
+       collisions; 8-byte keys sort/compare/aggregate far cheaper than
+       multi-word strings);
+    1. ONE explicit ``repartition(P, sh)`` + a count window attaches
+       per-posting document frequency — replacing the old
+       groupBy(sh) + two ex⋈rare/ex⋈common shuffle joins with a single
+       postings shuffle whose explicit partition count AQE cannot
+       coalesce (the guide-§2.5 pathology: size-based coalescing ahead
+       of an exploding join); the persisted (id, sh, df) relation is
+       hash-partitioned AND sorted by sh, so the rare self-join below
+       needs NO exchange and NO sort on either side;
+    2. |∩ ∩ rare| per pair from the rare-postings self-join as a
        NARROW count aggregation — only (id_a, id_b, n_rare) longs
        shuffle;
-    2. a LOSSLESS upper-bound prune on counts alone:
+    3. a LOSSLESS upper-bound prune on counts alone:
        |∩| ≤ n_rare + min(common_a, common_b), so
        J ≤ ub/(n_a+n_b−ub) — pairs that cannot reach the threshold
        are dropped before any array is attached;
-    3. ONLY prune survivors (few — the small persisted ``cand`` table)
-       get a common-only shingle array built and attached for the
-       exact correction |∩| = n_rare + |common_a ∩ common_b|: the
+    4. ONLY prune survivors (few — the small persisted ``cand`` table)
+       get a common-only hash array built and attached for the exact
+       correction |∩| = n_rare + |common_a ∩ common_b|: the
        ``collect_list`` aggregation is semi-joined down to survivor
        ids FIRST (VERDICT r2 #4 — the earlier shape built an array for
        every doc in the corpus; linear, but corpus-wide array state
@@ -410,38 +423,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # spread a one-split scan BEFORE the per-row shingle work (and the
     # cache write below) — no-op on any real multi-split input
     base = ensure_min_parallelism(df.select(id_col, text_col))
-    # persist the FLAT postings, not the array column: caching an
-    # array<string> column pays the in-memory columnar builder ~5× the
-    # compute cost (measured r7: 4.1 s cache write vs 0.7 s compute at
-    # sf0.1); flat (id, shingle) strings encode cheaply and every
-    # branch below reads this relation anyway. Per-doc set sizes are
-    # recovered exactly by count(*) — with_shingles emits DISTINCT
-    # shingles per row, and explode drops the empty arrays the old
-    # size>0 filter removed.
-    ex = (with_shingles(base, text_col, k)
-          .select(id_col, F.explode('shingles').alias('sh'))
-          .persist(StorageLevel.MEMORY_AND_DISK))  # feeds 4 branches
-    dfreq = ex.groupBy('sh').agg(F.count('*').alias('__df'))
-    rare = dfreq.filter(F.col('__df') <= max_shingle_df).select('sh')
-    common = dfreq.filter(F.col('__df') > max_shingle_df).select('sh')
+    # scale-adaptive partition count for the postings shuffle: follows
+    # the (spread) scan parallelism, never a local-mode constant
+    p_parts = max(df.sparkSession.sparkContext.defaultParallelism,
+                  base.rdd.getNumPartitions())
+    # flat postings of HASHED shingles: xxhash64 in-row (no shingle
+    # string ever rides an exchange), one explicit repartition by key
+    # (pinned count — see docstring), document frequency via a count
+    # window on the established partitioning (zero extra shuffle), and
+    # the whole (id, sh, df) long-triple relation persisted once for
+    # every branch below. Flat longs, not arrays: caching an array
+    # column pays the columnar builder ~5× the compute cost (r7).
+    # explode_OUTER + post-generate isNotNull, NOT a plain explode: the
+    # optimizer infers `size(shingles) > 0` from an inner explode and
+    # pushes it below the spread exchange into the scan — where it
+    # RE-EVALUATES the whole shingle expression serially on the
+    # unspread scan tasks (measured at sf1.0: a 15 s one-core stage).
+    # The isNotNull filter references the generated column, so it
+    # cannot sink below the Generate.
+    exw = (with_shingles(base, text_col, k)
+           .select(id_col, F.explode_outer('shingles').alias('__s'))
+           .filter(F.col('__s').isNotNull())
+           .select(id_col, F.xxhash64('__s').alias('sh'))
+           .repartition(p_parts, 'sh')
+           .withColumn('__df', F.count('*').over(Window.partitionBy('sh')))
+           .persist(StorageLevel.MEMORY_AND_DISK))
 
-    exr = ex.join(rare, on='sh')
-    a = exr.select(F.col(id_col).alias('id_a'), 'sh')
-    b = exr.select(F.col(id_col).alias('id_b'), 'sh')
+    rare_ex = exw.filter(F.col('__df') <= max_shingle_df)
+    a = rare_ex.select(F.col(id_col).alias('id_a'), 'sh')
+    b = rare_ex.select(F.col(id_col).alias('id_b'), 'sh')
     inter_rare = (a.join(b, on='sh')
                   .filter(F.col('id_a') < F.col('id_b'))
                   .groupBy('id_a', 'id_b')
                   .agg(F.count('*').alias('__n_rare')))
 
-    # narrow COUNTS-ONLY per-doc stats (two longs per doc — linear and
-    # cheap corpus-wide, like dfreq itself); NO arrays are built here
-    doc_common_n = (ex.join(common, on='sh')
-                    .groupBy(id_col)
-                    .agg(F.count('*').alias('__n_common')))
-    stats = (ex.groupBy(id_col).agg(F.count('*').alias('__n_sh'))
-             .join(doc_common_n, on=id_col, how='left')
-             .select(id_col, '__n_sh',
-                     F.coalesce('__n_common', F.lit(0)).alias('__n_common')))
+    # narrow COUNTS-ONLY per-doc stats in ONE aggregate (two longs per
+    # doc — linear and cheap corpus-wide); NO arrays are built here
+    stats = (exw.groupBy(id_col)
+             .agg(F.count('*').alias('__n_sh'),
+                  F.sum((F.col('__df') > max_shingle_df).cast('long'))
+                  .alias('__n_common')))
 
     sa = stats.select(F.col(id_col).alias('id_a'),
                       F.col('__n_sh').alias('__n_a'),
@@ -466,11 +487,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     surv_ids = (cand.select(F.col('id_a').alias(id_col))
                 .unionByName(cand.select(F.col('id_b').alias(id_col)))
                 .distinct())
-    surv_common = (ex.join(surv_ids, on=id_col, how='left_semi')
-                   .join(common, on='sh')
+    surv_common = (exw.filter(F.col('__df') > max_shingle_df)
+                   .join(surv_ids, on=id_col, how='left_semi')
                    .groupBy(id_col)
                    .agg(F.collect_list('sh').alias('__common_sh')))
-    empty = F.array().cast('array<string>')
+    empty = F.array().cast('array<bigint>')
     ca = surv_common.select(F.col(id_col).alias('id_a'),
                             F.col('__common_sh').alias('__com_a'))
     cb = surv_common.select(F.col(id_col).alias('id_b'),
@@ -485,7 +506,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           n_inter / (F.col('__n_a') + F.col('__n_b') - n_inter))
               .filter(F.col('jaccard') >= threshold)
               .select('id_a', 'id_b', 'jaccard'))
-    result._persisted_deps = [ex, cand]  # for release() once materialized
+    result._persisted_deps = [exw, cand]  # for release() once materialized
     return result
 
 
