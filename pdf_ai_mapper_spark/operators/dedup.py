@@ -125,17 +125,24 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     groupBy formulation shuffled |docs|·|shingles| rows; this one
     shuffles nothing.
 
-    Deliberately NOT spread via ensure_min_parallelism: the per-row
-    work here (one split + one numpy batch op) is cheap enough that on
-    a one-split input the repartition costs more than it recovers
-    (interleaved A/B r7: minhash steady-state 2.75 s → 2.80 s, cold
-    first run 3.5 s → 4.8 s). The spread guard pays off only for the
-    heavy window-building ops (substring/gopher family)."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, k)
+    Spread via ensure_min_parallelism since round 8: the r7 "not worth
+    it" call was tuned at sf0.1 (17 MB scan, ~2.8 s of work); at sf1.0
+    the single-row-group documents scan serialized ~11 s of shingle +
+    signature work onto one core while every downstream stage blocked
+    on the cache lock (measured: q_minhash 14.9 s → 4.3 s from the
+    spread alone). The row-empty gate is the CHEAP equivalent predicate
+    ``n_tokens >= k`` (one split) instead of ``size(shingles) > 0``:
+    filter pushdown sinks the predicate below the spread exchange into
+    the scan, and the expensive form re-evaluates the whole shingle
+    expression there, serially (the ngram round-8 lesson)."""
+    from .skew import ensure_min_parallelism
+    n_toks = F.size(F.split(F.lower(F.col(text_col)), r'\s+'))
+    base_in = ensure_min_parallelism(
+        df.select(id_col, text_col).filter(n_toks >= F.lit(k)))
+    shingled = with_shingles(base_in, text_col, k)
     base = F.transform(F.col('shingles'),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    shingled = (shingled.withColumn('__h', base)
-                .filter(F.size('shingles') > 0))
+    shingled = shingled.withColumn('__h', base)
 
     if impl == 'numpy':
         # the 64 affine-min reductions as one vectorized numpy batch op
@@ -267,12 +274,20 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str,
     native impl (explode + 64 sum aggregations, map-side combinable)
     remains for environments without Arrow; both produce identical
     values."""
+    # spread + cheap pushable row-empty gate (rlike '\S' ⟺ at least
+    # one non-empty token under the same Java \s class the split
+    # uses): same round-8 rationale as minhash_signatures — the
+    # expensive size(filter(split..)) > 0 form would be pushed below
+    # the spread exchange and re-tokenize the corpus serially in the
+    # single-row-group scan stage.
+    from .skew import ensure_min_parallelism
+    df = ensure_min_parallelism(
+        df.filter(F.col(text_col).rlike(r'\S')))
     toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                     lambda t: F.length(t) > 0)
     if impl == 'numpy':
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
         return (df.select(id_col, hashes.alias('__h'))
-                .filter(F.size('__h') > 0)
                 .select(id_col, _numpy_simhash_udf(bits)(F.col('__h')).alias('simhash')))
 
     ex = (df.select(id_col, F.explode(toks).alias('tok'))
@@ -327,9 +342,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     from pyspark.storagelevel import StorageLevel
     # consumed by the chunk table AND the hub join — persist, or the
     # 64-way signed-bit aggregation runs twice (cf. minhash_lsh_pairs).
-    # NOT spread (ensure_min_parallelism): per-row simhash packing is
-    # cheap — on a one-split input the repartition cost exceeded the
-    # parallelism gain (interleaved A/B r7: 1.48 s → 2.23 s steady)
+    # with_simhash spreads its input since round 8 (the r7 "spread not
+    # worth it" reading was tuned at sf0.1; at sf1.0 the one-row-group
+    # scan serialized the token-hash + packing work onto one core).
     sh = with_simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         id_col, 'simhash',

@@ -691,13 +691,26 @@ def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
     contaminated docs only (n_overlap ≥ 1); clean docs are absent.
     """
     from .dedup import with_shingles
+    from .skew import ensure_min_parallelism
     bench_text = bench_text_col or text_col
+    # explode_OUTER + post-generate isNotNull, not a plain explode: the
+    # optimizer infers `size(transform(shingles, ..)) > 0` from an
+    # inner explode and pushes it into the scan as a DataFilter, where
+    # it RE-EVALUATES the whole shingle+hash chain once per row on top
+    # of the projection's own evaluation (~2x the map cost; the ngram
+    # round-8 lesson). The spread on the train side serializes nothing
+    # at scale (no-op on multi-split scans) and un-serializes the
+    # single-row-group local fixture scan.
     hashed = F.transform('shingles', lambda s: F.xxhash64(s))
     bench_sh = (with_shingles(bench_df.select(bench_text), bench_text, k)
-                .select(F.explode(hashed).alias('sh'))
+                .select(F.explode_outer(hashed).alias('sh'))
+                .filter(F.col('sh').isNotNull())
                 .distinct())
-    train_ex = (with_shingles(train_df.select(id_col, text_col), text_col, k)
-                .select(id_col, F.explode(hashed).alias('sh')))
+    train_in = ensure_min_parallelism(
+        train_df.select(id_col, text_col))
+    train_ex = (with_shingles(train_in, text_col, k)
+                .select(id_col, F.explode_outer(hashed).alias('sh'))
+                .filter(F.col('sh').isNotNull()))
     return (train_ex.join(bench_sh, on='sh', how='left_semi')
             .groupBy(id_col)
             .agg(F.count('*').cast('long').alias('n_overlap')))
