@@ -82,8 +82,18 @@ def term_sum(text_col: Column, term_weights: 'dict[str, float]') -> Column:
     try_element_at, not element_at: ANSI mode (default-on) makes
     element_at THROW on missing map keys."""
     m = _weights_map(term_weights)
+    keys = list(term_weights)
+    # pre-filter to vocabulary tokens with ONE isin pass (round 8):
+    # GetMapValue on a map literal is a linear scan over all keys per
+    # token, while isin over >10 items compiles to an InSet hash
+    # lookup — out-of-vocabulary tokens (the vast majority) contribute
+    # exactly 0 to the fold either way, so the sum is unchanged and
+    # the per-token cost drops from ~|vocab| string compares to one
+    # hash probe. Null text: filter(null) is null, aggregate(null) is
+    # null — identical to the unfiltered fold.
+    vocab_toks = F.filter(_tokens(text_col), lambda t: t.isin(*keys))
     return F.aggregate(
-        _tokens(text_col), F.lit(0.0),
+        vocab_toks, F.lit(0.0),
         lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), F.lit(0.0)))
 
 

@@ -48,9 +48,19 @@ def lang_scores(tokens_col: Column) -> dict[str, Column]:
     """Marker-hit counts per language over a MATERIALIZED token-array
     column (callers add it with ``_tokenize`` via withColumn first —
     CollapseProject keeps a non-cheap column referenced this many
-    times as its own projection, so the split runs once per row)."""
+    times as its own projection, so the split runs once per row).
+
+    One ``isin`` filter traversal per LANGUAGE, not per word (round 8):
+    marker words are distinct within a language, so
+    Σ_w count(tok == w) == count(tok ∈ words) exactly — 4 array
+    traversals per row instead of 20 (measured: q_lang_id's marker
+    stage CPU ≈ 3× cheaper at sf1.0, values identical). The null
+    branch pins the OLD per-word sum's value on a null token array
+    (size(null) = -1 summed per word = -n_words), so null-text rows
+    score bit-identically to the round-7 form."""
     return {
-        lang: sum((_count_token(tokens_col, w) for w in words), F.lit(0))
+        lang: F.when(tokens_col.isNull(), F.lit(-len(words)))
+        .otherwise(F.size(F.filter(tokens_col, lambda t: t.isin(*words))))
         for lang, words in LANG_MARKERS.items()
     }
 
@@ -159,13 +169,23 @@ def with_quality(df: DataFrame, text_col: str = 'text') -> DataFrame:
     (C4/Gopher-style rules, public literature)."""
     t = F.col(text_col)
     n = F.length(t)
-    alpha = F.length(F.regexp_replace(t, '[^A-Za-z]', ''))
-    digit = F.length(F.regexp_replace(t, '[^0-9]', ''))
+    # translate-and-diff, not regexp_replace (round 8): counting chars
+    # in a FIXED ASCII class is one table-driven pass per row vs a
+    # regex scan + string rebuild — identical counts for any input
+    # ([A-Za-z]/[0-9] match exactly the chars the translate set drops)
+    _letters = ('ABCDEFGHIJKLMNOPQRSTUVWXYZ'
+                'abcdefghijklmnopqrstuvwxyz')
+    alpha = n - F.length(F.translate(t, _letters, ''))
+    digit = n - F.length(F.translate(t, '0123456789', ''))
     toks = F.split(F.trim(t), r'\s+')
     n_tok = F.size(toks)
     df = df.withColumn('__q_toks', _tokenize(t))
-    stop_hits = sum((_count_token(F.col('__q_toks'), w)
-                     for w in LANG_MARKERS['en']), F.lit(0))
+    # one isin traversal instead of five per-word passes (exact: the
+    # en marker words are distinct; null pin as in lang_scores)
+    _en = LANG_MARKERS['en']
+    stop_hits = (F.when(F.col('__q_toks').isNull(), F.lit(-len(_en)))
+                 .otherwise(F.size(F.filter(
+                     F.col('__q_toks'), lambda x: x.isin(*_en)))))
     return (df
             .withColumn('n_chars_q', n)
             .withColumn('n_tokens', n_tok)
@@ -210,6 +230,11 @@ def with_exact_token_counts(df: DataFrame, text_col: str = 'text',
     from pyspark.sql.types import LongType
 
     from ..kernels.bpe import bpe_token_count
+    from .skew import ensure_min_parallelism
+
+    # spread as in with_input_ids: the merge loop dwarfs the one-time
+    # repartition of a pathological single-split scan (no-op otherwise)
+    df = ensure_min_parallelism(df)
 
     @pandas_udf(LongType())
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -315,6 +340,12 @@ def with_input_ids(df: DataFrame, text_col: str = 'text',
     from pyspark.sql.types import ArrayType, LongType
 
     from ..kernels.bpe import bpe_encode_ids
+    from .skew import ensure_min_parallelism
+
+    # the merge loop is the heaviest per-row kernel in the repo —
+    # spread a too-few-split scan so the ArrowEvalPython stage uses
+    # the cluster (round 8; no-op on multi-split inputs)
+    df = ensure_min_parallelism(df)
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -651,9 +682,16 @@ def tfidf_terms(df: DataFrame, id_col: str = 'doc_id',
     term-df table is the only broadcast-unfriendly side — it shuffles
     on term, which is exactly the partitioning a downstream
     inverted-index write wants."""
+    from .skew import ensure_min_parallelism
+    # spread the tokenize+explode map work (no-op on multi-split
+    # scans); explode_OUTER + isNotNull so the optimizer's inferred
+    # size(filter(split..))>0 filter cannot sink into the scan and
+    # re-tokenize every row there (round 8 — the ngram lesson)
+    base = ensure_min_parallelism(df.select(id_col, text_col))
     toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                     lambda t: F.length(t) >= min_token_len)
-    ex = df.select(id_col, F.explode(toks).alias('term'))
+    ex = (base.select(id_col, F.explode_outer(toks).alias('term'))
+          .filter(F.col('term').isNotNull()))
     n_docs = df.count()  # one cheap count job; a literal keeps idf codegen'd
     tf = ex.groupBy(id_col, 'term').agg(F.count('*').alias('tf'))
     dfreq = (ex.select(id_col, 'term').distinct()
@@ -735,7 +773,10 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     (id, n_tokens, logprob) with logprob rounded to 6 places."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                     lambda t: t != '')
-    ex = df.select(id_col, F.explode(toks).alias('term'))
+    # explode_outer + isNotNull: keep the inferred non-empty filter out
+    # of the scan (it would re-tokenize every row there — round 8)
+    ex = (df.select(id_col, F.explode_outer(toks).alias('term'))
+          .filter(F.col('term').isNotNull()))
     tf = ex.groupBy('term').agg(F.count('*').alias('tf'))
     totals = tf.agg(F.sum('tf').alias('n'), F.count('*').alias('v')).collect()[0]
     n_tokens, vocab = int(totals['n'] or 0), int(totals['v'] or 0)

@@ -39,6 +39,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f'{sf_dir}/{name}.parquet')
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + a one-split-scan spread for queries whose per-row map work
+    (marker counts, regex stats, scoring folds, explodes) dominates:
+    a single-row-group parquet file scans as ONE task no matter what
+    (round-7 finding), serializing the whole map stage onto one core.
+    No-op whenever the scan already has >= defaultParallelism splits —
+    i.e. always at real corpus scale (guide §2.5 input-skew fix)."""
+    from .operators.skew import ensure_min_parallelism
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
+
+
 def _count_token_sql(word: str) -> str:
     # mirrors textstats._count_token verbatim: one [^a-z]+ tokenization
     # + equality filter per marker
@@ -142,8 +153,11 @@ def q_a1_wordfreq_top3(spark, sf_dir):
     """A1 per-doc top-3 words of len>=4 (category_manager.py:90-103),
     tie-broken (count desc, word asc) for SQL expressibility; the
     Counter first-occurrence variant is covered by kernel tests."""
-    d = _t(spark, sf_dir, 'documents')
-    ex = d.select('doc_id', F.explode(F.split('text', ' ')).alias('w'))
+    d = _ts(spark, sf_dir, 'documents')
+    # explode_outer + isNotNull: keeps the inferred non-empty-array
+    # filter from sinking below the spread into the scan (round 8)
+    ex = (d.select('doc_id', F.explode_outer(F.split('text', ' ')).alias('w'))
+          .filter(F.col('w').isNotNull()))
     ex = ex.filter(F.length('w') >= 4)
     counts = ex.groupBy('doc_id', 'w').agg(F.count('*').alias('c'))
     w = Window.partitionBy('doc_id').orderBy(F.desc('c'), F.asc('w'))
@@ -254,7 +268,7 @@ def q_set_ops(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (operators/textstats.py): predicted lang
     per doc from marker-word counts; returns per-(lang, pred) counts."""
-    d = textstats.with_lang_id(_t(spark, sf_dir, 'documents'), 'text')
+    d = textstats.with_lang_id(_ts(spark, sf_dir, 'documents'), 'text')
     return (d.groupBy('lang', 'lang_pred')
             .agg(F.count('*').cast('long').alias('n'))
             .orderBy('lang', 'lang_pred'))
@@ -302,7 +316,7 @@ def q_script_id(spark, sf_dir):
 
 def q_quality_scores(spark, sf_dir):
     """Quality heuristics aggregated per source."""
-    d = textstats.with_quality(_t(spark, sf_dir, 'documents'), 'text')
+    d = textstats.with_quality(_ts(spark, sf_dir, 'documents'), 'text')
     return (d.groupBy('source')
             .agg(F.round(F.avg('alpha_ratio'), 6).alias('avg_alpha'),
                  F.round(F.avg('digit_ratio'), 6).alias('avg_digit'),
@@ -333,7 +347,7 @@ def q_model_quality_gate(spark, sf_dir):
 def q_token_counts(spark, sf_dir):
     """Token counting: whitespace + BPE-ish subword estimate, corpus
     totals per lang."""
-    d = textstats.with_token_counts(_t(spark, sf_dir, 'documents'), 'text')
+    d = textstats.with_token_counts(_ts(spark, sf_dir, 'documents'), 'text')
     return (d.groupBy('lang')
             .agg(F.sum('ws_tokens').cast('long').alias('total_ws_tokens'),
                  F.sum('bpe_ish_tokens').cast('long').alias('total_bpe_tokens'))
@@ -2145,7 +2159,7 @@ def q_model_auc(spark, sf_dir):
     integers, rounded 6."""
     from .operators.evaluate import auc_report
     from .operators.quality_model import model_quality_units
-    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+    d = (model_quality_units(_ts(spark, sf_dir, 'documents'))
          .select('source', F.col('mq_units').alias('score'),
                  (F.col('lang') == 'en').cast('int').alias('label')))
     rep = auc_report(d, 'score', 'label', ['source'])
@@ -2166,7 +2180,7 @@ def q_pr_curve(spark, sf_dir):
     from .operators.dedup import release as _release
     from .operators.evaluate import pr_curve
     from .operators.quality_model import model_quality_units
-    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+    d = (model_quality_units(_ts(spark, sf_dir, 'documents'))
          .select(F.col('mq_units').alias('score'),
                  (F.col('lang') == 'en').cast('int').alias('label')))
     cur = pr_curve(d, 'score', 'label')
@@ -2188,7 +2202,7 @@ def q_average_precision(spark, sf_dir):
     pinned arithmetic replayed in SQL."""
     from .operators.evaluate import average_precision
     from .operators.quality_model import model_quality_units
-    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+    d = (model_quality_units(_ts(spark, sf_dir, 'documents'))
          .select('source', F.col('mq_units').alias('score'),
                  (F.col('lang') == 'en').cast('int').alias('label')))
     ap = average_precision(d, 'score', 'label', ['source'])
@@ -2205,7 +2219,7 @@ def q_threshold_report(spark, sf_dir):
     are single IEEE divisions of them, rounded 6."""
     from .operators.evaluate import threshold_report
     from .operators.quality_model import model_quality_units
-    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+    d = (model_quality_units(_ts(spark, sf_dir, 'documents'))
          .select(F.col('mq_units').alias('score'),
                  (F.col('lang') == 'en').cast('int').alias('label')))
     rep = threshold_report(d, 'score', 'label', [-1000.0, 0.0, 1000.0])
@@ -2226,7 +2240,7 @@ def q_calibration_bins(spark, sf_dir):
     deliberately NOT in the graded projection."""
     from .operators.evaluate import calibration_bins
     from .operators.quality_model import model_quality_units
-    d = (model_quality_units(_t(spark, sf_dir, 'documents'))
+    d = (model_quality_units(_ts(spark, sf_dir, 'documents'))
          .select(F.col('mq_units').cast('double').alias('score'),
                  (F.col('lang') == 'en').cast('int').alias('label')))
     bins = calibration_bins(d, 'score', 'label', n_bins=8,
