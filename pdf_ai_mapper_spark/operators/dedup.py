@@ -1014,14 +1014,23 @@ def remove_duplicated_substrings(df: DataFrame, id_col: str = 'doc_id',
     # without the persist each one re-scans the corpus and re-builds
     # the split + k-way zip_with arrays (measured: the dominant cost
     # of the sf0.1 bench section). Callers release() the result.
+    # Round 8: the cached column is the HASHED window array — window
+    # STRINGS are ~k× the text bytes and the r7 lesson prices the
+    # columnar cache builder at ~5× the compute per byte, while the
+    # long array is small AND pre-paid (the old shape re-ran the hash
+    # transform on every read of `wins`, i.e. twice).
     base = df.select(F.col(id_col).alias('__id'), toks.alias('__toks'),
-                     F.when(n >= k, sh).otherwise(F.array()).alias('__w')
+                     F.when(n >= k, F.transform(sh, hfun))
+                     .otherwise(F.array().cast('array<bigint>')
+                                if hash_bits == 64 else
+                                F.array().cast(
+                                    'array<struct<h1:bigint,h2:bigint>>'))
+                     .alias('__wh')
                      ).persist(StorageLevel.MEMORY_AND_DISK)
     # one narrow exploded relation per role; the shared array column is
     # materialized in `base` (lambda-bearing exprs are excluded from
     # subexpression elimination — CLAUDE.md round-4 trap)
-    wins = base.select('__id', F.posexplode(
-        F.transform('__w', hfun)).alias('__start', '__h'))
+    wins = base.select('__id', F.posexplode('__wh').alias('__start', '__h'))
     dup = (wins.groupBy('__h')
            .agg(F.count_distinct('__id').alias('__df'),
                 F.min(F.struct('__id', '__start')).alias('__first'))
