@@ -467,10 +467,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     rare_ex = exw.filter(F.col('__df') <= max_shingle_df)
     a = rare_ex.select(F.col(id_col).alias('id_a'), 'sh')
     b = rare_ex.select(F.col(id_col).alias('id_b'), 'sh')
-    inter_rare = (a.join(b, on='sh')
-                  .filter(F.col('id_a') < F.col('id_b'))
-                  .groupBy('id_a', 'id_b')
-                  .agg(F.count('*').alias('__n_rare')))
+    pairs_raw = a.join(b, on='sh').filter(F.col('id_a') < F.col('id_b'))
+    # pack the pair key into ONE long when ids provably fit 31 bits
+    # (cheap min/max probe on the pruned id column — text is never
+    # read): the candidate-pair shuffle is the operator's largest
+    # (measured ~1 GB at sf1.0/50k docs), and a single-long key both
+    # halves the row and cheapens the hash aggregate. Exact unpack via
+    # shiftright/bitwiseAND (never long division — round-5 rule);
+    # falls back to the two-column groupBy for wider/non-integral ids.
+    id_type = dict(df.dtypes).get(id_col)
+    packable = False
+    if id_type in ('int', 'bigint', 'smallint', 'tinyint'):
+        b_row = df.agg(F.min(id_col).alias('lo'),
+                       F.max(id_col).alias('hi')).collect()[0]
+        packable = (b_row['lo'] is not None and int(b_row['lo']) >= 0
+                    and int(b_row['hi']) < (1 << 31))
+    if packable:
+        pk = F.shiftleft(F.col('id_a').cast('long'), 31) \
+            .bitwiseOR(F.col('id_b').cast('long'))
+        inter_rare = (pairs_raw.select(pk.alias('__pk'))
+                      .groupBy('__pk')
+                      .agg(F.count('*').alias('__n_rare'))
+                      .select(F.shiftright('__pk', 31)
+                              .cast(id_type).alias('id_a'),
+                              F.col('__pk')
+                              .bitwiseAND(F.lit((1 << 31) - 1))
+                              .cast(id_type).alias('id_b'),
+                              '__n_rare'))
+    else:
+        inter_rare = (pairs_raw
+                      .groupBy('id_a', 'id_b')
+                      .agg(F.count('*').alias('__n_rare')))
 
     # narrow COUNTS-ONLY per-doc stats in ONE aggregate (two longs per
     # doc — linear and cheap corpus-wide); NO arrays are built here
