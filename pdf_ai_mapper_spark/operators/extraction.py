@@ -53,10 +53,18 @@ def with_doctype(df: DataFrame, payload_col: str = 'html') -> DataFrame:
 
 # head-metadata patterns, pinned for the SQL oracle: Java regex and
 # DuckDB's RE2 agree on (?is) flags, lazy quantifiers, [^"]* classes,
-# group-1 extraction, AND the no-match result ('' in both engines)
+# group-1 extraction, AND the no-match result ('' in both engines).
+# Whitespace is the EXPLICIT class [ \t\n\f\r] (ADVICE r7; round-4
+# transcription rule): Java's \s additionally matches U+000B where
+# RE2's does not, so a bare \s here would diverge from the oracle on
+# payloads containing vertical tabs.
+_WS = r'[ \t\n\f\r]'
 _TITLE_RX = r'(?is)<title[^>]*>(.*?)</title>'
-_ROBOTS_RX = r'(?is)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"'
-_CANONICAL_RX = r'(?is)<link[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"'
+_ROBOTS_RX = (r'(?is)<meta[^>]*name' + _WS + r'*=' + _WS
+              + r'*"robots"[^>]*content' + _WS + r'*=' + _WS + r'*"([^"]*)"')
+_CANONICAL_RX = (r'(?is)<link[^>]*rel' + _WS + r'*=' + _WS
+                 + r'*"canonical"[^>]*href' + _WS + r'*=' + _WS
+                 + r'*"([^"]*)"')
 
 
 def with_html_meta(df: DataFrame, payload_col: str = 'html',

@@ -49,7 +49,16 @@ def ensure_min_parallelism(df: DataFrame,
     round-robin ``repartition(n)`` (sort-based, deterministic under
     task retries since Spark 2.4) — no key, so no pmod-rehash
     occupancy loss and no AQE coalescing (explicit counts are
-    pinned)."""
+    pinned).
+
+    CONTRACT (VERDICT r7): apply to SCAN-STAGE inputs only. The
+    partition probe reads the pre-execution plan's partitioning
+    (``df.rdd.getNumPartitions()`` — one RDD conversion per call,
+    fine for scans), which for a mid-plan DataFrame reports the
+    PRE-AQE shuffle partition count: AQE may later coalesce that
+    exchange below ``min_parts``, and the guard would wrongly no-op.
+    Callers in this repo all sit directly on a scan/projection
+    (pinned by tests/test_skew.py)."""
     sc = df.sparkSession.sparkContext
     target = min_parts if min_parts is not None else sc.defaultParallelism
     if target <= 1 or df.rdd.getNumPartitions() >= target:

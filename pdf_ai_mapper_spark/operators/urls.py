@@ -142,13 +142,21 @@ def crawl_delta(old: DataFrame, new: DataFrame, id_col: str = 'url',
     partition on url and AQE handles snapshot-size asymmetry (a daily
     delta joining a small new crawl against a huge base broadcasts
     the small side)."""
+    # explicit per-side PRESENCE flags (ADVICE r7 medium): a url whose
+    # content is NULL hashes to NULL, and branching on hash nullness
+    # misclassified such present rows as 'added'/'removed' while the
+    # oracle branches on side presence and yields 'changed'. One
+    # boolean per side rides the exchange; real no-NULL corpora are
+    # classified identically to the round-7 form.
     o = old.select(F.col(id_col),
-                   F.md5(F.col(content_col).cast('binary')).alias('__h_old'))
+                   F.md5(F.col(content_col).cast('binary')).alias('__h_old'),
+                   F.lit(True).alias('__in_old'))
     n = new.select(F.col(id_col),
-                   F.md5(F.col(content_col).cast('binary')).alias('__h_new'))
+                   F.md5(F.col(content_col).cast('binary')).alias('__h_new'),
+                   F.lit(True).alias('__in_new'))
     j = o.join(n, on=id_col, how='full_outer')
-    status = (F.when(F.col('__h_old').isNull(), F.lit('added'))
-              .when(F.col('__h_new').isNull(), F.lit('removed'))
+    status = (F.when(F.col('__in_old').isNull(), F.lit('added'))
+              .when(F.col('__in_new').isNull(), F.lit('removed'))
               .when(F.col('__h_old') == F.col('__h_new'),
                     F.lit('unchanged'))
               .otherwise(F.lit('changed')))

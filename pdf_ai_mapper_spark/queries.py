@@ -979,7 +979,10 @@ def q_html_meta(spark, sf_dir):
         .otherwise(F.lit('')),
         F.when(did % 3 == 0, F.concat(
             F.lit('<link rel="canonical" href="https://canon.example/p/'),
-            F.floor(did / 9).cast('long').cast('string'), F.lit('">')))
+            # DIV, not floor(did / 9): long/long `/` goes through DOUBLE
+            # and loses exactness above 2^53 (ADVICE r7; round-5 rule) —
+            # identical for every non-negative sub-2^53 doc_id
+            F.expr('doc_id DIV 9').cast('long').cast('string'), F.lit('">')))
         .otherwise(F.lit('')),
         F.lit('</head><body>'), F.col('text'), F.lit('</body></html>'))
     url = F.concat(F.lit('https://crawl.example/p/'), did.cast('string'))
@@ -1914,6 +1917,19 @@ def q_temperature_mix(spark, sf_dir):
     q = with_quality(d, 'text')
     w = temperature_weights(q, 'lang', 'n_tokens', alpha=0.5)
     budgets = budgets_from_mixture(q, 'lang', 'n_tokens', w, 6000)
+    # clamp-freeness guard (ADVICE r7): the oracle replays exactly ONE
+    # unclamped proportional round, so fail LOUDLY if waterfilling ever
+    # clamps at this corpus/budget instead of silently diverging.
+    from fractions import Fraction
+    _wsum = sum(w.values())
+    _expect = {g: int(Fraction(6000) * Fraction(wg) / _wsum)
+               for g, wg in w.items()}
+    _expect = {g: b for g, b in _expect.items() if b > 0}
+    if budgets != _expect:
+        raise RuntimeError(
+            'q_temperature_mix: budgets_from_mixture clamped '
+            f'(got {budgets}, single-round {_expect}) — the frozen '
+            'oracle only replays the unclamped proportional round')
     kept = token_budget_fill(q, 'lang', budgets, 'n_tokens',
                              [('alpha_ratio', 'desc'), ('doc_id', 'asc')])
     return (kept.groupBy('lang')

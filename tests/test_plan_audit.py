@@ -177,6 +177,39 @@ def test_asof_inline_single_window_no_join(spark):
     assert p.count('Window') == 1
 
 
+def _final_ids(formatted: str) -> set[str]:
+    """Operator ids appearing in FINAL plan regions of a formatted
+    AQE explain. A nested InMemoryRelation carries its OWN
+    AdaptiveSparkPlan whose '== Initial Plan ==' marker appears before
+    the outer final tree finishes printing, so 'split at the first
+    Initial marker' (the r5 recipe) drops outer-final operators.
+    Track marker blocks by INDENTATION: a marker governs exactly the
+    deeper-or-equal-indented lines below it until indentation falls
+    back past it; scanning stops where the details region starts
+    (section headers at column 0)."""
+    import re
+    ids: set[str] = set()
+    stack: list[tuple[int, bool]] = []   # (marker indent, is_final)
+    for ln in formatted.splitlines():
+        if re.match(r'^\(\d+\) ', ln):   # details region begins
+            break
+        stripped = ln.lstrip(' :+|-*')
+        indent = len(ln) - len(stripped)
+        if stripped.startswith(('== Final Plan ==', '== Initial Plan ==')):
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            stack.append((indent, stripped.startswith('== Final')))
+            continue
+        m = re.search(r'\((\d+)\)', ln)
+        if not m:
+            continue
+        while stack and stack[-1][0] > indent:
+            stack.pop()
+        if not stack or stack[-1][1]:
+            ids.add(m.group(1))
+    return ids
+
+
 def test_substring_removal_text_never_in_exchange(spark):
     """remove_duplicated_substrings (round 6): window strings hash
     in-row — no Exchange may carry the text column or any window
@@ -192,15 +225,33 @@ def test_substring_removal_text_never_in_exchange(spark):
         remove_duplicated_substrings)
     docs = spark.read.parquet(f'{SF}/documents.parquet') \
         .select('doc_id', 'text')
+    import re
+
     out = remove_duplicated_substrings(docs, k=8)
     out.collect()
-    plan = _plan(out)
+    fm = _formatted(docs.sparkSession, out)
     for dep in getattr(out, '_persisted_deps', ()):
         dep.unpersist()
-    for line in plan.splitlines():
-        if 'Exchange' in line and 'RoundRobinPartitioning' not in line:
-            assert 'text#' not in line       # raw text never shuffles
-            assert '__w#' not in line        # window strings neither
+    # Check the exchanges' INPUT COLUMN lists from the formatted
+    # details (the toString line only ever showed partition KEYS —
+    # round-robin exchanges have none, so the old string check could
+    # not see what they carried; ADVICE r7). Scoped exemption: a
+    # ROUND-ROBIN exchange may carry raw text — that is the
+    # ensure_min_parallelism spread, which sits on the scan before any
+    # window column exists — but no exchange of any kind may carry a
+    # window array/string (__w*), and keyed exchanges never carry text.
+    final_ids = _final_ids(fm)
+    n_exchanges = 0
+    for sid, name, section in _sections(fm):
+        if sid not in final_ids or name != 'Exchange':
+            continue
+        n_exchanges += 1
+        inputs = ' '.join(ln for ln in section.splitlines()
+                          if ln.startswith('Input'))
+        assert '__w' not in inputs, section   # window arrays never shuffle
+        if 'RoundRobinPartitioning' not in section:
+            assert 'text#' not in inputs, section
+    assert n_exchanges >= 2   # the audit actually saw the shuffles
 
 
 def test_gopher_repetition_text_never_in_exchange(spark):
@@ -211,16 +262,27 @@ def test_gopher_repetition_text_never_in_exchange(spark):
     from pdf_ai_mapper_spark.operators.textstats import gopher_repetition
     docs = spark.read.parquet(f'{SF}/documents.parquet') \
         .select('doc_id', 'text')
+    import re
+
     out = gopher_repetition(docs)
     out.collect()
-    plan = _plan(out)
+    fm = _formatted(docs.sparkSession, out)
     for dep in getattr(out, '_persisted_deps', ()):
         dep.unpersist()
-    for line in plan.splitlines():
-        # RoundRobinPartitioning exempt: the one-split spread guard
-        # (see test_substring_removal_text_never_in_exchange)
-        if 'Exchange' in line and 'RoundRobinPartitioning' not in line:
-            assert 'text#' not in line
+    # input-column audit, scoped as in
+    # test_substring_removal_text_never_in_exchange: only the
+    # round-robin spread may carry text
+    final_ids = _final_ids(fm)
+    n_exchanges = 0
+    for sid, name, section in _sections(fm):
+        if sid not in final_ids or name != 'Exchange':
+            continue
+        n_exchanges += 1
+        inputs = ' '.join(ln for ln in section.splitlines()
+                          if ln.startswith('Input'))
+        if 'RoundRobinPartitioning' not in section:
+            assert 'text#' not in inputs, section
+    assert n_exchanges >= 1
 
 
 def test_with_input_ids_single_arrow_stage(spark):
