@@ -70,7 +70,11 @@ def count_vector_features(df: DataFrame, tokens_col: str = 'tokens',
     refits — that tie-break leaks into topic assignments and violates
     the determinism contract (SURVEY.md §7.4). The top-k job plans as
     TakeOrdered (no full sort) and scales like any word-count."""
-    vocab_rows = (df.select(F.explode(F.array_distinct(F.col(tokens_col))).alias('t'))
+    # explode_outer + isNotNull: keeps the inferred non-empty filter
+    # from re-running array_distinct per row at the scan (round 8)
+    vocab_rows = (df.select(F.explode_outer(
+                      F.array_distinct(F.col(tokens_col))).alias('t'))
+                  .filter(F.col('t').isNotNull())
                   .groupBy('t').agg(F.count('*').alias('df_'))
                   .orderBy(F.desc('df_'), F.asc('t'))
                   .limit(cfg.vocab_size)

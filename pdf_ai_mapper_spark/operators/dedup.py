@@ -290,7 +290,8 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str,
         return (df.select(id_col, hashes.alias('__h'))
                 .select(id_col, _numpy_simhash_udf(bits)(F.col('__h')).alias('simhash')))
 
-    ex = (df.select(id_col, F.explode(toks).alias('tok'))
+    ex = (df.select(id_col, F.explode_outer(toks).alias('tok'))
+            .filter(F.col('tok').isNotNull())
             .withColumn('h', F.xxhash64('tok')))
     aggs = [
         F.sum(F.shiftright('h', b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f'b{b}')
@@ -843,8 +844,11 @@ def line_dedup(df: DataFrame, id_col: str = 'doc_id',
     # handled) so a metachar sep ('.', '|') splits on its literal bytes
     sep_rx = '\\Q' + sep.replace('\\E', '\\E\\\\E\\Q') + '\\E'
     lines = F.split(F.col(text_col), sep_rx)
-    ex = df.select(F.col(id_col).alias('__id'),
-                   F.posexplode(lines).alias('__pos', '__line'))
+    # posexplode_outer + isNotNull: the inferred non-empty filter
+    # would re-split every document at the scan (round 8)
+    ex = (df.select(F.col(id_col).alias('__id'),
+                    F.posexplode_outer(lines).alias('__pos', '__line'))
+          .filter(F.col('__line').isNotNull()))
     hot = (ex.groupBy('__line')
            .agg(F.count_distinct('__id').alias('__df'))
            .filter(F.col('__df') >= min_df)
@@ -1134,8 +1138,9 @@ def explode_paragraphs(df: DataFrame, id_col: str = 'doc_id',
     sep_rx = '\\Q' + sep.replace('\\E', '\\E\\\\E\\Q') + '\\E'
     return (df.select(
         F.col(id_col).alias('__doc'),
-        F.posexplode(F.split(F.col(text_col), sep_rx))
+        F.posexplode_outer(F.split(F.col(text_col), sep_rx))
         .alias('__idx', 'para'))
+        .filter(F.col('para').isNotNull())
         .filter(F.size(F.split(F.trim('para'), r'\s+')) >= min_tokens)
         .select(para_key(F.col('__doc'), F.col('__idx')).alias('pid'),
                 'para'))

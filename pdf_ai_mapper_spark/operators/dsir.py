@@ -113,8 +113,13 @@ def dsir_log_ratio(raw_df: DataFrame, target_df: DataFrame,
     m = float(16 ** hex_chars)
     buckets = _bucket_list(text_col, hex_chars).alias('b')
 
-    tgt_ex = target_df.select(F.explode(buckets).alias('bucket'))
-    raw_ex = raw_df.select(id_col, F.explode(buckets).alias('bucket'))
+    # explode_outer + isNotNull: an inner explode's inferred
+    # non-empty filter re-runs the whole bucket-hash transform per row
+    # at the scan (round 8)
+    tgt_ex = (target_df.select(F.explode_outer(buckets).alias('bucket'))
+              .filter(F.col('bucket').isNotNull()))
+    raw_ex = (raw_df.select(id_col, F.explode_outer(buckets).alias('bucket'))
+              .filter(F.col('bucket').isNotNull()))
 
     ct = tgt_ex.groupBy('bucket').agg(F.count('*').alias('c_t'))
     cr = raw_ex.groupBy('bucket').agg(F.count('*').alias('c_r'))

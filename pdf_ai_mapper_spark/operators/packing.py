@@ -161,7 +161,10 @@ def pack_input_ids(df: DataFrame, id_col: str, ids_col: str,
                     (F.least((s + 1) * L - o, n)
                      - F.greatest(s * L - o, F.lit(0))).cast('int')
                     ).alias('ids')))).otherwise(F.array())
-    ex = out.select(F.explode(pieces).alias('p')).select('p.*')
+    # explode_outer + isNotNull: the inferred non-empty filter would
+    # re-run the window-slice transform over the cached ids (round 8)
+    ex = (out.select(F.explode_outer(pieces).alias('p'))
+          .filter(F.col('p').isNotNull()).select('p.*'))
     packed = (ex.groupBy('seq')
               .agg(F.count('*').cast('long').alias('n_docs'),
                    F.flatten(F.transform(

@@ -151,7 +151,9 @@ def fit_quality_model(df: DataFrame, label_col: str,
 
     toks = df.withColumn('__mq_toks', _tokens(F.col(text_col)))
     vocab_rows = (toks
-                  .select(F.explode(F.array_distinct('__mq_toks')).alias('t'))
+                  .select(F.explode_outer(
+                      F.array_distinct('__mq_toks')).alias('t'))
+                  .filter(F.col('t').isNotNull())
                   .groupBy('t').agg(F.count('*').alias('df_'))
                   .orderBy(F.desc('df_'), F.asc('t'))
                   .limit(vocab_size)

@@ -318,7 +318,10 @@ def learn_bpe_merges(df: DataFrame, text_col: str = 'text',
     from ..kernels.bpe import learn_merges
     words = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                      lambda x: F.length(x) > 0)
-    rows = (df.select(F.explode(words).alias('w'))
+    # explode_outer + isNotNull: keep the inferred non-empty filter
+    # from re-tokenizing rows at the scan (round 8)
+    rows = (df.select(F.explode_outer(words).alias('w'))
+            .filter(F.col('w').isNotNull())
             .groupBy('w').agg(F.count('*').alias('c'))
             .filter(F.col('c') >= min_word_freq)
             .orderBy(F.col('c').desc(), F.col('w').asc())
@@ -388,7 +391,10 @@ def repetition_stats(df: DataFrame, id_col: str = 'doc_id',
     two-level aggregation: both shuffles carry (id, word, count) only."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                      lambda w: F.length(w) > 0)
-    ex = df.select(id_col, F.explode(words).alias('w'))
+    # explode_outer + isNotNull: the inferred non-empty filter would
+    # re-tokenize every row at the scan (round 8)
+    ex = (df.select(id_col, F.explode_outer(words).alias('w'))
+          .filter(F.col('w').isNotNull()))
     counts = ex.groupBy(id_col, 'w').agg(F.count('*').alias('c'))
     return (counts.groupBy(id_col)
             .agg((F.max('c') / F.sum('c')).alias('__twf'),
@@ -471,10 +477,15 @@ def gopher_repetition(df: DataFrame, id_col: str = 'doc_id',
         g = parts[0]
         for p in parts[1:]:
             g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(' '), b))
+        # explode_OUTER + isNotNull (round 8): an inner explode makes
+        # the optimizer infer `size(when(n>=k, g)..) > 0`, re-running
+        # the whole k-way zip_with chain once more per row just to
+        # test emptiness; the post-generate null filter is free
         kinds.append(base.select(
             '__id', F.lit(f'T{k}').alias('kind'),
-            F.explode(F.when(n >= k, g)
-                      .otherwise(F.array())).alias('key')))
+            F.explode_outer(F.when(n >= k, g)
+                            .otherwise(F.array())).alias('key'))
+            .filter(F.col('key').isNotNull()))
     ex = reduce(DataFrame.unionByName, kinds)
 
     # char weight of a key: full length for lines/paragraphs; n-grams
@@ -577,11 +588,14 @@ def gopher_dup_ngrams(df: DataFrame, id_col: str = 'doc_id',
         g = parts[0]
         for p in parts[1:]:
             g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(' '), b))
+        # posexplode_OUTER + isNotNull: see gopher_repetition — the
+        # inferred non-empty filter re-ran the zip_with+hash chain
         wins.append(base.select(
             '__id', F.lit(k).alias('__n'),
-            F.posexplode(F.when(n >= k, F.transform(g, hfun))
-                         .otherwise(F.array()))
-            .alias('__start', '__h')))
+            F.posexplode_outer(F.when(n >= k, F.transform(g, hfun))
+                               .otherwise(F.array()))
+            .alias('__start', '__h'))
+            .filter(F.col('__h').isNotNull()))
     ex = reduce(DataFrame.unionByName, wins)
     dup = (ex.groupBy('__id', '__n', '__h')
            .agg(F.count('*').alias('__c'))
@@ -653,7 +667,11 @@ def with_chunks(df: DataFrame, id_col: str = 'doc_id',
         return lambda s: F.slice(toks_expr, s + 1, chunk_tokens)
 
     chunks = F.transform(starts, _window(toks))
-    ex = df.select(id_col, F.posexplode(chunks).alias('chunk_idx', '__c'))
+    # posexplode_outer + isNotNull: the inferred non-empty filter would
+    # re-run the tokenize+slice transform per row at the scan (round 8)
+    ex = (df.select(id_col, F.posexplode_outer(chunks)
+                    .alias('chunk_idx', '__c'))
+          .filter(F.col('__c').isNotNull()))
     return (ex.select(id_col, 'chunk_idx',
                       F.array_join('__c', ' ').alias('chunk_text'),
                       F.size('__c').cast('long').alias('n_tokens')))
@@ -869,20 +887,27 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
 
     def exploded_pairs(frame: DataFrame, keep_id: bool) -> DataFrame:
         head = [F.col(id_col)] if keep_id else []
-        with_t = (frame.select(*head, toks.alias('__t'))
-                  .filter(F.size('__t') >= 2))
-        idx = F.sequence(F.lit(1), F.size('__t') - 1)
+        with_t = frame.select(*head, toks.alias('__t'))
+        # the >= 2 guard lives INSIDE the index expression (sequence
+        # descends when start > stop, so short docs need the guard) and
+        # the explode is OUTER + isNotNull — a plain size filter plus
+        # inner explode re-tokenized every row at the scan via filter
+        # pushdown / the inferred non-empty filter (round 8); short
+        # docs vanish through the empty array exactly as before
+        idx = F.when(F.size('__t') >= 2,
+                     F.sequence(F.lit(1), F.size('__t') - 1))             .otherwise(F.array().cast('array<int>'))
         prs = F.transform(idx, lambda i: F.struct(
             F.get('__t', i - 1).alias('u'), F.get('__t', i).alias('v')))
         return (with_t.select(*([id_col] if keep_id else []),
-                              F.explode(prs).alias('p'))
+                              F.explode_outer(prs).alias('p'))
+                .filter(F.col('p').isNotNull())
                 .select(*([id_col] if keep_id else []), 'p.u', 'p.v'))
 
     src = lm_df if lm_df is not None else df
     bg = (exploded_pairs(src, keep_id=False)
           .groupBy('u', 'v').agg(F.count('*').alias('c_uv')))
     ctx = bg.groupBy('u').agg(F.sum('c_uv').alias('c_u'))
-    vocab = int(src.select(F.explode(toks).alias('t'))
+    vocab = int(src.select(F.explode_outer(toks).alias('t'))
                 .agg(F.count_distinct('t')).collect()[0][0] or 0)
     if vocab == 0:
         return df.sparkSession.createDataFrame(
@@ -934,14 +959,16 @@ def stupid_backoff_score(df: DataFrame, id_col: str, text_col: str,
     def grams(frame: DataFrame, n: int, names: 'list[str]',
               keep_id: bool) -> DataFrame:
         head = [F.col(id_col)] if keep_id else []
-        with_t = (frame.select(*head, toks.alias('__t'))
-                  .filter(F.size('__t') >= n))
-        idx = F.sequence(F.lit(n - 1), F.size('__t') - 1)
+        with_t = frame.select(*head, toks.alias('__t'))
+        # guard inside the index + outer explode: see exploded_pairs
+        idx = F.when(F.size('__t') >= n,
+                     F.sequence(F.lit(n - 1), F.size('__t') - 1))             .otherwise(F.array().cast('array<int>'))
         g = F.transform(idx, lambda i: F.struct(
             *[F.get('__t', i - (n - 1 - j)).alias(names[j])
               for j in range(n)]))
         return (with_t.select(*([id_col] if keep_id else []),
-                              F.explode(g).alias('g'))
+                              F.explode_outer(g).alias('g'))
+                .filter(F.col('g').isNotNull())
                 .select(*([id_col] if keep_id else []), 'g.*'))
 
     src = lm_df if lm_df is not None else df
@@ -949,7 +976,8 @@ def stupid_backoff_score(df: DataFrame, id_col: str, text_col: str,
            .groupBy('w1', 'w2', 'w3').agg(F.count('*').alias('c3')))
     big = (grams(src, 2, ['u', 'v'], False)
            .groupBy('u', 'v').agg(F.count('*').alias('c2')))
-    uni = (src.select(F.explode(toks).alias('w'))
+    uni = (src.select(F.explode_outer(toks).alias('w'))
+           .filter(F.col('w').isNotNull())
            .groupBy('w').agg(F.count('*').alias('c1')))
     tot = uni.agg(F.sum('c1').alias('n'),
                   F.count('*').alias('v')).collect()[0]

@@ -175,8 +175,11 @@ def q_a3_term_document_frequency(spark, sf_dir):
     (df desc, term asc)."""
     d = _t(spark, sf_dir, 'documents')
     toks = F.array_distinct(F.split('text', ' '))
-    ex = d.select(F.explode(toks).alias('t'))
-    ex = ex.filter((F.length('t') >= 3) & ~F.col('t').isin(_STOPS))
+    # outer explode: the inferred non-empty filter would re-run
+    # array_distinct(split(..)) per row at the scan (round 8)
+    ex = d.select(F.explode_outer(toks).alias('t'))
+    ex = ex.filter(F.col('t').isNotNull() & (F.length('t') >= 3)
+                   & ~F.col('t').isin(_STOPS))
     return (ex.groupBy('t').agg(F.count('*').cast('long').alias('df_count'))
             .orderBy(F.desc('df_count'), F.asc('t'))
             .limit(20))
