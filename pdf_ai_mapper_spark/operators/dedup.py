@@ -135,10 +135,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     filter pushdown sinks the predicate below the spread exchange into
     the scan, and the expensive form re-evaluates the whole shingle
     expression there, serially (the ngram round-8 lesson)."""
-    from .skew import ensure_min_parallelism
+    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
     n_toks = F.size(F.split(F.lower(F.col(text_col)), r'\s+'))
     base_in = ensure_min_parallelism(
-        df.select(id_col, text_col).filter(n_toks >= F.lit(k)))
+        df.select(id_col, text_col).filter(n_toks >= F.lit(k)),
+        min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
     shingled = with_shingles(base_in, text_col, k)
     base = F.transform(F.col('shingles'),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
@@ -280,9 +281,10 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str,
     # expensive size(filter(split..)) > 0 form would be pushed below
     # the spread exchange and re-tokenize the corpus serially in the
     # single-row-group scan stage.
-    from .skew import ensure_min_parallelism
+    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
     df = ensure_min_parallelism(
-        df.filter(F.col(text_col).rlike(r'\S')))
+        df.filter(F.col(text_col).rlike(r'\S')),
+        min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                     lambda t: F.length(t) > 0)
     if impl == 'numpy':

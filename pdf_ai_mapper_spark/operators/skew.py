@@ -29,7 +29,9 @@ def host_of_url(url: Column) -> Column:
 
 
 def ensure_min_parallelism(df: DataFrame,
-                           min_parts: int | None = None) -> DataFrame:
+                           min_parts: int | None = None,
+                           min_bytes_per_part: int | None = None
+                           ) -> DataFrame:
     """Spread a too-few-partition input before per-row-heavy map work;
     NO-OP when the plan already has enough partitions.
 
@@ -58,12 +60,44 @@ def ensure_min_parallelism(df: DataFrame,
     PRE-AQE shuffle partition count: AQE may later coalesce that
     exchange below ``min_parts``, and the guard would wrongly no-op.
     Callers in this repo all sit directly on a scan/projection
-    (pinned by tests/test_skew.py)."""
+    (pinned by tests/test_skew.py).
+
+    ``min_bytes_per_part`` (round 8) additionally gates the spread on
+    the plan's ESTIMATED input size: spread only when the data would
+    give every target partition at least this many source bytes.
+    Rationale: the repartition is a full write+read of the rows, so on
+    a tiny single-split input (a 0.6 MB fixture scan) it costs more
+    wall-clock than the one-core map it parallelizes (measured round
+    7/8: simhash at sf0.1 +0.7 s from an unconditional spread), while
+    on the same pathology at 10x the bytes it wins 4-12x. The gate is
+    DATA-derived, not core-count-tuned: at real corpus scale any
+    single-split input dwarfs the floor and the spread always fires
+    (when the split count alone hasn't already no-opped it). Callers
+    with measured heavy per-row kernels (window building) pass None
+    and spread unconditionally."""
     sc = df.sparkSession.sparkContext
     target = min_parts if min_parts is not None else sc.defaultParallelism
     if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes_per_part:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            est = None   # unknown size: be conservative, spread
+        if est is not None and est < min_bytes_per_part * target:
+            return df
     return df.repartition(target)
+
+
+# Default byte floor for the size-gated spread call sites: a partition
+# fed under ~32 KB of source bytes cannot amortize the repartition
+# round trip (measured at sf0.1: unconditional spreads cost 0.2-0.7 s
+# there while per-split work is milliseconds); any real corpus clears
+# this by orders of magnitude. 32 KB leaves >2x margin on both sides
+# of the measured local fixtures (sf0.1 ~8 KB/part: no-op; sf1.0
+# ~78 KB/part: spread).
+SPREAD_MIN_BYTES_PER_PART = 32 * 1024
 
 
 def _xxhashable(dt) -> bool:

@@ -230,11 +230,13 @@ def with_exact_token_counts(df: DataFrame, text_col: str = 'text',
     from pyspark.sql.types import LongType
 
     from ..kernels.bpe import bpe_token_count
-    from .skew import ensure_min_parallelism
+    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
 
     # spread as in with_input_ids: the merge loop dwarfs the one-time
-    # repartition of a pathological single-split scan (no-op otherwise)
-    df = ensure_min_parallelism(df)
+    # repartition of a pathological single-split scan (no-op
+    # otherwise, size-gated)
+    df = ensure_min_parallelism(
+        df, min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
 
     @pandas_udf(LongType())
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -343,12 +345,13 @@ def with_input_ids(df: DataFrame, text_col: str = 'text',
     from pyspark.sql.types import ArrayType, LongType
 
     from ..kernels.bpe import bpe_encode_ids
-    from .skew import ensure_min_parallelism
+    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
 
     # the merge loop is the heaviest per-row kernel in the repo —
     # spread a too-few-split scan so the ArrowEvalPython stage uses
-    # the cluster (round 8; no-op on multi-split inputs)
-    df = ensure_min_parallelism(df)
+    # the cluster (round 8; no-op on multi-split inputs, size-gated)
+    df = ensure_min_parallelism(
+        df, min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -700,12 +703,14 @@ def tfidf_terms(df: DataFrame, id_col: str = 'doc_id',
     term-df table is the only broadcast-unfriendly side — it shuffles
     on term, which is exactly the partitioning a downstream
     inverted-index write wants."""
-    from .skew import ensure_min_parallelism
+    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
     # spread the tokenize+explode map work (no-op on multi-split
-    # scans); explode_OUTER + isNotNull so the optimizer's inferred
-    # size(filter(split..))>0 filter cannot sink into the scan and
-    # re-tokenize every row there (round 8 — the ngram lesson)
-    base = ensure_min_parallelism(df.select(id_col, text_col))
+    # scans, size-gated); explode_OUTER + isNotNull so the optimizer's
+    # inferred size(filter(split..))>0 filter cannot sink into the
+    # scan and re-tokenize every row there (round 8 — the ngram lesson)
+    base = ensure_min_parallelism(
+        df.select(id_col, text_col),
+        min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r'\s+'),
                     lambda t: F.length(t) >= min_token_len)
     ex = (base.select(id_col, F.explode_outer(toks).alias('term'))
@@ -747,7 +752,7 @@ def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
     contaminated docs only (n_overlap ≥ 1); clean docs are absent.
     """
     from .dedup import with_shingles
-    from .skew import ensure_min_parallelism
+    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
     bench_text = bench_text_col or text_col
     # explode_OUTER + post-generate isNotNull, not a plain explode: the
     # optimizer infers `size(transform(shingles, ..)) > 0` from an
@@ -763,7 +768,8 @@ def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
                 .filter(F.col('sh').isNotNull())
                 .distinct())
     train_in = ensure_min_parallelism(
-        train_df.select(id_col, text_col))
+        train_df.select(id_col, text_col),
+        min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
     train_ex = (with_shingles(train_in, text_col, k)
                 .select(id_col, F.explode_outer(hashed).alias('sh'))
                 .filter(F.col('sh').isNotNull()))

@@ -45,9 +45,14 @@ def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a single-row-group parquet file scans as ONE task no matter what
     (round-7 finding), serializing the whole map stage onto one core.
     No-op whenever the scan already has >= defaultParallelism splits —
-    i.e. always at real corpus scale (guide §2.5 input-skew fix)."""
-    from .operators.skew import ensure_min_parallelism
-    return ensure_min_parallelism(_t(spark, sf_dir, name))
+    i.e. always at real corpus scale (guide §2.5 input-skew fix) —
+    and size-gated so a tiny fixture scan is not repartitioned for
+    nothing (the gate is data-derived; see skew.py)."""
+    from .operators.skew import (SPREAD_MIN_BYTES_PER_PART,
+                                 ensure_min_parallelism)
+    return ensure_min_parallelism(
+        _t(spark, sf_dir, name),
+        min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
 
 
 def _count_token_sql(word: str) -> str:
