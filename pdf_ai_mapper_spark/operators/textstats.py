@@ -752,7 +752,7 @@ def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
     contaminated docs only (n_overlap ≥ 1); clean docs are absent.
     """
     from .dedup import with_shingles
-    from .skew import SPREAD_MIN_BYTES_PER_PART, ensure_min_parallelism
+    from .skew import ensure_min_parallelism
     bench_text = bench_text_col or text_col
     # explode_OUTER + post-generate isNotNull, not a plain explode: the
     # optimizer infers `size(transform(shingles, ..)) > 0` from an
@@ -767,9 +767,12 @@ def decontamination_overlap(train_df: DataFrame, bench_df: DataFrame,
                 .select(F.explode_outer(hashed).alias('sh'))
                 .filter(F.col('sh').isNotNull())
                 .distinct())
+    # UNCONDITIONAL spread (no byte gate): the train-side map work is
+    # the heavy shingle+hash chain — the same class as ngram/substring
+    # — and the two gated-quiet bench artifacts price the spread at
+    # -0.45 s even at sf0.1 (0.62 s spread vs 1.07 s gated-off)
     train_in = ensure_min_parallelism(
-        train_df.select(id_col, text_col),
-        min_bytes_per_part=SPREAD_MIN_BYTES_PER_PART)
+        train_df.select(id_col, text_col))
     train_ex = (with_shingles(train_in, text_col, k)
                 .select(id_col, F.explode_outer(hashed).alias('sh'))
                 .filter(F.col('sh').isNotNull()))
